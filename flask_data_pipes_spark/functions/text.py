@@ -1,0 +1,189 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.9).
+
+All hot-path ops are pure Column expressions (JVM, codegen) — no Python
+UDFs. Each has an exact ANSI-SQL twin (see plans/catalog.py oracles) so
+the DuckDB correctness gate hash-matches.
+
+Scale posture: these run per-row with no shuffle; at 100 TB they are
+embarrassingly parallel map work whose cost is dominated by the scan, so
+keeping them JVM-side (≈10-100x over Python UDFs) is the whole game.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "whitespace_tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "char_ngrams",
+    "word_shingles",
+    "md5_long",
+    "doc_fingerprint",
+    "stopword_ratio",
+    "alpha_ratio",
+    "punct_ratio",
+    "mean_word_len",
+    "quality_score",
+    "detect_language",
+    "STOPWORDS",
+]
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+# Per-language function-word lists for the n-gram/stopword language-ID
+# heuristic. Short, high-frequency, orthographically distinctive words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "que", "una", "con"],
+}
+
+
+def whitespace_tokens(c: ColumnOrName) -> Column:
+    """Whitespace tokenization → array<string>; empty/blank → empty array."""
+    c = _col(c)
+    trimmed = F.trim(c)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+", -1))
+
+
+def token_count(c: ColumnOrName) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(whitespace_tokens(c)).cast("long")
+
+
+def bpe_ish_token_count(c: ColumnOrName) -> Column:
+    """BPE-ish token estimate: count of word-piece matches under a
+    GPT-2-style pre-tokenizer regex (word / number / punct runs).
+
+    regexp_count is JVM-side; the pattern approximates a BPE
+    pre-tokenizer's splits (letters runs, digit runs, non-space symbol
+    runs), a standard proxy when no tokenizer model is shippable.
+    """
+    c = _col(c)
+    pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
+
+
+def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
+    """Character n-gram (shingle) array over the lowercased text.
+
+    Built-ins only: sequence over offsets + transform/substring. Used by
+    MinHash and Jaccard dedup. Empty/short text → empty array.
+    """
+    c = F.lower(_col(c))
+    length = F.length(c)
+    count = F.greatest(length - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.substring(c, i, n),
+    )
+
+
+def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
+    """Word k-shingles (space-joined) for n-gram Jaccard dedup."""
+    toks = whitespace_tokens(F.lower(_col(c)))
+    count = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def md5_long(c: ColumnOrName, seed: int = 0) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of
+    md5(seed || value) → bigint.
+
+    Chosen over xxhash64/murmur because DuckDB can reproduce it exactly
+    (``('0x' || substr(md5(s),1,15))::bigint``), making every
+    hash-based operator (minhash, simhash, fingerprint, exact-dup) oracle
+    -checkable. 60 bits keeps it positive in both engines.
+    """
+    s = F.concat(F.lit(str(seed) + "|"), _col(c).cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def doc_fingerprint(c: ColumnOrName) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lowercased text (rolling-hash-equivalent canonical form)."""
+    canon = F.array_join(whitespace_tokens(F.lower(_col(c))), " ")
+    return md5_long(canon)
+
+
+def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are (lang) stopwords."""
+    toks = whitespace_tokens(F.lower(_col(c)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(c: ColumnOrName) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    c = _col(c)
+    n = F.length(c)
+    letters = n - F.length(F.regexp_replace(c, r"[A-Za-z]", ""))
+    return F.when(n > 0, letters / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: ColumnOrName) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _col(c)
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(c: ColumnOrName) -> Column:
+    """Mean whitespace-token length (0.0 for empty text)."""
+    toks = whitespace_tokens(_col(c))
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: ColumnOrName) -> Column:
+    """Deterministic heuristic quality score in [0,1]:
+    0.3*alpha_ratio + 0.3*stopword-signal + 0.2*length-signal +
+    0.2*(1-punct_ratio). Mirrors C4/Gopher-style length/punct/stopword
+    filters as one scalar; SQL-twin-exact.
+    """
+    c = _col(c)
+    len_signal = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    sw_signal = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return (
+        F.lit(0.3) * alpha_ratio(c)
+        + F.lit(0.3) * sw_signal
+        + F.lit(0.2) * len_signal
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(c))
+    )
+
+
+def detect_language(c: ColumnOrName) -> Column:
+    """Stopword-overlap language ID over STOPWORDS languages; returns the
+    lang code with the most token hits ('und' if zero hits everywhere).
+    Ties break by language-code order (deterministic, SQL-expressible).
+    """
+    toks = whitespace_tokens(F.lower(_col(c)))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang

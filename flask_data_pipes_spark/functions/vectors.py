@@ -1,0 +1,57 @@
+"""Vector functions over embedding columns (array<float>/array<double>).
+
+Pure Column expressions — `zip_with` + `aggregate` keep the dot product
+inside codegen; no Python crosses the wire. Used by similarity search
+and embedding-cosine near-dup (SURVEY.md §2.9).
+
+Float determinism note: folds are sequential left-to-right in both Spark
+(`aggregate`) and the DuckDB oracles (`list_dot_product`), and inputs
+are cast to double before arithmetic, so results are bit-identical
+cross-engine for the same vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "norm", "cosine_similarity", "l2_distance"]
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _d(c: ColumnOrName) -> Column:
+    return _col(c).cast("array<double>")
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product via zip_with + aggregate (sequential fold)."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: ColumnOrName) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def l2_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Euclidean distance."""
+    diff = F.zip_with(_d(a), _d(b), lambda x, y: x - y)
+    return F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    )

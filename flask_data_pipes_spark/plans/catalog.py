@@ -1,0 +1,377 @@
+"""Query catalog: every operator from SURVEY.md §2 (+ §2.9 extensions)
+as a named (Spark query, DuckDB oracle SQL) pair.
+
+This is the correctness surface the driver's gate runs: each entry's
+Spark DataFrame result must hash-match its ANSI-SQL oracle on the same
+parquet tables at sf0.01 (row-count + schema + order-insensitive
+value-hash).
+
+Cross-engine determinism rules used throughout:
+- Double aggregation is order-dependent; we sum via DECIMAL(38,6)
+  (associative, exact) and cast the final value to double — bit-identical
+  in Spark and DuckDB.
+- Averages are computed as exact-decimal-sum / count, never avg().
+- Any hash an operator needs uses md5 (both engines) reduced to a 60-bit
+  bigint — Spark `conv(substr(md5(x),1,15),16,10)`, DuckDB
+  `('0x'||substr(md5(x),1,15))::bigint`.
+- Top-k always carries a total tie-break (unique key) so LIMIT is
+  deterministic.
+
+Scale notes are attached per query: at 100 TB the same plans hold
+because dimension joins broadcast (session.py raises the threshold),
+aggregations are partial (map-side) by construction, and no query
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..functions import text as T
+from ..functions import vectors as V
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "load", "queries", "oracle_sql"]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: Dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table; pins session TZ to UTC so timestamp ops
+    are deterministic regardless of the driver session's defaults.
+
+    `events.ts` is parquet TIMESTAMP(NANOS) which Spark refuses by
+    default: read nanos as long and convert to a microsecond timestamp
+    (floor — matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast; oracles
+    cast `ts::TIMESTAMP` to agree)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dsum(c, alias: str):
+    """Deterministic double sum: exact decimal accumulate, then double."""
+    return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def davg(c, alias: str):
+    """Deterministic mean: decimal sum / count."""
+    return (
+        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Relational core — the Spark-native superset surface (SURVEY.md §2.8):
+# joins, aggregation, windows, sort/limit, set ops, distinct.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship).
+
+    Scale: single shuffle on a tiny (flag,status) key space; partial
+    aggregation map-side means ~#cores rows cross the wire per executor
+    regardless of input size. Filter pushed to the parquet scan.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    lq, lep, ld, lt = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(lq, "sum_qty"),
+            dsum(lep, "sum_base_price"),
+            dsum(lep * (1 - ld), "sum_disc_price"),
+            dsum(lep * (1 - ld) * (1 + lt), "sum_charge"),
+            davg(lq, "avg_qty"),
+            davg(lep, "avg_price"),
+            davg(ld, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+    SELECT l.l_orderkey AS o_key,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_key ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-10 revenue orders for one segment.
+
+    Scale: customer is a dimension → broadcast hash join (no shuffle of
+    lineitem on custkey); only the orders⋈lineitem join shuffles, on the
+    natural orderkey. LIMIT after ORDER BY uses TakeOrderedAndProject —
+    no global sort materialization.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            l.l_orderkey.alias("o_key"), o.o_orderdate, o.o_orderpriority
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("o_key", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_key"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue by nation.
+
+    Scale: supplier/nation/region/customer are dims → broadcast joins;
+    the only big shuffle is orders⋈lineitem on orderkey. Group key is
+    25 nations → trivially small final agg.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+    )
+
+
+@register(
+    "q_top3_orders_per_customer",
+    oracle="""
+    SELECT c_name, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-customer top-3 orders by price.
+
+    Scale: one shuffle on custkey for the window; rank+filter prunes
+    before the join output explodes. Tie-break on orderkey keeps it
+    deterministic.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS users,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE) AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup: hourly tumbling agg + JSON extraction +
+    distinct users. This is the batch twin of the streaming hypertable
+    rollup in streaming/ (same plan under a watermark).
+
+    Scale: partial agg + one shuffle on (hour, type); COUNT(DISTINCT)
+    expands to a two-phase agg Spark plans automatically.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.countDistinct("user_id").alias("users"),
+            dsum(F.col("k"), "sum_k"),
+        )
+    )
+
+
+@register(
+    "q_mktsegment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_mktsegment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain grouped aggregate with min/max (exact, order-free)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(bal, "total_bal"),
+        davg(bal, "avg_bal"),
+        F.min(bal).alias("min_bal"),
+        F.max(bal).alias("max_bal"),
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'both' AS side, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'customer_only' AS side, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'supplier_only' AS side, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    cn = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    sn = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("side"), "nk")
+    conly = cn.exceptAll(sn).select(F.lit("customer_only").alias("side"), "nk")
+    sonly = sn.exceptAll(cn).select(F.lit("supplier_only").alias("side"), "nk")
+    return both.unionByName(conly).unionByName(sonly)
+
+
+@register(
+    "q_order_priority_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: name → (spark, sf_dir) → DataFrame."""
+    # Import registers the extension-operator entries too.
+    from . import catalog_etl  # noqa: F401
+    from . import catalog_llm  # noqa: F401
+
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    """Driver contract: name → DuckDB oracle SQL (absent → rows-only)."""
+    from . import catalog_etl  # noqa: F401
+    from . import catalog_llm  # noqa: F401
+
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

@@ -1,0 +1,497 @@
+"""LLM-data-pipeline catalog entries (SURVEY.md §2.9, driver north
+star): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search, text analysis — each oracle-
+checked against DuckDB.
+
+Hashing is md5-based (identical in both engines, see catalog.py header)
+so signatures, buckets, and fingerprints hash-match bit-for-bit.
+
+Scale design (the whole point of these entries):
+- Near-dup never does a crossJoin: candidates come from LSH band
+  buckets or blocking keys → the join is an equi-join on bucket id,
+  linear in data + bucket sizes; skewed buckets are AQE-splittable.
+- Brute-force cosine top-k exists as the *small-query-set* baseline
+  (Q queries × N corpus via broadcast of Q, not N×N).
+- Everything is expression-level (no Python UDFs): shingling, hashing,
+  signatures and folds all stay in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from .catalog import load, register
+
+# DuckDB twin of functions.text.md5_long(col, seed)
+def _ddb_md5_long(expr: str, seed: int = 0) -> str:
+    return f"('0x' || substr(md5('{seed}|' || ({expr})), 1, 15))::BIGINT"
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "llm_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_ish,
+           n_chars
+    FROM documents
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer regex
+    count. Narrow map, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        "n_chars",
+    )
+
+
+_SW_EN = "['the','and','of','to','in','is','that','it','for','with']"
+
+
+@register(
+    "llm_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n
+                ELSE 0.0::DOUBLE END AS alpha_ratio,
+           CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n
+                ELSE 0.0::DOUBLE END AS punct_ratio,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks)
+                ELSE 0.0::DOUBLE END AS stop_ratio,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, x -> length(x)))::BIGINT / len(toks)
+                ELSE 0.0::DOUBLE END AS mean_wlen,
+           0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
+           + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
+           + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+           + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))
+             AS quality
+    FROM t
+    """,
+)
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: alpha/punct/stopword ratios, mean word length,
+    combined C4/Gopher-style score. All ratios are int/int divisions →
+    identical doubles cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.alpha_ratio("text").alias("alpha_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.mean_word_len("text").alias("mean_wlen"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+def _ddb_hits(lang_list: str) -> str:
+    return (
+        "len(list_filter(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+        r"ELSE string_split_regex(trim(lower(text)), '\s+') END, "
+        f"x -> list_contains({lang_list}, x)))"
+    )
+
+
+_SW = {
+    "de": "['der','die','und','das','ist','nicht','ein','mit','von','zu']",
+    "en": _SW_EN,
+    "es": "['el','la','los','y','es','no','por','que','una','con']",
+    "fr": "['le','la','les','et','est','pas','pour','que','une','dans']",
+}
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_ddb_hits(_SW['de'])} AS h_de,
+             {_ddb_hits(_SW['en'])} AS h_en,
+             {_ddb_hits(_SW['es'])} AS h_es,
+             {_ddb_hits(_SW['fr'])} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS detected
+    FROM h
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-overlap heuristic; first language (sorted
+    code order) with max hits wins, zero hits → 'und'."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", T.detect_language("text").alias("detected")
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+_DDB_CANON = r"array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')"
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             {_ddb_md5_long(_DDB_CANON)} AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical-text fingerprint (whitespace-normalized,
+    lowercased, 60-bit md5): hash-groupBy keeping min doc_id.
+
+    Scale: one shuffle on the 60-bit fingerprint — uniformly distributed
+    by construction, no skew; partial agg collapses copies map-side.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # → 4 bands
+
+
+def _ddb_shingles(text_expr: str = "text", n: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length(lower({text_expr})) - {n - 1}, 0) + 1), "
+        f"i -> substr(lower({text_expr}), i::INT, {n})))"
+    )
+
+
+@register(
+    "llm_minhash_bands",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             [{", ".join(f"list_min(list_transform(shingles, s -> {_ddb_md5_long('s', seed)}))" for seed in range(_N_HASHES))}] AS sig
+      FROM sh WHERE len(shingles) > 0
+    )
+    SELECT doc_id, band,
+           {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
+    FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
+    """,
+)
+def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band keys (shingle → 8 minhashes → 4
+    bands of 2). Output: (doc_id, band, band_key) — the bucketing that
+    drives candidate generation in `llm_minhash_pairs`.
+
+    Scale: per-row expression work only; signatures never leave the
+    executor; the band table is 4x doc count, partitioned by band_key
+    downstream.
+    """
+    d = load(spark, sf_dir, "documents")
+    shingles = F.array_distinct(T.char_ngrams("text", 5))
+
+    def minhash_term(seed: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: T.md5_long(s, seed))
+        )
+
+    sig = F.array(*[minhash_term(seed) for seed in range(_N_HASHES)])
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                T.md5_long(
+                    F.concat_ws(
+                        "_",
+                        F.element_at("sig", 2 * b + 1).cast("string"),
+                        F.element_at("sig", 2 * b + 2).cast("string"),
+                    ),
+                    99,
+                ).alias("band_key"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    return (
+        d.select("doc_id", shingles.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    )
+
+
+@register(
+    "llm_minhash_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             [{", ".join(f"list_min(list_transform(shingles, s -> {_ddb_md5_long('s', seed)}))" for seed in range(_N_HASHES))}] AS sig
+      FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (
+      SELECT doc_id,
+             {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
+      FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs: docs sharing ≥1 band
+    bucket. The LSH self-join is an equi-join on band_key — linear in
+    corpus size + bucket fan-out, never a crossJoin."""
+    bands = llm_minhash_bands(spark, sf_dir).select("doc_id", "band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SIM_BITS = 16
+
+
+@register(
+    "llm_simhash",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, x -> {_ddb_md5_long('x', 7)}) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           ({" + ".join(f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) >= n THEN {1 << b} ELSE 0 END" for b in range(_SIM_BITS))})::BIGINT AS simhash
+    FROM h WHERE n > 0
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) over distinct whitespace tokens: bit b set when
+    ≥half the token hashes have bit b set. Near-dup docs land at small
+    Hamming distance; bucketing by simhash prefix gives the scale path."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col("text"))))
+    hs = F.transform(toks, lambda x: T.md5_long(x, 7))
+    n = F.size(toks)
+    def bit_pred(b: int):
+        return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
+
+    bit_terms = [
+        F.when(
+            2 * F.size(F.filter(F.col("hs"), bit_pred(b))) >= F.col("n"),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(_SIM_BITS)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return (
+        d.select("doc_id", hs.alias("hs"), n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", total.cast("long").alias("simhash"))
+    )
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 50 AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0) + 1),
+               i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' ')
+             )) AS sh
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) /
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND len(list_intersect(a.sh, b.sh)) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+    """,
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word 3-shingle) Jaccard near-dup within blocking keys.
+
+    Blocking (here doc_id%50; in production a cheap signal like a
+    simhash prefix or length bucket) keeps the pairwise comparison
+    inside buckets — the join is an equi-join on block, linear overall.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("block"),
+        F.array_distinct(T.word_shingles("text", 3)).alias("sh"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jacc = inter / union
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter((F.size(F.col("a.sh")) > 0) & (F.size(F.col("b.sh")) > 0))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+    )
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.qid, c.vec_id,
+                  list_dot_product(q.qv, c.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+           FROM q, c WHERE q.qid <> c.vec_id
+         )
+    SELECT qid, vec_id, round(sim, 6) AS sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: 8 query vectors × full corpus.
+
+    Scale: the *query set* broadcasts (Q rows), the corpus streams — a
+    broadcast nested-loop sized Q×N, never N×N; ranking is a window over
+    qid. Similarity rounded to 6dp before ranking (with vec_id
+    tie-break) so ordering is stable cross-engine.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select("vec_id", F.col("embedding").alias("v"))
+    sim = F.round(V.cosine_similarity(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        c.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "sim", "rnk")
+    )
+
+
+@register(
+    "llm_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (in
+    production: LSH bucket or IVF cell) — equi-join on the block key,
+    no crossJoin."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(
+        V.cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+@register(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(substr(text, 1, 16))) AS n_bytes,
+           upper(substr(md5(substr(text, 1, 16)), 1, 8)) AS magic
+    FROM documents
+    """,
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: binary payload column + typed
+    metadata (byte length, magic/id header). The payloads here are
+    synthesized from text (no media libs in env); the decode path lives
+    in operators/multimodal.py behind a stub."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.substring(F.col("text"), 1, 16), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.upper(F.substring(F.md5(F.substring(F.col("text"), 1, 16)), 1, 8)).alias(
+            "magic"
+        ),
+    )

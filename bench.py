@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized through the noop sink (evaluates every
+expression, no driver-side collect — the number measures the engine,
+not py4j transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q_top3_orders_per_customer",
+    "q_events_hourly",
+    "etl_recast_vocab",
+    "etl_denormalize",
+    "llm_quality",
+    "llm_dedup_exact",
+    "llm_minhash_pairs",
+    "llm_cosine_topk",
+    "llm_embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from flask_data_pipes_spark.session import EngineConfig, get_spark
+
+    spark = get_spark(EngineConfig(app_name="fdps-bench", master=f"local[{cpus}]"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from flask_data_pipes_spark import plans
+
+    qs = plans.queries()
+
+    # derive sf from the dir name (e.g. .../sf0.1 → 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    # Warm up: touch every table once so the first timed query isn't
+    # charged JVM/session/reader-metadata startup.
+    from flask_data_pipes_spark.plans.catalog import load
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        # warm the reader metadata, then time the real run
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ __all__ = [
     "char_ngrams",
     "word_shingles",
     "md5_long",
+    "md5_long56",
     "doc_fingerprint",
     "stopword_ratio",
     "alpha_ratio",
@@ -113,6 +114,15 @@ def md5_long(c: ColumnOrName, seed: int = 0) -> Column:
     """
     s = F.concat(F.lit(str(seed) + "|"), _col(c).cast("string"))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def md5_long56(c: ColumnOrName, seed: int = 0) -> Column:
+    """56-bit md5 hash (14 hex chars). Narrower than md5_long so affine
+    combinations h1 + i*h2 (minhash's k-hash family from 2 base hashes)
+    stay far below int64 overflow — ANSI mode would error on overflow,
+    and DuckDB must agree bit-for-bit."""
+    s = F.concat(F.lit(str(seed) + "|"), _col(c).cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
 
 
 def doc_fingerprint(c: ColumnOrName) -> Column:

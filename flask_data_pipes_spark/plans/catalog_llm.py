@@ -30,6 +30,11 @@ def _ddb_md5_long(expr: str, seed: int = 0) -> str:
     return f"('0x' || substr(md5('{seed}|' || ({expr})), 1, 15))::BIGINT"
 
 
+# DuckDB twin of functions.text.md5_long56(col, seed)
+def _ddb_md5_long56(expr: str, seed: int = 0) -> str:
+    return f"('0x' || substr(md5('{seed}|' || ({expr})), 1, 14))::BIGINT"
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -194,17 +199,27 @@ def _ddb_shingles(text_expr: str = "text", n: int = 5) -> str:
     )
 
 
-@register(
-    "llm_minhash_bands",
-    oracle=rf"""
+_DDB_SIG_CTE = rf"""
     WITH sh AS (
       SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
     ),
+    hh AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> {_ddb_md5_long56('s', 0)}) AS h1,
+             list_transform(shingles, s -> {_ddb_md5_long56('s', 1)}) AS h2
+      FROM sh WHERE len(shingles) > 0
+    ),
     sig AS (
       SELECT doc_id,
-             [{", ".join(f"list_min(list_transform(shingles, s -> {_ddb_md5_long('s', seed)}))" for seed in range(_N_HASHES))}] AS sig
-      FROM sh WHERE len(shingles) > 0
-    )
+             [{", ".join(f"list_min(list_transform(range(1, len(h1) + 1), j -> h1[j] + {i} * h2[j]))" for i in range(_N_HASHES))}] AS sig
+      FROM hh
+    )"""
+
+
+@register(
+    "llm_minhash_bands",
+    oracle=_DDB_SIG_CTE
+    + rf"""
     SELECT doc_id, band,
            {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
     FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
@@ -215,19 +230,33 @@ def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of 2). Output: (doc_id, band, band_key) — the bucketing that
     drives candidate generation in `llm_minhash_pairs`.
 
+    The 8-hash family derives from TWO md5 base hashes per shingle via
+    the affine h1 + i*h2 (standard minhash trick) — 4x less hashing than
+    independent seeds; 56-bit bases keep h1 + 7*h2 < 2^59, overflow-free
+    under ANSI in both engines.
+
     Scale: per-row expression work only; signatures never leave the
     executor; the band table is 4x doc count, partitioned by band_key
     downstream.
     """
     d = load(spark, sf_dir, "documents")
     shingles = F.array_distinct(T.char_ngrams("text", 5))
+    hs = F.transform(
+        F.col("shingles"),
+        lambda s: F.struct(
+            T.md5_long56(s, 0).alias("h1"), T.md5_long56(s, 1).alias("h2")
+        ),
+    )
 
-    def minhash_term(seed: int):
+    def minhash_term(i: int):
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: T.md5_long(s, seed))
+            F.transform(
+                F.col("hs"),
+                lambda p: p.getField("h1") + F.lit(i) * p.getField("h2"),
+            )
         )
 
-    sig = F.array(*[minhash_term(seed) for seed in range(_N_HASHES)])
+    sig = F.array(*[minhash_term(i) for i in range(_N_HASHES)])
     bands = F.array(
         *[
             F.struct(
@@ -247,6 +276,7 @@ def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", shingles.alias("shingles"))
         .filter(F.size("shingles") > 0)
+        .select("doc_id", hs.alias("hs"))
         .select("doc_id", sig.alias("sig"))
         .select("doc_id", F.explode(bands).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
@@ -255,15 +285,8 @@ def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_minhash_pairs",
-    oracle=rf"""
-    WITH sh AS (
-      SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
-    ),
-    sig AS (
-      SELECT doc_id,
-             [{", ".join(f"list_min(list_transform(shingles, s -> {_ddb_md5_long('s', seed)}))" for seed in range(_N_HASHES))}] AS sig
-      FROM sh WHERE len(shingles) > 0
-    ),
+    oracle=_DDB_SIG_CTE
+    + rf""",
     bands AS (
       SELECT doc_id,
              {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key

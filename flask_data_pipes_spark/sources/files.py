@@ -1,0 +1,99 @@
+"""File sources: staged JSONL / CSV readers (reference:
+flask_data_pipes/data_pipes/pipeline.py:703-749 — extension-sniffing
+reader, gzip transparent).
+
+Spark-first: `spark.read.json` / `spark.read.csv` handle gzip, line
+splitting, and schema inference natively; the reader here only
+reproduces the reference's dispatch (extension → format) and its
+meta-shape contract. Column pruning + predicate pushdown come free when
+downstream code filters the returned DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_staged", "read_jsonl", "read_csv", "read_parquet", "read_jdbc"]
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: Optional[str] = None
+) -> DataFrame:
+    """JSON-lines (optionally .gz — Spark decompresses by extension).
+    Pass a DDL `schema` whenever known: skipping inference avoids an
+    extra full scan, which matters at 100 TB."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: Optional[str] = None, **options
+) -> DataFrame:
+    """Header CSV → dicts-of-strings in the reference (csv.DictReader,
+    pipeline.py:737-743: type coercion happens in transform). Parity:
+    default to all-string columns unless a schema is given."""
+    reader = spark.read.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")  # all strings, like DictReader
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    partition_column: Optional[str] = None,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    num_partitions: int = 8,
+    **options,
+) -> DataFrame:
+    """Raw SQL scan (reference utils.py:75-81 `logged_query`) as a
+    parallel JDBC read. Always supply partition bounds for big tables —
+    an unpartitioned JDBC read is a single-task scan."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+_FORMATS = {
+    ".jsonl": read_jsonl,
+    ".json": read_jsonl,
+    ".csv": read_csv,
+    ".parquet": read_parquet,
+}
+
+
+def read_staged(spark: SparkSession, path: str, schema: Optional[str] = None) -> DataFrame:
+    """Extension-dispatching reader (pipeline.py:721-743 analog).
+    `.gz` is stripped first (gzip handled by Spark transparently)."""
+    name = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(name)[1].lower()
+    try:
+        fn = _FORMATS[ext]
+    except KeyError:
+        raise ValueError(f"unsupported staged file type: {path}") from None
+    if fn is read_parquet:
+        return fn(spark, path)
+    return fn(spark, path, schema=schema)

@@ -1,0 +1,19 @@
+from . import dedup, multimodal, similarity  # noqa: F401
+from .dedup import (  # noqa: F401
+    candidate_pairs,
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_bands,
+    minhash_dedup_keep,
+    minhash_lsh_ml_pairs,
+    simhash,
+)
+from .multimodal import (  # noqa: F401
+    attach_payload_meta,
+    decode_images,
+    extract_features,
+    payload_meta,
+    sample_frames,
+)
+from .similarity import cosine_topk, lsh_topk  # noqa: F401

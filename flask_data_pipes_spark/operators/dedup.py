@@ -1,0 +1,287 @@
+"""Deduplication operators for LLM-scale corpora (SURVEY.md §2.9):
+exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All primary paths are pure column expressions + equi-joins — shapes
+that scale to 100 TB:
+
+- **Never a crossJoin.** Candidates come from LSH band buckets or
+  blocking keys; the self-join is an equi-join on the bucket id, so
+  cost is linear in corpus size + Σ bucket², and AQE splits skewed
+  buckets at runtime.
+- **Signatures are map-side.** Shingling, hashing, min-reduction all
+  happen inside codegen per row; only (id, bucket) pairs shuffle.
+- **Deterministic hashing** (md5-based, see functions.text.md5_long*)
+  so results are reproducible and oracle-checkable cross-engine.
+
+A `pyspark.ml` MinHashLSH variant is included as an alternative
+implementation (sparse-vector based); the expression path is the
+default because it needs no ML pipeline fitting and keeps everything
+in one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+
+__all__ = [
+    "exact_dedup",
+    "minhash_bands",
+    "candidate_pairs",
+    "minhash_dedup_keep",
+    "simhash",
+    "jaccard_pairs",
+    "embedding_neardup_pairs",
+    "minhash_lsh_ml_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the canonical-text fingerprint: one shuffle on a
+    uniform 60-bit key; partial agg collapses copies map-side.
+    Output: (fingerprint, keep_doc_id = min id, n_copies)."""
+    return (
+        df.select(id_col, T.doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, band, band_key): MinHash signature banded for LSH.
+
+    The k-hash family is affine over two 56-bit md5 base hashes
+    (h1 + i*h2) — 2 hashes per shingle total, overflow-free under ANSI.
+    """
+    assert n_hashes % band_size == 0
+    shingles = F.array_distinct(T.char_ngrams(text_col, shingle_n))
+    hs = F.transform(
+        F.col("__shingles"),
+        lambda s: F.struct(
+            T.md5_long56(s, 0).alias("h1"), T.md5_long56(s, 1).alias("h2")
+        ),
+    )
+
+    def sig_term(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("__hs"), lambda p: p.getField("h1") + F.lit(i) * p.getField("h2")
+            )
+        )
+
+    sig = F.array(*[sig_term(i) for i in range(n_hashes)])
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                T.md5_long(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at("__sig", b * band_size + j + 1).cast("string")
+                            for j in range(band_size)
+                        ],
+                    ),
+                    99,
+                ).alias("band_key"),
+            )
+            for b in range(n_hashes // band_size)
+        ]
+    )
+    return (
+        df.select(id_col, shingles.alias("__shingles"))
+        .filter(F.size("__shingles") > 0)
+        .select(id_col, hs.alias("__hs"))
+        .select(id_col, sig.alias("__sig"))
+        .select(id_col, F.explode(bands).alias("__b"))
+        .select(
+            id_col,
+            F.col("__b.band").alias("band"),
+            F.col("__b.band_key").alias("band_key"),
+        )
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a < b) pairs sharing ≥1 band bucket — the LSH
+    equi-join. Output columns: `<id>_a`, `<id>_b`."""
+    a = bands.select(F.col(id_col).alias("__ida"), "band_key").alias("a")
+    b = bands.select(F.col(id_col).alias("__idb"), "band_key").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__ida") < F.col("b.__idb")),
+        )
+        .select(
+            F.col("a.__ida").alias(f"{id_col}_a"),
+            F.col("b.__idb").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Greedy near-dup removal: drop every id that pairs (via LSH bands)
+    with a smaller id. One LSH pass approximates connected-component
+    dedup without iteration — the standard production compromise (full
+    transitive closure needs an iterative connected-components job)."""
+    bands = minhash_bands(df, text_col, id_col, **kwargs)
+    pairs = candidate_pairs(bands, id_col)
+    dupes = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): bit b set when ≥half the distinct-token hashes
+    have bit b set. Near-dups land at small Hamming distance; bucket by
+    simhash prefix for the scale path."""
+    toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
+    hs = F.transform(toks, lambda x: T.md5_long(x, 7))
+
+    def bit_pred(b: int):
+        return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
+
+    terms = [
+        F.when(
+            2 * F.size(F.filter(F.col("__hs"), bit_pred(b))) >= F.col("__n"),
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(bits)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        df.select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(id_col, total.cast("long").alias("simhash"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.02,
+) -> DataFrame:
+    """Word-k-shingle Jaccard similarity within blocking keys.
+    `block_col` is any cheap blocking signal (simhash prefix, length
+    bucket, ...) — the join stays an equi-join on the block."""
+    t = df.filter(F.trim(F.col(text_col)) != "").select(
+        id_col,
+        block_col.alias("__block"),
+        F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    jacc = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter((F.size(F.col("a.__sh")) > 0) & (F.size(F.col("b.__sh")) > 0))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    block_col: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Cosine near-dup pairs within blocking keys (LSH bucket / IVF cell
+    / label). Equi-join on the block — never N×N."""
+    e = df.select(id_col, block_col.alias("__block"), F.col(vec_col).alias("__v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = V.cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def minhash_lsh_ml_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 4,
+    threshold: float = 0.6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Alternative MinHash-LSH via pyspark.ml (HashingTF sparse vectors
+    + MinHashLSH.approxSimilarityJoin). Kept as the ML-pipeline-shaped
+    variant; results are approximate and seed-dependent → rows-only
+    check in the gate."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    tf = HashingTF(
+        inputCol="__words", outputCol="__features", numFeatures=num_features, binary=True
+    )
+    words = tok.transform(df.filter(F.trim(F.col(text_col)) != ""))
+    feats = tf.transform(words)
+    feats = feats.filter(
+        F.size(F.array_distinct(F.col("__words"))) > 0
+    )
+    lsh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="__dist")
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"datasetB.{id_col}").alias(f"{id_col}_b"),
+            (F.lit(1.0) - F.col("__dist")).alias("jaccard_est"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9):
+brute-force cosine top-k (baseline) and random-hyperplane LSH
+(the scale path).
+
+Scale design:
+- Brute force is Q×N with the QUERY SET broadcast — linear in corpus,
+  right answer for small Q. Never N×N.
+- LSH buckets corpus and queries by sign-pattern over H deterministic
+  hyperplanes; candidates = same-bucket rows (+ optional multi-probe
+  neighbors); exact rerank only within candidates. At 1000 executors
+  the bucket join is an equi-join on a 2^H-ary key, shuffle-light.
+- Hyperplanes are generated from a seeded RNG on the driver and
+  embedded as literals → fully deterministic plans (and SQL-twin
+  expressible for the oracle gate).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import vectors as V
+
+__all__ = ["cosine_topk", "hyperplanes", "lsh_bucket_expr", "lsh_topk"]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force baseline).
+    `queries` must be small (it broadcasts). Rounding + id tie-break
+    make the ranking fully deterministic."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (rounded to 6dp so the literal
+    values embed identically in Spark plans and SQL oracles)."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)
+    ]
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit j = (v · h_j) >= 0. Pure fold over
+    literal arrays — codegen, no UDF."""
+    bucket = F.lit(0).cast("long")
+    for j, h in enumerate(planes):
+        lit_h = F.array(*[F.lit(x) for x in h])
+        d = V.dot(vec_col, lit_h)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    dim: int = 64,
+    seed: int = 42,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signs, exact-rerank
+    within the query's bucket. Recall grows with fewer planes / multi-
+    probe; this single-probe form is the deterministic gate-checkable
+    core."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
+    )
+    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("__bucket") == F.col("__qbucket"))
+            & (F.col(query_id_col) != F.col(id_col)),
+        )
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

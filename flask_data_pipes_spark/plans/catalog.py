@@ -64,6 +64,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     default: read nanos as long and convert to a microsecond timestamp
     (floor — matches DuckDB's TIMESTAMP_NS → TIMESTAMP cast; oracles
     cast `ts::TIMESTAMP` to agree)."""
+    from ..session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -177,15 +177,9 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the 60-bit fingerprint — uniformly distributed
     by construction, no skew; partial agg collapses copies map-side.
     """
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    from ..operators import dedup
+
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 _N_HASHES = 8
@@ -239,47 +233,15 @@ def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor; the band table is 4x doc count, partitioned by band_key
     downstream.
     """
-    d = load(spark, sf_dir, "documents")
-    shingles = F.array_distinct(T.char_ngrams("text", 5))
-    hs = F.transform(
-        F.col("shingles"),
-        lambda s: F.struct(
-            T.md5_long56(s, 0).alias("h1"), T.md5_long56(s, 1).alias("h2")
-        ),
-    )
+    from ..operators import dedup
 
-    def minhash_term(i: int):
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda p: p.getField("h1") + F.lit(i) * p.getField("h2"),
-            )
-        )
-
-    sig = F.array(*[minhash_term(i) for i in range(_N_HASHES)])
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                T.md5_long(
-                    F.concat_ws(
-                        "_",
-                        F.element_at("sig", 2 * b + 1).cast("string"),
-                        F.element_at("sig", 2 * b + 2).cast("string"),
-                    ),
-                    99,
-                ).alias("band_key"),
-            )
-            for b in range(_N_HASHES // _BAND_SIZE)
-        ]
-    )
-    return (
-        d.select("doc_id", shingles.alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", hs.alias("hs"))
-        .select("doc_id", sig.alias("sig"))
-        .select("doc_id", F.explode(bands).alias("b"))
-        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    return dedup.minhash_bands(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n_hashes=_N_HASHES,
+        band_size=_BAND_SIZE,
+        shingle_n=5,
     )
 
 
@@ -300,17 +262,11 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs: docs sharing ≥1 band
     bucket. The LSH self-join is an equi-join on band_key — linear in
     corpus size + bucket fan-out, never a crossJoin."""
-    bands = llm_minhash_bands(spark, sf_dir).select("doc_id", "band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    from ..operators import dedup
+
+    bands = llm_minhash_bands(spark, sf_dir)
+    return dedup.candidate_pairs(bands, "doc_id").select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
     )
 
 
@@ -340,27 +296,10 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) over distinct whitespace tokens: bit b set when
     ≥half the token hashes have bit b set. Near-dup docs land at small
     Hamming distance; bucketing by simhash prefix gives the scale path."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col("text"))))
-    hs = F.transform(toks, lambda x: T.md5_long(x, 7))
-    n = F.size(toks)
-    def bit_pred(b: int):
-        return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
+    from ..operators import dedup
 
-    bit_terms = [
-        F.when(
-            2 * F.size(F.filter(F.col("hs"), bit_pred(b))) >= F.col("n"),
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(_SIM_BITS)
-    ]
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return (
-        d.select("doc_id", hs.alias("hs"), n.alias("n"))
-        .filter(F.col("n") > 0)
-        .select("doc_id", total.cast("long").alias("simhash"))
+    return dedup.simhash(
+        load(spark, sf_dir, "documents"), "text", "doc_id", bits=_SIM_BITS
     )
 
 
@@ -391,25 +330,19 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash prefix or length bucket) keeps the pairwise comparison
     inside buckets — the join is an equi-join on block, linear overall.
     """
-    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    t = d.select(
-        "doc_id",
-        (F.col("doc_id") % 50).alias("block"),
-        F.array_distinct(T.word_shingles("text", 3)).alias("sh"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jacc = inter / union
-    return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter((F.size(F.col("a.sh")) > 0) & (F.size(F.col("b.sh")) > 0))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.02)
+    from ..operators import dedup
+
+    return dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        block_col=F.col("doc_id") % 50,
+        text_col="text",
+        id_col="doc_id",
+        k=3,
+        threshold=0.02,
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "jaccard",
     )
 
 
@@ -442,20 +375,13 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid. Similarity rounded to 6dp before ranking (with vec_id
     tie-break) so ordering is stable cross-engine.
     """
+    from ..operators import similarity
+
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), "embedding"
     )
-    c = e.select("vec_id", F.col("embedding").alias("v"))
-    sim = F.round(V.cosine_similarity(F.col("qv"), F.col("v")), 6)
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        c.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("qid", "vec_id", "sim", "rnk")
-    )
+    return similarity.cosine_topk(e, q, k=5).select("qid", "vec_id", "sim", "rnk")
 
 
 @register(
@@ -474,21 +400,18 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (in
     production: LSH bucket or IVF cell) — equi-join on the block key,
     no crossJoin."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    sim = F.round(
-        V.cosine_similarity(F.col("a.v"), F.col("b.v")), 6
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.9)
+    from ..operators import dedup
+
+    return dedup.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        block_col=F.col("label"),
+        vec_col="embedding",
+        id_col="vec_id",
+        threshold=0.9,
+    ).select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "sim",
     )
 
 
@@ -518,3 +441,124 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "magic"
         ),
     )
+
+
+# --- approximate similarity (scale path) -----------------------------------
+
+
+def _ddb_lsh_topk_oracle() -> str:
+    """Oracle for the random-hyperplane LSH top-k: embeds the SAME
+    deterministic plane literals the Spark operator uses."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    def bucket_terms(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lst(h)}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(planes)
+        )
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id, v, ({bucket_terms('v')})::BIGINT AS bucket FROM c
+    ),
+    qb AS (
+      SELECT vec_id AS qid, qv, ({bucket_terms('qv')})::BIGINT AS qbucket
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8)
+    ),
+    scored AS (
+      SELECT qb.qid, cb.vec_id,
+             round(list_dot_product(qb.qv, cb.v) /
+                   (sqrt(list_dot_product(qb.qv, qb.qv)) * sqrt(list_dot_product(cb.v, cb.v))), 6) AS sim
+      FROM qb JOIN cb ON qb.qbucket = cb.bucket AND qb.qid <> cb.vec_id
+    )
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register("llm_lsh_topk", oracle=_ddb_lsh_topk_oracle())
+def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (operators.similarity
+    .lsh_topk): bucket by 8 deterministic hyperplane signs, exact-rerank
+    inside the bucket only.
+
+    Scale: candidates shrink ~2^8x vs brute force; the bucket join is an
+    equi-join on a bigint key. This is the path that replaces Q×N when
+    Q is large.
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.lsh_topk(e, q, k=5, n_planes=8, dim=64, seed=42).select(
+        "qid", "vec_id", "sim", "rnk"
+    )
+
+
+@register("llm_minhash_lsh_ml")  # approximate + seed-dependent → rows-only gate
+def llm_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH variant (HashingTF sparse vectors +
+    approxSimilarityJoin) — the ML-pipeline-shaped alternative to the
+    expression-level MinHash. Non-SQL-expressible (ML model state), so
+    the driver records the weaker rows-only check."""
+    from ..operators import dedup
+
+    return dedup.minhash_lsh_ml_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+# --- multimodal (Pandas-UDF plumbing; deterministic stubs) -----------------
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize binary payloads from document text (no media libs in
+    env — SURVEY §2.9): the *plumbing* under test is binary columns +
+    Arrow batches, not the codec."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+@register("llm_multimodal_decode")  # Python-side stub decode → rows-only gate
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode path: binary payload → (width, height, n_pixels,
+    mean_intensity) via mapInPandas with the deterministic fake decoder
+    (operators.multimodal; real decoder is a drop-in)."""
+    from ..operators import multimodal
+
+    return multimodal.decode_images(
+        _payloads(spark, sf_dir), decoder=multimodal.fake_image_decoder
+    )
+
+
+@register("llm_multimodal_features")  # Python-side stub extractor → rows-only
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction path: payload → array<float> embedding via
+    Arrow-batched mapInPandas (deterministic hash-seeded stub)."""
+    from ..operators import multimodal
+
+    return multimodal.extract_features(_payloads(spark, sf_dir), dim=16)
+
+
+@register("llm_frame_sample")  # Python-side stub sampler → rows-only
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling path: payload → one row per sampled frame
+    (explode-shaped mapInPandas fan-out, deterministic stub)."""
+    from ..operators import multimodal
+
+    return multimodal.sample_frames(_payloads(spark, sf_dir), every_n=10)

@@ -106,3 +106,37 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Python UDF/mapInPandas closures are pickled BY REFERENCE to their
+    defining module; workers must be able to import
+    `flask_data_pipes_spark` no matter the driver's cwd. Zipping the
+    package once per session and registering it makes every operator
+    usable from any driver process (local or cluster) — the same
+    mechanism used for real cluster submits (--py-files).
+    """
+    if getattr(spark, "_fdps_pyfiles_added", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "flask_data_pipes_spark_pkg.zip"
+    )
+    tmp_zip = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp_zip, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "flask_data_pipes_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    os.replace(tmp_zip, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._fdps_pyfiles_added = True

@@ -1,0 +1,118 @@
+"""Operator-module tests: dedup keep-semantics, LSH recall sanity,
+multimodal plumbing, and rows-only catalog entries smoke."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog again & again!!"),  # near dup
+        (4, "completely different content about spark query engines at scale"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2  # docs 1+2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_dedup_keep(spark, docs):
+    kept = sorted(
+        r["doc_id"] for r in dedup.minhash_dedup_keep(docs).collect()
+    )
+    # doc 2 (and likely 3) collapse onto doc 1; 4 and 5 survive; 1 survives
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept
+
+
+def test_candidate_pairs_contains_near_dup(spark, docs):
+    bands = dedup.minhash_bands(docs)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.candidate_pairs(bands).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always shares all bands
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham12 == 0  # identical text
+    assert ham14 > 0
+
+
+def test_lsh_topk_overlaps_bruteforce(spark, sf_dir):
+    from flask_data_pipes_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, q, k=5).collect()
+    approx = similarity.lsh_topk(e, q, k=5, n_planes=4, dim=64).collect()
+    # same-bucket neighbors rank identically to their exact scores
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
+    # every query produced candidates (its own bucket is never empty)
+    assert {r["qid"] for r in approx} == {0, 1, 2, 3}
+
+
+def test_multimodal_plumbing(spark, docs):
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = multimodal.attach_payload_meta(payloads).select("doc_id", "payload_meta.*")
+    m = {r["doc_id"]: r for r in meta.collect()}
+    assert m[1]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    assert m[1]["sha256"] == m[2]["sha256"]  # same payload, same hash
+
+    decoded = multimodal.decode_images(
+        payloads, decoder=multimodal.fake_image_decoder
+    ).collect()
+    assert len(decoded) == 5
+    assert all(r["n_pixels"] == r["width"] * r["height"] for r in decoded)
+
+    feats = multimodal.extract_features(payloads, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+
+    frames = multimodal.sample_frames(payloads, every_n=25).collect()
+    assert len(frames) >= 5  # ≥1 frame per payload
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Spark
+        multimodal.decode_images(payloads).collect()
+
+
+def test_rows_only_catalog_entries_run(spark, sf_dir):
+    """The four oracle-less entries must still execute and return rows."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in [
+        "llm_minhash_lsh_ml",
+        "llm_multimodal_decode",
+        "llm_multimodal_features",
+        "llm_frame_sample",
+    ]:
+        df = qs[name](spark, sf_dir)
+        assert df.count() > 0, name

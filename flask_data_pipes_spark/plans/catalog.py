@@ -378,3 +378,114 @@ def oracle_sql() -> Dict[str, str]:
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
     }
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+             CASE WHEN epoch(ts::TIMESTAMP) -
+                       lag(epoch(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                  > 1800 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*)::INT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — batch twin of the
+    streaming applyInPandasWithState operator (streaming/stream.py),
+    expressed as lag + running-sum window functions.
+
+    Scale: ONE shuffle on user_id serves both window passes and the
+    final aggregation (same partitioning reused across stages).
+    """
+    from ..streaming.stream import sessionize_batch
+
+    e = load(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_seconds=1800)
+
+
+@register(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT 'has_orders' AS side, c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_orders' AS side, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS surface).
+
+    Scale: semi/anti joins shuffle only the key column of the probe
+    side; Spark plans them as broadcast when orders' distinct keys fit.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    has = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("has_orders").alias("side"), "c_custkey"
+    )
+    nos = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("side"), "c_custkey"
+    )
+    return has.unionByName(nos)
+
+
+@register(
+    "q_cube_shipmode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), "qty")
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_type, 1, 6) AS type6,
+           length(p_name) AS name_len,
+           replace(p_brand, '#', '-') AS brand_dash,
+           concat(p_brand, ':', p_type) AS brand_type,
+           contains(p_type, 'BRASS') AS is_brass,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function vocabulary over part (upper/substr/length/
+    replace/concat/contains/regexp_extract)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_type", 1, 6).alias("type6"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )

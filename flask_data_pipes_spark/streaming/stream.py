@@ -1,0 +1,212 @@
+"""Structured Streaming stage wrappers (SURVEY.md §2.8: the reference
+has NO real streaming — generator pipelining + resumable batch state —
+so this module is the Spark-native superset surface).
+
+Components:
+- `read_jsonl_stream` / `read_events_stream`: file-source streams over
+  the staged landing layout (the streaming twin of the upload→extract
+  spine; Auto-Loader-shaped directory ingestion).
+- `hourly_rollup`: watermarked tumbling-window aggregation — the
+  streaming twin of the batch `q_events_hourly` catalog query (same
+  plan under a watermark; late data beyond the watermark is dropped
+  deterministically).
+- `sessionize_stream`: gap-based sessionization via
+  `applyInPandasWithState` — the custom stateful operator Spark's
+  built-ins can't express (reference has nothing comparable; this is
+  the driver-mandated extension surface).
+- `foreach_batch_stage`: runs a pipeline stage (model transform +
+  staged write + metadata upsert) per micro-batch — exactly-once via
+  the sink's idempotent (batchId-keyed) commit.
+
+Scale notes: state stores partition by the grouping key (user_id);
+watermarks bound state size; `availableNow` triggers give the batch-
+backfill path the same code as the live stream.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "read_jsonl_stream",
+    "hourly_rollup",
+    "sessionize_stream",
+    "sessionize_batch",
+    "foreach_batch_stage",
+]
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (schema mandatory —
+    streaming readers cannot infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def hourly_rollup(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (streaming twin of
+    q_events_hourly): count + sum(value) per (window, event_type).
+    State is bounded by the watermark; late events beyond it drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+_STATE_SCHEMA = "start long, last long, n int, total double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with applyInPandasWithState: a session
+    closes when no event arrives for `gap_seconds` (processing-time
+    timeout closes the tail session).
+
+    The custom-stateful-operator pattern: per-key state is the open
+    session aggregate; each micro-batch folds its events in event-time
+    order; closed sessions emit downstream.
+    """
+    import pandas as pd
+
+    def fold(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):
+        (user_id,) = key
+        sessions = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                sessions.append((user_id, start, last, n, total))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values("ts")
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = None, None, 0, 0.0
+            for ts, value in zip(rows["ts"], rows["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns → µs
+                if start is None:
+                    start, last, n, total = ts_us, ts_us, 1, float(value)
+                elif ts_us - last > gap_seconds * 1_000_000:
+                    sessions.append((user_id, start, last, n, total))
+                    start, last, n, total = ts_us, ts_us, 1, float(value)
+                else:
+                    last, n, total = ts_us, n + 1, total + float(value)
+            if start is not None:
+                state.update((start, last, n, total))
+                state.setTimeoutDuration(gap_seconds * 1000)
+        out = pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "session_start": pd.Timestamp(s, unit="us"),
+                    "session_end": pd.Timestamp(e, unit="us"),
+                    "n_events": n_,
+                    "total_value": t,
+                }
+                for (u, s, e, n_, t) in sessions
+            ],
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+        yield out
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch twin of sessionization — pure window functions (lag +
+    cumulative sum of gap breaks), fully SQL-expressible (oracle-checked
+    as q_sessionize). One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_break = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > gap_seconds,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_session = events.withColumn(
+        "session_seq", F.sum(gap_break).over(w)
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def foreach_batch_stage(
+    pipeline,
+    model_cls,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: apply the model transform and commit one
+    staged batch per micro-batch (batchId-keyed filename → idempotent
+    re-runs, Spark's exactly-once contract for foreachBatch)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = model_cls.transform(batch_df)
+        meta = dict(
+            pkey=None,
+            model=model_cls.__qname__,
+            file=None,
+            created=None,
+            batch_id=batch_id,
+        )
+        pipeline._commit_stage("transform", out, meta)
+
+    return sink

@@ -37,7 +37,26 @@ __all__ = [
     "jaccard_pairs",
     "embedding_neardup_pairs",
     "minhash_lsh_ml_pairs",
+    "spread_for_cpu",
 ]
+
+
+def spread_for_cpu(df: DataFrame, key: str, num_partitions: Optional[int] = None) -> DataFrame:
+    """Repartition ahead of CPU-heavy per-row expressions when the scan
+    gives too few splits to use the cluster.
+
+    A small parquet file arrives as ONE input split, so a signature/hash
+    computation that costs far more than the scan runs on one core. An
+    explicit partition count keeps AQE from coalescing the (tiny) shuffle
+    back down — AQE only coalesces when the count isn't user-specified.
+    At real scale (many splits) this is a no-op, so the shuffle is only
+    paid when it buys parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = num_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -102,9 +121,13 @@ def minhash_bands(
             for b in range(n_hashes // band_size)
         ]
     )
+    # `length >= n` ⟺ `size(shingles) > 0` (and null-rejecting), but is
+    # cheap enough to sit in the scan stage: a size()-on-shingles filter
+    # would be pushed below the repartition by Catalyst and compute every
+    # shingle array in the (possibly single-task) scan.
     return (
-        df.select(id_col, shingles.alias("__shingles"))
-        .filter(F.size("__shingles") > 0)
+        spread_for_cpu(df.filter(F.length(text_col) >= shingle_n), id_col)
+        .select(id_col, shingles.alias("__shingles"))
         .select(id_col, hs.alias("__hs"))
         .select(id_col, sig.alias("__sig"))
         .select(id_col, F.explode(bands).alias("__b"))
@@ -117,19 +140,34 @@ def minhash_bands(
 
 
 def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (a < b) pairs sharing ≥1 band bucket — the LSH
-    equi-join. Output columns: `<id>_a`, `<id>_b`."""
-    a = bands.select(F.col(id_col).alias("__ida"), "band_key").alias("a")
-    b = bands.select(F.col(id_col).alias("__idb"), "band_key").alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.__ida") < F.col("b.__idb")),
+    """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
+    `<id>_a`, `<id>_b`.
+
+    Shape: groupBy(band_key) → sorted id set → enumerate in-bucket pairs
+    → distinct. One pass over the signature subtree (a self-JOIN would
+    evaluate the un-cached MinHash computation once per side) and one
+    shuffle on band_key; pair fan-out is Σ bucket²/2, identical to the
+    join's output, and the final distinct re-shuffles on the pair so
+    skewed buckets don't serialize downstream work.
+    """
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
         .select(
-            F.col("a.__ida").alias(f"{id_col}_a"),
-            F.col("b.__idb").alias(f"{id_col}_b"),
+            F.col("__p.a").alias(f"{id_col}_a"),
+            F.col("__p.b").alias(f"{id_col}_b"),
         )
         .distinct()
     )
@@ -176,9 +214,11 @@ def simhash(
     total = terms[0]
     for t in terms[1:]:
         total = total + t
+    # cheap scan-stage pre-filter (⟺ size(tokens) > 0, null-rejecting);
+    # see minhash_bands for why the filter must not be expression-heavy.
     return (
-        df.select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
-        .filter(F.col("__n") > 0)
+        spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
+        .select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
         .select(id_col, total.cast("long").alias("simhash"))
     )
 
@@ -194,7 +234,7 @@ def jaccard_pairs(
     """Word-k-shingle Jaccard similarity within blocking keys.
     `block_col` is any cheap blocking signal (simhash prefix, length
     bucket, ...) — the join stays an equi-join on the block."""
-    t = df.filter(F.trim(F.col(text_col)) != "").select(
+    t = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col).select(
         id_col,
         block_col.alias("__block"),
         F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
@@ -228,21 +268,38 @@ def embedding_neardup_pairs(
     round_to: Optional[int] = 6,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocking keys (LSH bucket / IVF cell
-    / label). Equi-join on the block — never N×N."""
-    e = df.select(id_col, block_col.alias("__block"), F.col(vec_col).alias("__v"))
-    a, b = e.alias("a"), e.alias("b")
-    sim = V.cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    / label). Equi-join on the block — never N×N.
+
+    Per-pair cost is ONE dot product: 1/norm is precomputed per row in a
+    projection *under* the join (a materialization barrier Catalyst
+    cannot collapse through, unlike a same-stage alias), so
+    cosine(a,b) = dot(a,b)·inv_a·inv_b. Candidate id-pairs are
+    enumerated first on an id+block-only table, then explicitly spread
+    across partitions before vectors are attached — blocks are few, so
+    the block-join's output would otherwise land on a handful of cores.
+    """
+    sim = V.dot(F.col("a.__v"), F.col("b.__v")) * F.col("a.__inv") * F.col("b.__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
+
+    keyed = df.select(id_col, block_col.alias("__block"))
+    la = keyed.select(F.col(id_col).alias("__ida"), "__block")
+    lb = keyed.select(F.col(id_col).alias("__idb"), "__block")
+    pair_ids = la.join(lb, "__block").filter(F.col("__ida") < F.col("__idb"))
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    pair_ids = pair_ids.repartition(n, "__ida", "__idb")
+
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        (F.lit(1.0) / V.norm(vec_col)).alias("__inv"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.__block") == F.col("b.__block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        pair_ids.join(vecs.alias("a"), F.col("__ida") == F.col("a.__vid"))
+        .join(vecs.alias("b"), F.col("__idb") == F.col("b.__vid"))
         .select(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col("__ida").alias(f"{id_col}_a"),
+            F.col("__idb").alias(f"{id_col}_b"),
             sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

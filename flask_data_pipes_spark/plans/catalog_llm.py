@@ -387,13 +387,13 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_embedding_neardup",
     oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+               FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+           round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+    WHERE round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) >= 0.9
     """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ __all__ = [
     "md5_long",
     "md5_long56",
     "doc_fingerprint",
+    "rolling_fingerprint",
     "stopword_ratio",
     "alpha_ratio",
     "punct_ratio",
@@ -130,6 +131,32 @@ def doc_fingerprint(c: ColumnOrName) -> Column:
     lowercased text (rolling-hash-equivalent canonical form)."""
     canon = F.array_join(whitespace_tokens(F.lower(_col(c))), " ")
     return md5_long(canon)
+
+
+ROLLING_BASE = 1000003
+ROLLING_MOD = (1 << 31) - 1
+
+
+def rolling_fingerprint(c: ColumnOrName) -> Column:
+    """Polynomial rolling hash over whitespace tokens: fold
+    acc = (acc * BASE + h(token)) mod 2^31-1 with the first token's
+    hash as the seed — order-sensitive, unlike doc_fingerprint's
+    bag-of-text hash, so token reorderings get distinct fingerprints.
+
+    Fold shape matches DuckDB list_reduce (first element = initial
+    accumulator, no init argument in 1.0) so the oracle is exact.
+    Bounds: acc < 2^31, BASE < 2^20, token hash reduced mod 2^31-1
+    → every intermediate < 2^52, overflow-free under ANSI.
+    NULL for empty/blank text (no tokens to fold).
+    """
+    toks = whitespace_tokens(F.lower(_col(c)))
+    hs = F.transform(toks, lambda t: md5_long(t, 3) % F.lit(ROLLING_MOD))
+    rest = F.slice(hs, F.lit(2), F.greatest(F.size(hs) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.try_element_at(hs, F.lit(1)),
+        lambda acc, x: (acc * F.lit(ROLLING_BASE) + x) % F.lit(ROLLING_MOD),
+    )
 
 
 def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import vectors as V
 
-__all__ = ["cosine_topk", "hyperplanes", "lsh_bucket_expr", "lsh_topk"]
+__all__ = ["cosine_topk", "hyperplanes", "lsh_bucket_expr", "lsh_topk", "ivf_topk"]
 
 
 def cosine_topk(
@@ -48,6 +48,76 @@ def cosine_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    seed: int = 42,
+    max_iter: int = 5,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into KMeans cells, probe
+    each query's `n_probe` nearest cells, exact-rerank within candidates.
+
+    Scale shape: the centroid table is n_cells rows (broadcast
+    everywhere); cell assignment is one model.transform map over the
+    corpus; the candidate join is an equi-join on cell id touching
+    ~n_probe/n_cells of the corpus per query. The KMeans fit itself is
+    pyspark.ml's distributed Lloyd's — sampled/iterative, run once and
+    reusable across query batches. Seeded → deterministic locally, but
+    kmeans is not SQL-expressible → rows-only correctness check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__features", array_to_vector(F.col("__v")))
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__features",
+        predictionCol="__cell",
+    ).fit(feats)
+    assigned = model.transform(feats).select(id_col, "__v", "__cell")
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "__cell int, __cv array<double>"
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__cdist"), F.asc("__cell")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("__cdist", V.l2_distance(F.col("__qv"), F.col("__cv")))
+        .withColumn("__crnk", F.row_number().over(wq))
+        .filter(F.col("__crnk") <= n_probe)
+        .select(query_id_col, "__qv", "__cell")
+    )
+    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        assigned.join(
+            F.broadcast(probed),
+            (assigned["__cell"] == probed["__cell"])
+            & (F.col(query_id_col) != F.col(id_col)),
+        )
         .select(query_id_col, id_col, sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

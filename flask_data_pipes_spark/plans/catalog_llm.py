@@ -182,6 +182,33 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@register(
+    "llm_fingerprint",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, x -> {_ddb_md5_long('x', 3)} % 2147483647) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           list_reduce(hs, (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM h
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint: polynomial
+    fold acc = (acc·B + h(token)) mod 2^31-1 over whitespace tokens
+    (functions.text.rolling_fingerprint). Complements llm_dedup_exact's
+    canonical-text hash — reordered tokens fingerprint differently.
+    Narrow map, zero shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return d.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
+
+
 _N_HASHES = 8
 _BAND_SIZE = 2  # → 4 bands
 
@@ -268,6 +295,41 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.candidate_pairs(bands, "doc_id").select(
         F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
     )
+
+
+@register(
+    "llm_minhash_dedup_keep",
+    oracle=_DDB_SIG_CTE
+    + rf""",
+    bands AS (
+      SELECT doc_id,
+             {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
+      FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
+    ),
+    dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    """,
+)
+def llm_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MinHash-LSH near-dup removal: keep every doc that does not
+    share a band bucket with a smaller doc_id (one-pass approximation of
+    connected-component dedup). The drop-set is a left_anti join —
+    shuffle on doc_id only."""
+    from ..operators import dedup
+
+    kept = dedup.minhash_dedup_keep(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n_hashes=_N_HASHES,
+        band_size=_BAND_SIZE,
+        shingle_n=5,
+    )
+    return kept.select("doc_id", "n_chars")
 
 
 _SIM_BITS = 16
@@ -506,6 +568,23 @@ def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, q, k=5, n_planes=8, dim=64, seed=42).select(
         "qid", "vec_id", "sim", "rnk"
     )
+
+
+@register("llm_ivf_topk")  # kmeans fit is iterative → not SQL-expressible; rows-only gate
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: KMeans coarse quantizer (n_cells cells),
+    probe the 4 nearest cells per query, exact cosine rerank within
+    candidates. Complements llm_lsh_topk — IVF adapts cells to the data
+    distribution where hyperplane LSH is data-oblivious."""
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.ivf_topk(
+        e, q, k=5, n_cells=16, n_probe=4, seed=42
+    ).select("qid", "vec_id", "sim", "rnk")
 
 
 @register("llm_minhash_lsh_ml")  # approximate + seed-dependent → rows-only gate

@@ -116,3 +116,48 @@ def test_rows_only_catalog_entries_run(spark, sf_dir):
     ]:
         df = qs[name](spark, sf_dir)
         assert df.count() > 0, name
+
+
+def test_ivf_topk_matches_bruteforce_sims(spark, sf_dir):
+    from flask_data_pipes_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    exact = similarity.cosine_topk(e, q, k=5).collect()
+    approx = similarity.ivf_topk(e, q, k=5, n_cells=8, n_probe=3).collect()
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    # probed candidates score identically to brute force (same rerank math)
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
+    # every query yields k results (own cell always probed → never empty)
+    counts = {}
+    for r in approx:
+        counts[r["qid"]] = counts.get(r["qid"], 0) + 1
+    assert counts == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from flask_data_pipes_spark.functions import text as T
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "gamma beta alpha"),  # same bag of tokens, different order
+        (4, "single"),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", T.rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]  # order matters, unlike doc_fingerprint
+    assert out[4] is not None  # single token → its own hash
+    assert out[5] is None  # blank → no tokens → NULL

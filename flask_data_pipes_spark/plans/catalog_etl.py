@@ -274,3 +274,34 @@ def etl_cidr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         k, F.explode(S.cidr_hosts(cidr)).alias("ip")
     )
+
+
+@register(
+    "etl_lenient_flatten",
+    oracle=r"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts_iso,
+           strftime(o_orderdate, '%H:%M:%S') AS t_iso,
+           NULL::VARCHAR AS d_null,
+           flatten([[o_orderkey, o_custkey], [o_orderkey % 7]]) AS flat
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def etl_lenient_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient date/time serialization (P7, reference fields.py:45-82:
+    NULL/string pass through, temporal values ISO-format) and deep
+    flatten (P18, utils.py:195-202) as one narrow-map query."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    nested = F.array(
+        F.array(F.col("o_orderkey"), F.col("o_custkey")),
+        F.array(F.col("o_orderkey") % 7),
+    )
+    return o.select(
+        "o_orderkey",
+        S.lenient_date(F.col("o_orderdate").cast("date")).alias("d_iso"),
+        S.lenient_timestamp("o_orderdate").alias("ts_iso"),
+        S.lenient_time("o_orderdate").alias("t_iso"),
+        S.lenient_date(F.lit(None).cast("string")).alias("d_null"),
+        S.flatten_deep(nested, 1).alias("flat"),
+    )

@@ -52,6 +52,36 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_narrow_maps_have_no_exchange(spark, sf_dir):
+    """Pure per-row operator queries (scalar vocab, token stats, quality,
+    language id) must plan zero shuffles."""
+    for name in ["etl_recast_vocab", "llm_token_stats", "llm_quality", "llm_langid"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles a narrow map"
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup = one shuffle on the fingerprint, nothing else."""
+    plan = _plan(spark, sf_dir, "llm_dedup_exact")
+    assert plan.count("Exchange") == 1
+
+
+def test_minhash_pairs_scans_input_once(spark, sf_dir):
+    """LSH pairing must evaluate the signature subtree once: bucket-local
+    pair enumeration, not a self-join (which would scan + re-hash the
+    corpus per side). Shuffles: spread + band-key agg + pair distinct."""
+    plan = _plan(spark, sf_dir, "llm_minhash_pairs")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 3
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    """Brute-force top-k must broadcast the query set (Q×N, linear in
+    corpus) — the corpus side never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "llm_cosine_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 @pytest.mark.parametrize(
     "name",
     [

@@ -1,0 +1,212 @@
+"""Source/sink tests: staged readers (extension dispatch, gzip, CSV
+string typing), JSONL writer serialization parity (ISO-Z timestamps,
+non-ASCII), dated path layout, upload ingest validation (extension /
+role / active / hash-prefix), and the HTTP connector's driver-side
+pieces (URL joining, auth injection, pagination staging, mapInPandas
+fan-out) — all without network access.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.sinks import writers
+from flask_data_pipes_spark.sources import files, upload
+from flask_data_pipes_spark.sources import http as http_src
+
+
+# --- staged file readers ---------------------------------------------------
+
+
+def test_write_then_read_staged_jsonl_gz(spark, tmp_path):
+    df = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("naïve-"), F.col("id")).alias("name")
+    )
+    path = str(tmp_path / "out.jsonl")
+    writers.write_jsonl(df, path, compression="gzip")
+    parts = glob.glob(os.path.join(path, "part-*.json.gz"))
+    assert parts, "expected gzip part files"
+    back = files.read_staged(spark, path, schema="id long, name string")
+    rows = {r["id"]: r["name"] for r in back.collect()}
+    assert rows == {i: f"naïve-{i}" for i in range(5)}  # non-ASCII preserved
+
+
+def test_write_jsonl_timestamp_iso_z(spark, tmp_path):
+    df = spark.sql("SELECT timestamp'2024-02-29 12:34:56.789' AS ts, 1 AS k")
+    path = str(tmp_path / "ts.jsonl")
+    writers.write_jsonl(df, path, compression=None)
+    [part] = glob.glob(os.path.join(path, "part-*.json"))
+    rec = json.loads(open(part).read().splitlines()[0])
+    # reference serializer: isoformat + 'Z' (ext/serializers.py:7-16)
+    assert rec["ts"] == "2024-02-29T12:34:56.789000Z"
+
+
+def test_read_csv_defaults_to_strings(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = files.read_csv(spark, str(p))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "string",
+    ]  # csv.DictReader parity: coercion happens in transform, not here
+    assert df.count() == 2
+
+
+def test_read_staged_unsupported_extension(spark):
+    with pytest.raises(ValueError, match="unsupported staged file type"):
+        files.read_staged(spark, "/x/y/file.xlsx")
+
+
+def test_dated_path_layout():
+    p = writers.dated_path("/data/raw", "users", "f.jsonl", "2023-01-05T10:00:00")
+    assert p == "/data/raw/users/2023/01/05/f.jsonl"
+
+
+# --- upload ingest ---------------------------------------------------------
+
+
+class _FakeModel:
+    __qname__ = "tests.FakeModel"
+
+    @classmethod
+    def directory(cls):
+        return "fake_models"
+
+
+def _mk_src(tmp_path, name="data.csv", content=b"a,b\n1,2\n"):
+    p = tmp_path / name
+    p.write_bytes(content)
+    return str(p)
+
+
+def test_upload_happy_path(tmp_path):
+    src = _mk_src(tmp_path)
+    meta = upload.ingest_upload(
+        src,
+        _FakeModel,
+        str(tmp_path / "uploads"),
+        created="2023-01-05T10:00:00",
+    )
+    assert meta["model"] == "tests.FakeModel"
+    assert meta["created"] == "2023-01-05"
+    assert os.path.exists(meta["file"])
+    # dated layout + 8-hex content-hash prefix on the landed name
+    rel = os.path.relpath(meta["file"], str(tmp_path / "uploads"))
+    parts = rel.split(os.sep)
+    assert parts[:4] == ["fake_models", "2023", "01", "05"]
+    prefix, base = parts[4].split("_", 1)
+    assert base == "data.csv" and len(prefix) == 8
+    int(prefix, 16)  # hex
+
+
+def test_upload_rejects_bad_extension(tmp_path):
+    src = _mk_src(tmp_path, "evil.exe", b"MZ")
+    with pytest.raises(upload.UploadError) as e:
+        upload.ingest_upload(src, _FakeModel, str(tmp_path / "u"))
+    assert e.value.status == 415
+
+
+def test_upload_gz_uses_inner_extension(tmp_path):
+    src = _mk_src(tmp_path, "rows.jsonl.gz", gzip.compress(b'{"a":1}\n'))
+    meta = upload.ingest_upload(src, _FakeModel, str(tmp_path / "u"))
+    assert meta["file"].endswith("rows.jsonl.gz")
+
+
+def test_upload_role_and_active_checks(tmp_path):
+    src = _mk_src(tmp_path)
+    with pytest.raises(upload.UploadError) as e:
+        upload.ingest_upload(
+            src,
+            _FakeModel,
+            str(tmp_path / "u"),
+            role=upload.Role.viewer,
+            required_role=upload.Role.admin,
+        )
+    assert e.value.status == 403
+    with pytest.raises(upload.UploadError) as e:
+        upload.ingest_upload(src, _FakeModel, str(tmp_path / "u"), active=False)
+    assert e.value.status == 400
+
+
+# --- HTTP connector (no network) ------------------------------------------
+
+
+def test_connection_url_joining():
+    pytest.importorskip("requests")
+    c = http_src.Connection("https://api.example.com/v1/")
+    assert c.url("users/1") == "https://api.example.com/v1/users/1"
+    assert c.url("/admin") == "https://api.example.com/admin"
+    assert c.url("https://other.example.com/x") == "https://other.example.com/x"
+    c.close()  # logout=None must not crash (reference bug not replicated)
+
+
+def test_connection_requires_scheme():
+    pytest.importorskip("requests")
+    with pytest.raises(http_src.MissingSchema):
+        http_src.Connection("api.example.com")
+
+
+def test_authenticator_applies_to_session():
+    pytest.importorskip("requests")
+    c = http_src.Connection("https://api.example.com")
+    auth = http_src.HTTPAuthenticator(
+        headers={"X-Token": "t"}, params={"k": "v"}, cookies={"sid": "1"}
+    )
+    auth.apply(c)
+    assert c.session.headers["X-Token"] == "t"
+    assert c.session.params["k"] == "v"
+    assert c.session.cookies["sid"] == "1"
+    c.close()
+
+
+class _FakeResp:
+    def __init__(self, payload):
+        self._payload = payload
+
+    def raise_for_status(self):
+        pass
+
+    def json(self):
+        return self._payload
+
+
+class _FakeClient:
+    """Duck-typed APIClient: pages 'p0' → 'p1' → stop."""
+
+    def __init__(self):
+        self.pages = {"p0": [{"i": 1}, {"i": 2}], "p1": [{"i": 3}]}
+
+    def get(self, endpoint):
+        return _FakeResp(self.pages[endpoint])
+
+
+def test_fetch_jsonl_paginates_and_stages(spark, tmp_path):
+    path = str(tmp_path / "land" / "api.jsonl")
+    http_src.fetch_jsonl(
+        _FakeClient(),
+        "p0",
+        path,
+        paginate=lambda resp, n: "p1" if n == 1 else None,
+    )
+    back = files.read_jsonl(spark, path, schema="i long")
+    assert sorted(r["i"] for r in back.collect()) == [1, 2, 3]
+    assert not os.path.exists(path + ".tmp")  # atomic rename, no temp left
+
+
+def test_paginated_frame_fans_out_on_executors(spark):
+    specs = [{"url": f"shard-{i}", "n": i} for i in range(4)]
+
+    def fake_fetch(spec):
+        return [{"shard": spec["url"], "value": spec["n"] * 10}]
+
+    df = http_src.paginated_frame(
+        spark, specs, schema="shard string, value long", fetch=fake_fetch
+    )
+    rows = {r["shard"]: r["value"] for r in df.collect()}
+    assert rows == {f"shard-{i}": i * 10 for i in range(4)}

@@ -30,6 +30,7 @@ __all__ = [
     "decode_images",
     "fake_image_decoder",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -131,6 +132,43 @@ def extract_features(
                 {
                     id_col: pdf[id_col].values,
                     "features": [extractor(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (224, 224),
+    resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize binary image payloads → new binary column + target dims
+    (mapInPandas; binary in, binary out, Arrow both ways). Default
+    resizer is the deterministic stub (hash-stretched payload standing
+    in for PIL's `Image.resize` → re-encode); plumbing — binary schema,
+    batch shape, id passthrough — is real."""
+    import pandas as pd
+
+    def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+        # deterministic stand-in: header tag + content hash + dims
+        digest = hashlib.sha256(payload or b"").digest()
+        return b"RSZ1" + digest + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+
+    resizer = resizer or fake_resizer
+    w, h = target
+    out_schema = f"{id_col} long, payload binary, width int, height int"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": [resizer(p, w, h) for p in pdf[payload_col]],
+                    "width": w,
+                    "height": h,
                 }
             )
 

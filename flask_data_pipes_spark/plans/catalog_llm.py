@@ -634,6 +634,18 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(_payloads(spark, sf_dir), dim=16)
 
 
+@register("llm_multimodal_resize")  # Python-side stub resizer → rows-only
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize path: binary payload in → resized binary payload + target
+    dims out via Arrow-batched mapInPandas (deterministic stub; real
+    PIL/opencv resizer is a drop-in)."""
+    from ..operators import multimodal
+
+    return multimodal.resize_images(
+        _payloads(spark, sf_dir), target=(224, 224)
+    )
+
+
 @register("llm_frame_sample")  # Python-side stub sampler → rows-only
 def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling path: payload → one row per sampled frame

@@ -96,6 +96,17 @@ def test_multimodal_plumbing(spark, docs):
     frames = multimodal.sample_frames(payloads, every_n=25).collect()
     assert len(frames) >= 5  # ≥1 frame per payload
 
+    resized = multimodal.resize_images(payloads, target=(64, 48)).collect()
+    assert len(resized) == 5
+    assert all(
+        isinstance(r["payload"], (bytes, bytearray))
+        and (r["width"], r["height"]) == (64, 48)
+        for r in resized
+    )
+    # deterministic: identical payloads resize to identical bytes
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in resized}
+    assert by_id[1] == by_id[2]
+
 
 def test_multimodal_decode_stub_raises(spark, docs):
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))

@@ -233,26 +233,36 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Word-k-shingle Jaccard similarity within blocking keys.
     `block_col` is any cheap blocking signal (simhash prefix, length
-    bucket, ...) — the join stays an equi-join on the block."""
-    t = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col).select(
-        id_col,
-        block_col.alias("__block"),
+    bucket, ...) — the join stays an equi-join on the block.
+
+    Shape mirrors embedding_neardup_pairs: candidate id-pairs are
+    enumerated on an id+block table (no shingles), explicitly spread
+    across partitions (blocks are few → the block-join's output would
+    land on a handful of cores), then shingle arrays attach via joins —
+    a projection under a join is a materialization barrier, so shingling
+    runs once per row, not once per pair side.
+    """
+    base = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
+    keyed = base.select(id_col, block_col.alias("__block"))
+    la = keyed.select(F.col(id_col).alias("__ida"), "__block")
+    lb = keyed.select(F.col(id_col).alias("__idb"), "__block")
+    pair_ids = la.join(lb, "__block").filter(F.col("__ida") < F.col("__idb"))
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    pair_ids = pair_ids.repartition(n, "__ida", "__idb")
+
+    sh = base.select(
+        F.col(id_col).alias("__sid"),
         F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
-    )
-    a, b = t.alias("a"), t.alias("b")
+    ).filter(F.size("__sh") > 0)
     inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
     union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
     jacc = inter / union
     return (
-        a.join(
-            b,
-            (F.col("a.__block") == F.col("b.__block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter((F.size(F.col("a.__sh")) > 0) & (F.size(F.col("b.__sh")) > 0))
+        pair_ids.join(sh.alias("a"), F.col("__ida") == F.col("a.__sid"))
+        .join(sh.alias("b"), F.col("__idb") == F.col("b.__sid"))
         .select(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            F.col("__ida").alias(f"{id_col}_a"),
+            F.col("__idb").alias(f"{id_col}_b"),
             jacc.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -489,3 +489,45 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").contains("BRASS").alias("is_brass"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
     )
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: phase 1 aggregates on
+    (key, salt) — 16-way fan-out of each hot key — phase 2 combines the
+    partials per key. Identical results to a direct groupBy (decimal
+    sums are associative; count/max combine losslessly), which the
+    oracle asserts.
+
+    Scale: the pattern for heavy-hitter keys that would otherwise pin
+    one reducer — here event_type has only a handful of values, the
+    canonical skew shape. AQE's skew handling covers sort-merge JOINS;
+    skewed aggregation keys still need the salt (or partial-agg to
+    carry the load — the salt guarantees it even where partial agg
+    degrades, e.g. high-cardinality-distinct payloads).
+    """
+    e = load(spark, sf_dir, "events")
+    salted = (
+        e.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__sum"),
+            F.max("value").alias("__max"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__sum").cast("double").alias("total_value"),
+        F.max("__max").cast("double").alias("max_value"),
+    )

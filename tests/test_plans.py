@@ -101,3 +101,39 @@ def test_no_python_in_hot_paths(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan, f"{name} plan contains {marker}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join discipline: pre-bucketing both sides on the join
+    key (the 100 TB answer for repeated fact-fact joins) must plan a
+    SortMergeJoin with NO Exchange on either side — bucket layout
+    replaces the shuffle."""
+    import uuid
+
+    db = f"bucketdb_{uuid.uuid4().hex[:8]}"
+    warehouse = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{warehouse}'")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b"))
+        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b"))
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        # MERGE hint: at test SF the sides fit the broadcast threshold,
+        # which would bypass the bucket layout we're asserting on.
+        joined = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_orderdate", "l_quantity"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # and it computes the same rows as the shuffle join
+        shuffled = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        assert joined.count() == shuffled.count()
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")

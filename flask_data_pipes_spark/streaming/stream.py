@@ -66,7 +66,13 @@ def hourly_rollup(
 ) -> DataFrame:
     """Watermarked tumbling-window rollup (streaming twin of
     q_events_hourly): count + sum(value) per (window, event_type).
-    State is bounded by the watermark; late events beyond it drop."""
+
+    State is bounded by the watermark. Late-data contract (pinned by
+    tests/test_streaming.py::test_watermark_drops_late_events): a window
+    still in state absorbs late rows; once the watermark strictly passes
+    the window end the window is emitted (append mode) and EVICTED, and
+    later arrivals for it are discarded. The global watermark lags one
+    micro-batch (batch N runs under the value from batch N-1's data)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))

@@ -118,3 +118,69 @@ def test_sessionize_stream_closes_sessions(spark, landing, tmp_path):
         n, total = batch_by_key[key]
         assert r["n_events"] == n
         assert abs(r["total_value"] - total) < 1e-6
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract: an event arriving after the watermark passed
+    its window is dropped deterministically (the reference has no
+    event-time semantics at all; this pins the Spark-native superset
+    behavior)."""
+    import time as _time
+
+    land = tmp_path / "late_land"
+    land.mkdir()
+
+    def _evt(i, ts, typ="A", value=1.0):
+        return json.dumps(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": 1,
+                "event_type": typ,
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    # batch 1: two events fill the [10:00, 11:00) window
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _evt(1, "2024-01-01T10:00:00.000000"),
+                _evt(2, "2024-01-01T10:30:00.000000"),
+            ]
+        )
+        + "\n"
+    )
+    _time.sleep(1.1)  # file-source batches order by modification time
+    # batch 2: 13:30 will advance the 2h watermark to 11:30 — but the
+    # global watermark lags one batch (batch N runs under the value
+    # computed from batch N-1's data)
+    (land / "b2.jsonl").write_text(_evt(3, "2024-01-01T13:30:00.000000") + "\n")
+    _time.sleep(1.1)
+    # batch 3: runs under watermark 11:30 > window end — [10:00, 11:00)
+    # is emitted (append mode) and evicted from the state store
+    (land / "b3.jsonl").write_text(_evt(4, "2024-01-01T14:00:00.000000") + "\n")
+    _time.sleep(1.1)
+    # batch 4: a late event inside the evicted window — must be dropped
+    # (a window still in state would absorb late rows; eviction seals it)
+    (land / "b4.jsonl").write_text(_evt(5, "2024-01-01T10:15:00.000000") + "\n")
+
+    events = read_jsonl_stream(
+        spark, str(land), EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    rollup = hourly_rollup(events, watermark="2 hours", window="1 hour")
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_out").collect()
+    ten = [r for r in rows if str(r["hour"]) == "2024-01-01 10:00:00"]
+    # the sealed window emitted exactly once, with only the 2 on-time
+    # events; the late 10:15 event neither re-emitted nor resurrected it
+    assert len(ten) == 1 and ten[0]["n_events"] == 2, rows

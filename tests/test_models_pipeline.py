@@ -275,3 +275,56 @@ def test_restart_stalled(spark, tmp_path):
     assert len(pipe.store.incomplete_objects()) == 1
     assert pipe.restart_stalled() == 1
     assert pipe.store.incomplete_objects() == []
+
+
+def test_constant_and_function_fields(spark):
+    class Tagged(Model):
+        __pipeline__ = None
+
+        name = fields.String()
+        source = fields.Constant("crm")
+        name_len = fields.Function(lambda df: F.length(F.col("name")))
+
+    df = spark.createDataFrame([("ada",), ("turing",)], "name string")
+    rows = {r["name"]: r for r in Tagged.transform(df).collect()}
+    assert rows["ada"]["source"] == "crm" and rows["ada"]["name_len"] == 3
+    assert rows["turing"]["name_len"] == 6
+
+
+def test_async_hooks_and_record_toggle(spark, tmp_path):
+    """O2/W5: asynchronous hooks fire without mutating the stream;
+    load(record=False) leaves the object un-marked (reference
+    decorators.py:273,294, pipeline.py:691-696)."""
+    calls = []
+
+    class SidePipeline(Pipeline):
+        extract = True
+        transform = True
+        load = True
+
+        @decorators.pre_transform(asynchronous=True)
+        def notify(self, meta):
+            calls.append(("pre_transform", len(meta)))
+
+        @decorators.load(record=False)
+        def quiet_load(self, df, meta):
+            calls.append(("load", df.count()))
+
+    class SideUser(User):
+        pass
+
+    cfg = EngineConfig(data_dir=str(tmp_path / "data"))
+    pipe = SidePipeline(model=SideUser, spark=spark, config=cfg)
+    pipe.register_model(SideUser)
+    raw = tmp_path / "a.jsonl"
+    raw.write_text(
+        json.dumps({"first": "x", "last": "y", "birthday": None, "profile": None})
+    )
+    out = pipe(
+        stage="extract",
+        meta=[dict(pkey=None, model=SideUser.__qname__, file=str(raw), created="2026-08-13")],
+    )
+    obj = pipe.store.get_object(out[0]["pkey"])
+    assert ("pre_transform", 1) in calls and ("load", 1) in calls
+    assert obj["transformed"]
+    assert not obj["loaded"]  # record=False skips the loaded mark

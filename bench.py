@@ -30,6 +30,10 @@ HEADLINE = [
     "llm_minhash_pairs",
     "llm_cosine_topk",
     "llm_embedding_neardup",
+    "llm_ngram_jaccard_pairs",
+    "llm_fingerprint",
+    "llm_lsh_topk",
+    "q_salted_agg",
 ]
 
 

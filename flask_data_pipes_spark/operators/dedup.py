@@ -59,6 +59,22 @@ def spread_for_cpu(df: DataFrame, key: str, num_partitions: Optional[int] = None
     return df.repartition(target, F.col(key))
 
 
+def _pair_structs(ids: Column) -> Column:
+    """All (a, b) pairs with a < b from a SORTED id array, as an array
+    of structs — the bucket-local pair enumeration used instead of
+    self-joins (which would re-evaluate the bucket-producing subtree
+    once per side)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the canonical-text fingerprint: one shuffle on a
     uniform 60-bit key; partial agg collapses copies map-side.
@@ -150,21 +166,14 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     join's output, and the final distinct re-shuffles on the pair so
     skewed buckets don't serialize downstream work.
     """
-    ids = F.col("__ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # explode_outer: a plain explode would infer `size(pairs) > 0` and
+    # evaluate the pair-enumeration expression twice per bucket (filter
+    # + generate); ≥2 ids always yield ≥1 pair, so outer adds no rows.
     return (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
-        .select(F.explode(pair_structs).alias("__p"))
+        .select(F.explode_outer(_pair_structs(F.col("__ids"))).alias("__p"))
         .select(
             F.col("__p.a").alias(f"{id_col}_a"),
             F.col("__p.b").alias(f"{id_col}_b"),
@@ -235,31 +244,55 @@ def jaccard_pairs(
     `block_col` is any cheap blocking signal (simhash prefix, length
     bucket, ...) — the join stays an equi-join on the block.
 
-    Shape mirrors embedding_neardup_pairs: candidate id-pairs are
-    enumerated on an id+block table (no shingles), explicitly spread
-    across partitions (blocks are few → the block-join's output would
-    land on a handful of cores), then shingle arrays attach via joins —
-    a projection under a join is a materialization barrier, so shingling
-    runs once per row, not once per pair side.
+    Inverted-index shape: explode shingles to (block, shingle, id) rows,
+    equi-join on (block, shingle), count shared shingles per id-pair,
+    then attach per-doc set sizes for the union term. Only pairs with a
+    NONZERO intersection ever materialize — for threshold > 0 that is
+    exactly the result set, so cost tracks the number of actual matches
+    (Σ shared-shingle postings), not #blocks × pairs-per-block. This is
+    the shape that survives 100 TB; ultra-frequent shingles are the
+    residual skew source (drop them upstream or rely on AQE skew-split).
     """
-    base = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
-    keyed = base.select(id_col, block_col.alias("__block"))
-    la = keyed.select(F.col(id_col).alias("__ida"), "__block")
-    lb = keyed.select(F.col(id_col).alias("__idb"), "__block")
-    pair_ids = la.join(lb, "__block").filter(F.col("__ida") < F.col("__idb"))
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
-    pair_ids = pair_ids.repartition(n, "__ida", "__idb")
-
-    sh = base.select(
-        F.col(id_col).alias("__sid"),
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard requires threshold > 0")
+    base = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col).select(
+        id_col,
+        block_col.alias("__block"),
         F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
-    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
-    jacc = inter / union
+    )
+    # no `__n > 0` filter: it would push `size(shingles) > 0` into the
+    # scan stage (the pushdown trap again), and it's redundant — only
+    # ids with ≥1 posting can reach the sizes join.
+    sizes = base.select(
+        F.col(id_col).alias("__sid"), F.size("__sh").alias("__n")
+    )
+    # one shuffle on (block, shingle); per-posting-list pair enumeration
+    # (lists are short — bounded by block size) then count per pair.
+    # explode_OUTER deliberately: a plain explode makes Catalyst infer a
+    # `size(shingles) > 0` filter (InferFiltersFromGenerate) and push
+    # the whole shingle computation down into the scan stage; the outer
+    # form infers nothing, and the null rows drop with a cheap
+    # post-Generate filter instead.
+    posts = base.select(
+        id_col, "__block", F.explode_outer("__sh").alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    inter = (
+        posts.groupBy("__block", "__s")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+        .select(F.explode(_pair_structs(F.col("__ids"))).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("__ida"), F.col("__p.b").alias("__idb")
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    # sizes is corpus-sized: no broadcast hint — Spark broadcasts it
+    # while it fits the threshold and shuffle-joins beyond (the correct
+    # degradation at scale).
+    jacc = F.col("__inter") / (F.col("a.__n") + F.col("b.__n") - F.col("__inter"))
     return (
-        pair_ids.join(sh.alias("a"), F.col("__ida") == F.col("a.__sid"))
-        .join(sh.alias("b"), F.col("__idb") == F.col("b.__sid"))
+        inter.join(sizes.alias("a"), F.col("__ida") == F.col("a.__sid"))
+        .join(sizes.alias("b"), F.col("__idb") == F.col("b.__sid"))
         .select(
             F.col("__ida").alias(f"{id_col}_a"),
             F.col("__idb").alias(f"{id_col}_b"),

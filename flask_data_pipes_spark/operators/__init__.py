@@ -1,4 +1,4 @@
-from . import dedup, multimodal, similarity  # noqa: F401
+from . import dedup, multimodal, similarity, temporal  # noqa: F401
 from .dedup import (  # noqa: F401
     candidate_pairs,
     embedding_neardup_pairs,
@@ -17,3 +17,4 @@ from .multimodal import (  # noqa: F401
     sample_frames,
 )
 from .similarity import cosine_topk, lsh_topk  # noqa: F401
+from .temporal import asof_join, range_join  # noqa: F401

@@ -1,0 +1,173 @@
+"""Temporal joins the reference lacks and Spark has no built-in for:
+as-of join and bounded range join, expressed as compositions of native
+DataFrame ops (no UDFs, no cross products).
+
+The reference (`/root/reference`) has no joins at all (SURVEY.md §2.8);
+these belong to the engine's Spark-native superset and are the two
+temporal primitives a training-data / event pipeline needs (attach the
+latest-known dimension state to a fact; correlate events within a time
+window).
+
+Scale design:
+- `asof_join` is the union-tag + running-window shape: ONE shuffle per
+  side on the equi-keys, then a partition-local sort — identical cost to
+  a sort-merge join, with no range fan-out and no per-row right-side
+  scan. At 100 TB this beats the textbook `left.join(right, keys &&
+  l.ts >= r.ts)` + max-window formulation, which materializes every
+  (left × earlier-right) pair before reducing.
+- `range_join` is the bucketed equi-join shape: each side lands in
+  time buckets of width ~ the window span; the left side fans out only
+  to the (usually 2) buckets its window can touch; the join is a plain
+  equi-join on (keys, bucket) — AQE-splittable, broadcastable, skew
+  handled like any equi-join — followed by the exact range filter.
+  Candidate count is linear in data + true matches, never |L|×|R|.
+
+Skew note (both): a single hot key serializes its partition's sort.
+For known-hot keys, pre-split by coarse time chunk (e.g. day) and carry
+the last right-side row of chunk N into chunk N+1 — documented, not
+automated, because chunk choice is data-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+_BUCKET = "__rj_bucket"
+
+
+def _keys(on: Union[str, Sequence[str]]) -> List[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str = "ts",
+    right_ts: Optional[str] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    tolerance: Optional[float] = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row
+    with the greatest `right_ts <= left_ts` among rows sharing the `on`
+    keys (inclusive match, like DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+    and pandas `merge_asof(direction='backward')`). Left rows with no
+    match keep nulls (left-outer semantics).
+
+    `right_cols` are the payload columns pulled from the right side
+    (default: everything but keys and timestamp); they must not collide
+    with left column names — rename beforehand. The matched right
+    timestamp is emitted as `<right_ts>` (rename it on the right frame
+    if the left has the same name). `tolerance` (seconds) nulls the
+    payload when the match is older than `left_ts - tolerance`.
+
+    Ties: if several right rows share the exact same (keys, ts), which
+    one wins is tie-broken by the last payload column — dedup the right
+    side per (keys, ts) upstream if that matters.
+
+    Implementation: tag sides, union, and take a running `last(payload,
+    ignorenulls=True)` over (keys) ordered by (ts, side) — right rows
+    sort before left rows at equal ts, which is what makes the match
+    inclusive. One shuffle per side, partition-local sort, no fan-out.
+    """
+    keys = _keys(on)
+    rts = right_ts or left_ts
+    payload_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in set(keys) | {rts}]
+    )
+    if rts == left_ts:
+        # Distinct output name for the matched right timestamp.
+        rts_out = f"{left_ts}_right"
+    else:
+        rts_out = rts
+
+    lt = left.withColumn(_SIDE, F.lit(1))
+    payload = F.struct(
+        F.col(rts).alias(rts_out), *[F.col(c) for c in payload_cols]
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias(left_ts),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    # unionByName with missing columns: left's own columns become null
+    # on right rows and vice versa; payload carries the right side.
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    out = (
+        u.withColumn(_PAYLOAD, matched)
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE)
+    )
+    if tolerance is not None:
+        tol_us = int(round(tolerance * 1_000_000))
+        fresh = F.unix_micros(F.col(left_ts)) - F.unix_micros(
+            F.col(_PAYLOAD)[rts_out]
+        ) <= F.lit(tol_us)
+        out = out.withColumn(_PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
+    return out.select(
+        *[c for c in left.columns],
+        F.col(_PAYLOAD)[rts_out].alias(rts_out),
+        *[F.col(_PAYLOAD)[c].alias(c) for c in payload_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    min_delta: float = 0.0,
+    max_delta: float = 300.0,
+    bucket_width: Optional[float] = None,
+) -> DataFrame:
+    """Bounded range join: all (left, right) pairs sharing the `on`
+    keys with `right_ts - left_ts` in the half-open interval
+    `(min_delta, max_delta]` seconds (inner-join semantics). Column
+    names other than the keys must be disjoint — rename beforehand.
+
+    Implementation: both sides bucket time at `bucket_width` (default:
+    the window span); the left side explodes to every bucket its window
+    `(left_ts+min, left_ts+max]` can intersect — ceil(span/width)+1
+    buckets, i.e. 2 at the default width — and the join is an ordinary
+    equi-join on (keys, bucket) + the exact range predicate. Each true
+    pair is produced exactly once (the right row's bucket is unique and
+    the left's candidate bucket list is distinct).
+    """
+    if max_delta <= min_delta:
+        raise ValueError("max_delta must exceed min_delta")
+    keys = _keys(on)
+    w_us = int(round((bucket_width or (max_delta - min_delta)) * 1_000_000))
+    min_us = int(round(min_delta * 1_000_000))
+    max_us = int(round(max_delta * 1_000_000))
+
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+    lo_bucket = F.floor((lus + F.lit(min_us + 1)) / F.lit(w_us))
+    hi_bucket = F.floor((lus + F.lit(max_us)) / F.lit(w_us))
+    lt = left.withColumn(
+        _BUCKET, F.explode(F.sequence(lo_bucket, hi_bucket))
+    )
+    rt = right.withColumn(_BUCKET, F.floor(rus / F.lit(w_us)))
+    delta = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    return (
+        lt.join(rt, keys + [_BUCKET])
+        .filter((delta > min_us) & (delta <= max_us))
+        .drop(_BUCKET)
+    )

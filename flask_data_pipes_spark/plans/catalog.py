@@ -366,6 +366,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Import registers the extension-operator entries too.
     from . import catalog_etl  # noqa: F401
     from . import catalog_llm  # noqa: F401
+    from . import catalog_temporal  # noqa: F401
 
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
@@ -374,6 +375,7 @@ def oracle_sql() -> Dict[str, str]:
     """Driver contract: name → DuckDB oracle SQL (absent → rows-only)."""
     from . import catalog_etl  # noqa: F401
     from . import catalog_llm  # noqa: F401
+    from . import catalog_temporal  # noqa: F401
 
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle

@@ -1,0 +1,111 @@
+"""Temporal-join catalog entries (Spark-native superset, SURVEY.md
+§2.8): as-of join and bounded range join over the events table, each
+oracle-checked against DuckDB (ASOF JOIN / inequality join).
+
+Both Spark plans avoid the naive inequality-join shape: `q_asof_join`
+is one shuffle per side + a partition-local sort (merge-join cost);
+`q_range_join` is an equi-join on (user, time-bucket) whose candidate
+count is linear in data + true matches. See operators/temporal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join
+from .catalog import load, register
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS view_ts,
+               value AS view_value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts,
+           epoch_us(p.ts) - epoch_us(v.view_ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent view at-or-before the
+    purchase (backward inclusive as-of), left-outer. Timestamps are
+    microsecond-unique in the testdata, so the match is deterministic.
+
+    Scale: union-tag + running window — one shuffle on user_id, no
+    range fan-out (operators/temporal.py design notes).
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts"
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
+    return out.select(
+        "event_id", "user_id", "ts", "view_id", "view_ts", gap.alias("gap_us")
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+        SELECT event_id AS error_id, user_id, ts::TIMESTAMP AS error_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.click_id, e.error_id, c.user_id,
+           epoch_us(e.error_ts) - epoch_us(c.click_ts) AS gap_us
+    FROM c JOIN e
+      ON c.user_id = e.user_id
+     AND e.error_ts > c.click_ts
+     AND epoch_us(e.error_ts) - epoch_us(c.click_ts) <= 300000000
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, error) pair by the same user where the error
+    follows the click within 5 minutes — the event-correlation range
+    join, bucketed so it plans as an equi-join (no inequality-join
+    cartesian blow-up).
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    out = range_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="error_ts",
+        min_delta=0.0,
+        max_delta=300.0,
+    )
+    gap = F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))
+    return out.select("click_id", "error_id", "user_id", gap.alias("gap_us"))

@@ -159,24 +159,36 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
     `<id>_a`, `<id>_b`.
 
-    Shape: groupBy(band_key) → sorted id set → enumerate in-bucket pairs
-    → distinct. One pass over the signature subtree (a self-JOIN would
-    evaluate the un-cached MinHash computation once per side) and one
-    shuffle on band_key; pair fan-out is Σ bucket²/2, identical to the
-    join's output, and the final distinct re-shuffles on the pair so
-    skewed buckets don't serialize downstream work.
+    Shape: groupBy(band_key) → sorted id set → posexplode to (bucket,
+    anchor-index, anchor-id) rows → round-robin repartition → each
+    anchor expands to its pairs via slice+explode → distinct. One pass
+    over the signature subtree (a self-JOIN would evaluate the un-cached
+    MinHash computation once per side) and one shuffle on band_key.
+
+    The anchor split is the skew defense: a bucket of k ids becomes k
+    independently-scheduled rows each emitting ≤k pairs, so a hot
+    bucket spreads across the cluster instead of materializing one
+    k²/2-element array in a single task (which AQE cannot split — it is
+    one row). Per-row memory is O(k); buckets big enough for that to
+    hurt are "stop-shingle" buckets that should be capped upstream.
     """
-    # explode_outer: a plain explode would infer `size(pairs) > 0` and
-    # evaluate the pair-enumeration expression twice per bucket (filter
-    # + generate); ≥2 ids always yield ≥1 pair, so outer adds no rows.
-    return (
+    n_out = bands.sparkSession.sparkContext.defaultParallelism * 2
+    anchors = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") >= 2)
-        .select(F.explode_outer(_pair_structs(F.col("__ids"))).alias("__p"))
-        .select(
-            F.col("__p.a").alias(f"{id_col}_a"),
-            F.col("__p.b").alias(f"{id_col}_b"),
+        .select("__ids", F.posexplode("__ids").alias("__i", "__a"))
+        .filter(F.col("__i") < F.size("__ids") - 1)  # last anchor: no pairs
+        .repartition(n_out)
+    )
+    return (
+        anchors.select(
+            F.col("__a").alias(f"{id_col}_a"),
+            F.explode(
+                F.slice(
+                    "__ids", F.col("__i") + F.lit(2), F.size("__ids")
+                )
+            ).alias(f"{id_col}_b"),
         )
         .distinct()
     )

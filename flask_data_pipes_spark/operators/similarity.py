@@ -37,12 +37,23 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (brute force baseline).
     `queries` must be small (it broadcasts). Rounding + id tie-break
-    make the ranking fully deterministic."""
+    make the ranking fully deterministic.
+
+    Per-pair cost is ONE dot product: 1/norm is precomputed per row in
+    projections *under* the join (a materialization barrier Catalyst
+    cannot collapse through), so cosine = dot·inv_q·inv_c — vs
+    recomputing both norms for every (query, candidate) pair."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
-    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+    )
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -82,7 +93,9 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
     ).withColumn("__features", array_to_vector(F.col("__v")))
     model = KMeans(
         k=n_cells,
@@ -91,13 +104,17 @@ def ivf_topk(
         featuresCol="__features",
         predictionCol="__cell",
     ).fit(feats)
-    assigned = model.transform(feats).select(id_col, "__v", "__cell")
+    assigned = model.transform(feats).select(id_col, "__v", "__inv", "__cell")
 
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     cent_df = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "__cell int, __cv array<double>"
     )
-    q = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("__qv"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
+    )
     wq = Window.partitionBy(query_id_col).orderBy(
         F.asc("__cdist"), F.asc("__cell")
     )
@@ -106,9 +123,9 @@ def ivf_topk(
         .withColumn("__cdist", V.l2_distance(F.col("__qv"), F.col("__cv")))
         .withColumn("__crnk", F.row_number().over(wq))
         .filter(F.col("__crnk") <= n_probe)
-        .select(query_id_col, "__qv", "__cell")
+        .select(query_id_col, "__qv", "__qinv", "__cell")
     )
-    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -161,15 +178,19 @@ def lsh_topk(
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col),
-        F.col(vec_col).alias("__v"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("__qv"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
     )
-    sim = V.cosine_similarity(F.col("__qv"), F.col("__v"))
+    # 1/norm precomputed per row under the join barrier: per-candidate
+    # cost is one dot product, not dot + two norms.
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))

@@ -414,12 +414,15 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_cosine_topk",
     oracle="""
-    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
-         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+               FROM embeddings),
          scored AS (
            SELECT q.qid, c.vec_id,
-                  list_dot_product(q.qv, c.v) /
-                  (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+                  list_dot_product(q.qv, c.v) * q.qinv * c.inv AS sim
            FROM q, c WHERE q.qid <> c.vec_id
          )
     SELECT qid, vec_id, round(sim, 6) AS sim, rnk FROM (
@@ -526,19 +529,22 @@ def _ddb_lsh_topk_oracle() -> str:
 
     return f"""
     WITH c AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+      FROM embeddings
     ),
     cb AS (
-      SELECT vec_id, v, ({bucket_terms('v')})::BIGINT AS bucket FROM c
+      SELECT vec_id, v, inv, ({bucket_terms('v')})::BIGINT AS bucket FROM c
     ),
     qb AS (
-      SELECT vec_id AS qid, qv, ({bucket_terms('qv')})::BIGINT AS qbucket
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8)
+      SELECT vec_id AS qid, qv, qinv, ({bucket_terms('qv')})::BIGINT AS qbucket
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS qv,
+                   1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+            FROM embeddings WHERE vec_id < 8)
     ),
     scored AS (
       SELECT qb.qid, cb.vec_id,
-             round(list_dot_product(qb.qv, cb.v) /
-                   (sqrt(list_dot_product(qb.qv, qb.qv)) * sqrt(list_dot_product(cb.v, cb.v))), 6) AS sim
+             round(list_dot_product(qb.qv, cb.v) * qb.qinv * cb.inv, 6) AS sim
       FROM qb JOIN cb ON qb.qbucket = cb.bucket AND qb.qid <> cb.vec_id
     )
     SELECT qid, vec_id, sim, rnk FROM (

@@ -34,6 +34,9 @@ HEADLINE = [
     "llm_fingerprint",
     "llm_lsh_topk",
     "q_salted_agg",
+    "q_asof_join",
+    "q_range_join",
+    "q_percentiles",
 ]
 
 

@@ -533,3 +533,52 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__sum").cast("double").alias("total_value"),
         F.max("__max").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.50) AS p50_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           quantile_cont(l_quantity, 0.50) AS p50_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered statistics per group (linear-interpolated quartiles
+    — Spark `percentile` ≡ DuckDB `quantile_cont`, bit-identical on
+    doubles).
+
+    Scale: exact percentile is an ObjectHashAggregate holding a
+    value-count map per group — fine for bounded value domains; for
+    unbounded high-cardinality measures at 100 TB switch to
+    `approx_percentile(col, p, accuracy)` (t-digest-style KLL sketch,
+    constant memory, mergeable map-side) and accept the documented
+    error bound. Exact form kept here because the gate hash-compares
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    # ONE percentile buffer for all three price quartiles (the array
+    # form) — three scalar calls would each build their own value-count
+    # map over the same column.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+            ).alias("__p"),
+            F.expr("percentile(l_quantity, 0.50D)").alias("p50_qty"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("__p")[0].alias("p25_price"),
+            F.col("__p")[1].alias("p50_price"),
+            F.col("__p")[2].alias("p75_price"),
+            "p50_qty",
+        )
+    )

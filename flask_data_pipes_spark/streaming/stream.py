@@ -34,6 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "read_jsonl_stream",
     "hourly_rollup",
+    "dedup_stream",
     "sessionize_stream",
     "sessionize_batch",
     "foreach_batch_stage",
@@ -86,6 +87,33 @@ def hourly_rollup(
             "n_events",
             "total_value",
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Optional[list] = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key emits, later
+    copies arriving within the watermark horizon are dropped
+    (`dropDuplicatesWithinWatermark` — the streaming twin of
+    `exact_dedup`/`dropDuplicates` for batch).
+
+    Contract (pinned by tests/test_streaming.py): dedup state for a key
+    is kept at least `watermark` past the key's last-seen event time and
+    evicted some time after — so a duplicate within the horizon is
+    ALWAYS dropped, while a re-occurrence long after may re-emit (the
+    deliberate trade that keeps state bounded at 100 TB/day; use batch
+    exact_dedup downstream for total dedup).
+
+    Scale: state partitions by key hash; the watermark bounds state to
+    the distinct keys of the horizon, not of the stream's lifetime.
+    """
+    keys = list(keys or ["event_id"])
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
     )
 
 

@@ -184,3 +184,73 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the sealed window emitted exactly once, with only the 2 on-time
     # events; the late 10:15 event neither re-emitted nor resurrected it
     assert len(ten) == 1 and ten[0]["n_events"] == 2, rows
+
+
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup contract: the first occurrence of a key
+    emits; copies arriving in later micro-batches within the watermark
+    horizon are dropped (state survives across batches)."""
+    import time as _time
+
+    from flask_data_pipes_spark.streaming.stream import dedup_stream
+
+    land = tmp_path / "dedup_land"
+    land.mkdir()
+
+    def _evt(i, ts, typ="A", value=1.0):
+        return json.dumps(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": 1,
+                "event_type": typ,
+                "value": value,
+                "props": "{}",
+            }
+        )
+
+    # batch 1: ids 1, 2 (id 1 twice in the same batch)
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            [
+                _evt(1, "2024-01-01T10:00:00.000000"),
+                _evt(1, "2024-01-01T10:00:05.000000"),
+                _evt(2, "2024-01-01T10:01:00.000000"),
+            ]
+        )
+        + "\n"
+    )
+    _time.sleep(1.1)
+    # batch 2: id 1 again (cross-batch duplicate, within watermark) and
+    # a fresh id 3
+    (land / "b2.jsonl").write_text(
+        "\n".join(
+            [
+                _evt(1, "2024-01-01T10:05:00.000000"),
+                _evt(3, "2024-01-01T10:06:00.000000"),
+            ]
+        )
+        + "\n"
+    )
+
+    events = read_jsonl_stream(
+        spark, str(land), EVENTS_SCHEMA, max_files_per_trigger=1
+    )
+    deduped = dedup_stream(events, keys=["event_id"], watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id, ts from dedup_out").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["event_id"], []).append(str(r["ts"]))
+    # each id exactly once, and id 1 kept its FIRST arrival
+    assert sorted(by_id) == [1, 2, 3], rows
+    assert all(len(v) == 1 for v in by_id.values()), rows
+    assert by_id[1] == ["2024-01-01 10:00:00"], rows

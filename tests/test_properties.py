@@ -138,3 +138,109 @@ def test_quality_score_bounded(spark, vals):
         if v is None:
             continue  # null text → null score is acceptable
         assert g is not None and -1e-9 <= g <= 1.0 + 1e-9 and not math.isnan(g)
+
+
+# --- temporal join properties ---------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=10_000), # ts seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_asof_events, _asof_events)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_join ≡ pandas merge_asof(direction='backward') on arbitrary
+    keyed event sets (right timestamps deduped per key — the documented
+    tie contract)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flask_data_pipes_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    # dedup right per (key, ts): ties there are out-of-contract
+    rseen, runiq = set(), []
+    for k, s in rights:
+        if (k, s) not in rseen:
+            rseen.add((k, s))
+            runiq.append((k, s))
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), float(i)) for i, (k, s) in enumerate(runiq)],
+        "k long, rts timestamp, payload double",
+    )
+    got = {
+        r["lid"]: (r["rts"], r["payload"])
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, ts(s), float(i)) for i, (k, s) in enumerate(runiq)],
+        columns=["k", "rts", "payload"],
+    ).sort_values("rts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k", direction="backward"
+    )
+    for _, row in merged.iterrows():
+        want_rts = None if pd.isna(row["rts"]) else row["rts"].to_pydatetime()
+        want_pay = None if pd.isna(row["payload"]) else row["payload"]
+        assert got[row["lid"]] == (want_rts, want_pay), (row["lid"], got[row["lid"]])
+
+
+@given(_asof_events, _asof_events, st.integers(min_value=1, max_value=600))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_matches_nested_loop(spark, lefts, rights, max_d):
+    """range_join ≡ the O(n²) reference predicate on arbitrary inputs,
+    for any bucket width (pair set is width-invariant)."""
+    import datetime as dt
+
+    from flask_data_pipes_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            min_delta=0.0, max_delta=float(max_d),
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lsec) in enumerate(lefts)
+        for j, (rk, rsec) in enumerate(rights)
+        if lk == rk and 0 < rsec - lsec <= max_d
+    }
+    assert got == want

@@ -458,13 +458,19 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) >= 0.9
+    WHERE round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) >= 0.35
     """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (in
     production: LSH bucket or IVF cell) — equi-join on the block key,
-    no crossJoin."""
+    no crossJoin.
+
+    Threshold 0.35 (not the production-typical 0.9): the synthetic
+    embeddings are near-orthogonal (max within-label cosine ≈ 0.47 at
+    sf0.01), so a realistic threshold would always return an EMPTY set
+    and the oracle gate would pass vacuously. 0.35 keeps a non-trivial
+    positive set to hash-compare."""
     from ..operators import dedup
 
     return dedup.embedding_neardup_pairs(
@@ -472,7 +478,7 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col=F.col("label"),
         vec_col="embedding",
         id_col="vec_id",
-        threshold=0.9,
+        threshold=0.35,
     ).select(
         F.col("vec_id_a").alias("vec_a"),
         F.col("vec_id_b").alias("vec_b"),

@@ -244,6 +244,67 @@ def simhash(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ `max_hamming`,
+    found via band bucketing (Hamming-space LSH): the `bits`-bit
+    simhash splits into `n_bands` equal bands; any pair within distance
+    `n_bands - 1` leaves at least one band untouched (pigeonhole), so
+    the band-equality buckets have PERFECT recall for
+    max_hamming ≤ n_bands - 1 — the exact xor/bit_count filter then
+    removes false positives. Requires max_hamming < n_bands.
+
+    Output: (<id>_a, <id>_b, hamming).
+
+    Scale: same shape as MinHash-LSH pairing — one shuffle on the band
+    bucket, anchor-split enumeration (skew-proof), then the tiny
+    (id, simhash) table re-attaches via two equi-joins; never a
+    crossJoin, and the simhash subtree is computed once.
+    """
+    if not (0 <= max_hamming < n_bands):
+        raise ValueError("band recall guarantee needs max_hamming < n_bands")
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into bands")
+    w = bits // n_bands
+    sh = simhash(df, text_col, id_col, bits=bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                # distinct key space per band index: key = j·2^bits + band value
+                (
+                    F.lit(j << bits)
+                    + F.shiftrightunsigned(F.col("simhash"), j * w).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                ).alias("band_key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sh.select(
+        id_col, F.explode(band_structs).alias("__b")
+    ).select(id_col, F.col("__b.band_key").alias("band_key"))
+    pairs = candidate_pairs(bands, id_col)
+    vals = sh.select(
+        F.col(id_col).alias("__sid"), F.col("simhash").alias("__sh")
+    )
+    hamming = F.bit_count(
+        F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+    ).cast("int")
+    return (
+        pairs.join(vals.alias("a"), F.col(f"{id_col}_a") == F.col("a.__sid"))
+        .join(vals.alias("b"), F.col(f"{id_col}_b") == F.col("b.__sid"))
+        .select(f"{id_col}_a", f"{id_col}_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     block_col: Column,

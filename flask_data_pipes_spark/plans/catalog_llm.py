@@ -365,6 +365,64 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMPAIR_BITS = 32  # wider than llm_simhash's 16: 4 bands of 8 bits
+_SIMPAIR_MAXH = 3
+
+
+def _ddb_simhash_pairs_oracle() -> str:
+    """O(n²) reference: simhash both docs, keep pairs with Hamming ≤ 3.
+    The Spark side finds the same set via band bucketing (perfect recall
+    for d ≤ n_bands - 1), so the result sets must be identical."""
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) >= n THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(_SIMPAIR_BITS)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, x -> {_ddb_md5_long('x', 7)}) AS hs
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, ({terms})::BIGINT AS simhash FROM h WHERE n > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMPAIR_MAXH}
+    """
+
+
+@register("llm_simhash_pairs", oracle=_ddb_simhash_pairs_oracle())
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space near-dup pairs: 32-bit simhash, banded 4×8 bits —
+    any pair within Hamming distance 3 shares ≥1 untouched band
+    (pigeonhole ⇒ perfect recall), exact xor/bit_count filter removes
+    band false-positives. The oracle is the O(n²) definition; the Spark
+    plan is the linear LSH shape (band equi-join + anchor-split
+    enumeration, simhash computed once)."""
+    from ..operators import dedup
+
+    return dedup.simhash_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        bits=_SIMPAIR_BITS,
+        n_bands=4,
+        max_hamming=_SIMPAIR_MAXH,
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
 @register(
     "llm_ngram_jaccard_pairs",
     oracle=r"""

@@ -183,6 +183,71 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_corpus_clean",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
+             + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
+             + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+             + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))
+               AS quality,
+             {_ddb_hits(_SW['de'])} AS h_de,
+             {_ddb_hits(_SW['en'])} AS h_en,
+             {_ddb_hits(_SW['es'])} AS h_es,
+             {_ddb_hits(_SW['fr'])} AS h_fr,
+             {_ddb_md5_long(_DDB_CANON)} AS fingerprint
+      FROM t
+    ),
+    kept AS (
+      SELECT * FROM s
+      WHERE quality >= 0.6
+        AND greatest(h_de, h_en, h_es, h_fr) > 0
+        AND h_en = greatest(h_de, h_en, h_es, h_fr)
+        AND h_de <> greatest(h_de, h_en, h_es, h_fr)
+    )
+    SELECT fingerprint, MIN(doc_id) AS doc_id,
+           arg_min(quality, doc_id) AS quality, COUNT(*) AS n_copies
+    FROM kept GROUP BY fingerprint
+    """,
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline as ONE Catalyst
+    plan: language-ID filter (detected 'en') → quality filter
+    (score ≥ 0.6) → exact near-dup collapse (min doc_id per canonical
+    fingerprint, quality carried via min_by). What a reference user
+    chains by hand, fused here: the scan computes langid + quality +
+    fingerprint in a single projection, filters cut before the only
+    shuffle (on the uniform 60-bit fingerprint), partial agg collapses
+    copies map-side.
+
+    Scale: filter-before-shuffle means the shuffle carries only the
+    clean subset; no skew (uniform hash key); whole thing is one stage
+    boundary."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        T.detect_language("text").alias("detected"),
+        T.quality_score("text").alias("quality"),
+        T.doc_fingerprint("text").alias("fingerprint"),
+    )
+    kept = scored.filter(
+        (F.col("detected") == "en") & (F.col("quality") >= 0.6)
+    )
+    return kept.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.expr("min_by(quality, doc_id)").alias("quality"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
     "llm_fingerprint",
     oracle=rf"""
     WITH t AS (

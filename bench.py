@@ -37,6 +37,7 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_percentiles",
+    "llm_corpus_clean",
 ]
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "payload_meta",
     "attach_payload_meta",
+    "media_header",
     "decode_images",
     "fake_image_decoder",
     "extract_features",
@@ -49,6 +50,65 @@ def payload_meta(payload: Column) -> Column:
 
 def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("payload_meta", payload_meta(F.col(payload_col)))
+
+
+def media_header(payload: Column) -> Column:
+    """Parse real container headers — PNG (IHDR dims), GIF (logical
+    screen LE dims), WAV (fmt-chunk channels + sample rate) — into
+    `struct(kind, width, height, sample_rate, n_channels)`.
+
+    Entirely JVM-side (`substring`/`hex`/`conv` on the binary column;
+    no decode library, no Python): header fields at fixed offsets don't
+    need a codec, so metadata extraction at 100 TB stays in codegen and
+    only FULL decode (pixels/samples) pays the Arrow→Pandas path.
+    Unknown/truncated payloads yield kind='unknown' / null fields.
+    """
+
+    def be(off: int, n: int) -> Column:  # big-endian uint at byte offset
+        return F.conv(F.hex(F.substring(payload, off, n)), 16, 10).cast("long")
+
+    def byte(off: int) -> Column:
+        return be(off, 1)
+
+    is_png = F.substring(payload, 1, 8) == F.unhex(F.lit("89504E470D0A1A0A"))
+    is_gif = F.substring(payload, 1, 4) == F.unhex(F.lit("47494638"))
+    is_wav = (F.substring(payload, 1, 4) == F.unhex(F.lit("52494646"))) & (
+        F.substring(payload, 9, 4) == F.unhex(F.lit("57415645"))
+    )
+    long_null = F.lit(None).cast("long")
+    width = (
+        F.when(is_png, be(17, 4))
+        .when(is_gif, byte(7) + F.lit(256) * byte(8))
+        .otherwise(long_null)
+    )
+    height = (
+        F.when(is_png, be(21, 4))
+        .when(is_gif, byte(9) + F.lit(256) * byte(10))
+        .otherwise(long_null)
+    )
+    sample_rate = F.when(
+        is_wav,
+        byte(25)
+        + F.lit(256) * byte(26)
+        + F.lit(65536) * byte(27)
+        + F.lit(16777216) * byte(28),
+    ).otherwise(long_null)
+    n_channels = F.when(is_wav, byte(23) + F.lit(256) * byte(24)).otherwise(
+        long_null
+    )
+    kind = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_wav, F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    return F.struct(
+        kind.alias("kind"),
+        width.alias("width"),
+        height.alias("height"),
+        sample_rate.alias("sample_rate"),
+        n_channels.alias("n_channels"),
+    )
 
 
 # ---- Pandas-batched decode plumbing ---------------------------------------

@@ -637,6 +637,137 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex_byte_sql(v: str) -> str:
+    return f"upper(lpad(hex(({v})::BIGINT), 2, '0'))"
+
+
+@register(
+    "llm_media_header",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             16 + doc_id % 1000 AS w,
+             16 + (doc_id * 7) % 1000 AS h,
+             8000 + (doc_id % 100) * 50 AS sr,
+             1 + doc_id % 2 AS ch
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452'
+                    || upper(lpad(hex(w), 8, '0')) || upper(lpad(hex(h), 8, '0'))
+               WHEN 1 THEN '474946383961'
+                    || {_hex_byte_sql('w % 256')} || {_hex_byte_sql('w // 256')}
+                    || {_hex_byte_sql('h % 256')} || {_hex_byte_sql('h // 256')}
+               WHEN 2 THEN '52494646' || '00000000' || '57415645'
+                    || '666D7420' || '10000000' || '0100'
+                    || {_hex_byte_sql('ch % 256')} || {_hex_byte_sql('ch // 256')}
+                    || {_hex_byte_sql('sr % 256')} || {_hex_byte_sql('(sr // 256) % 256')}
+                    || {_hex_byte_sql('(sr // 65536) % 256')} || {_hex_byte_sql('sr // 16777216')}
+               ELSE '4E4F5045'
+             END AS hx
+      FROM d
+    ),
+    parsed AS (
+      SELECT doc_id, upper(hex(unhex(hx))) AS h FROM built
+    )
+    SELECT doc_id,
+           CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                WHEN substring(h, 1, 8) = '47494638' THEN 'gif'
+                WHEN substring(h, 1, 8) = '52494646'
+                     AND substring(h, 17, 8) = '57415645' THEN 'wav'
+                ELSE 'unknown' END AS kind,
+           CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A'
+                  THEN ('0x' || substring(h, 33, 8))::BIGINT
+                WHEN substring(h, 1, 8) = '47494638'
+                  THEN ('0x' || substring(h, 13, 2))::BIGINT
+                       + 256 * ('0x' || substring(h, 15, 2))::BIGINT
+                END AS width,
+           CASE WHEN substring(h, 1, 16) = '89504E470D0A1A0A'
+                  THEN ('0x' || substring(h, 41, 8))::BIGINT
+                WHEN substring(h, 1, 8) = '47494638'
+                  THEN ('0x' || substring(h, 17, 2))::BIGINT
+                       + 256 * ('0x' || substring(h, 19, 2))::BIGINT
+                END AS height,
+           CASE WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645'
+                  THEN ('0x' || substring(h, 49, 2))::BIGINT
+                       + 256 * ('0x' || substring(h, 51, 2))::BIGINT
+                       + 65536 * ('0x' || substring(h, 53, 2))::BIGINT
+                       + 16777216 * ('0x' || substring(h, 55, 2))::BIGINT
+                END AS sample_rate,
+           CASE WHEN substring(h, 1, 8) = '52494646' AND substring(h, 17, 8) = '57415645'
+                  THEN ('0x' || substring(h, 45, 2))::BIGINT
+                       + 256 * ('0x' || substring(h, 47, 2))::BIGINT
+                END AS n_channels
+    FROM parsed
+    """,
+)
+def llm_media_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header metadata extraction on binary payloads — REAL
+    parsing (PNG IHDR big-endian dims, GIF little-endian screen dims,
+    WAV fmt-chunk channels/sample-rate), not a stub: header fields sit
+    at fixed offsets, so `operators.multimodal.media_header` stays
+    entirely in JVM codegen (substring/hex/conv on the binary column).
+
+    Payloads are synthesized per doc (media libs absent, testdata has
+    no binary column): valid PNG/GIF/WAV headers carrying
+    doc_id-derived dimensions, plus an 'unknown' arm — the oracle
+    builds byte-identical blobs in SQL and re-parses them, so the gate
+    checks the full build→parse round trip cross-engine.
+
+    At 100 TB this is the cheap path that lets a pipeline route/filter
+    media (by kind, resolution, sample rate) without ever paying a
+    Python decode."""
+    from ..operators.multimodal import media_header
+
+    d = load(spark, sf_dir, "documents")
+
+    def hex_byte(v):
+        return F.upper(F.lpad(F.hex(v.cast("long")), 2, "0"))
+
+    w = F.lit(16) + F.col("doc_id") % 1000
+    h = F.lit(16) + (F.col("doc_id") * 7) % 1000
+    sr = F.lit(8000) + (F.col("doc_id") % 100) * 50
+    ch = F.lit(1) + F.col("doc_id") % 2
+    png = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D49484452"),
+        F.upper(F.lpad(F.hex(w.cast("long")), 8, "0")),
+        F.upper(F.lpad(F.hex(h.cast("long")), 8, "0")),
+    )
+    gif = F.concat(
+        F.lit("474946383961"),
+        hex_byte(w % 256),
+        hex_byte(w.cast("long") / 256),
+        hex_byte(h % 256),
+        hex_byte(h.cast("long") / 256),
+    )
+    wav = F.concat(
+        F.lit("52494646" + "00000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+        hex_byte(ch % 256),
+        hex_byte(ch.cast("long") / 256),
+        hex_byte(sr % 256),
+        hex_byte((sr.cast("long") / 256) % 256),
+        hex_byte((sr.cast("long") / 65536) % 256),
+        hex_byte(sr.cast("long") / 16777216),
+    )
+    hx = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, gif)
+        .when(F.col("doc_id") % 4 == 2, wav)
+        .otherwise(F.lit("4E4F5045"))
+    )
+    payload = F.unhex(hx)
+    return d.select("doc_id", media_header(payload).alias("__m")).select(
+        "doc_id",
+        F.col("__m.kind").alias("kind"),
+        F.col("__m.width").alias("width"),
+        F.col("__m.height").alias("height"),
+        F.col("__m.sample_rate").alias("sample_rate"),
+        F.col("__m.n_channels").alias("n_channels"),
+    )
+
+
 # --- approximate similarity (scale path) -----------------------------------
 
 

@@ -172,3 +172,30 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert out[1] != out[3]  # order matters, unlike doc_fingerprint
     assert out[4] is not None  # single token → its own hash
     assert out[5] is None  # blank → no tokens → NULL
+
+
+def test_media_header_parses_and_rejects(spark):
+    """PNG/GIF/WAV headers parse JVM-side; truncated, alien, and null
+    payloads yield kind='unknown' (or null row) without erroring."""
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.multimodal import media_header
+
+    png = "89504E470D0A1A0A" + "0000000D49484452" + "00000280" + "000001E0"
+    gif = "474946383961" + "2001" + "E001"  # 288 x 480 little-endian
+    wav = ("52494646" + "00000000" + "57415645" + "666D7420" + "10000000"
+           + "0100" + "0200" + "80BB0000")  # 2 ch, 48000 Hz
+    rows = [(1, png), (2, gif), (3, wav), (4, "DEADBEEF"), (5, "8950"), (6, None)]
+    df = spark.createDataFrame(rows, "id long, hx string").select(
+        "id", media_header(F.unhex("hx")).alias("m")
+    )
+    got = {r["id"]: r["m"].asDict() for r in df.collect()}
+    assert got[1] == {"kind": "png", "width": 640, "height": 480,
+                      "sample_rate": None, "n_channels": None}
+    assert got[2] == {"kind": "gif", "width": 288, "height": 480,
+                      "sample_rate": None, "n_channels": None}
+    assert got[3] == {"kind": "wav", "width": None, "height": None,
+                      "sample_rate": 48000, "n_channels": 2}
+    assert got[4]["kind"] == "unknown" and got[4]["width"] is None
+    assert got[5]["kind"] == "unknown"  # truncated PNG signature
+    assert got[6]["kind"] == "unknown"  # null payload

@@ -167,11 +167,22 @@ def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+_ASCII_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+# the regex class [!-/:-@\[-`{-~] spelled out — translate() is a per-char
+# table lookup, ~an order of magnitude cheaper than a regex NFA scan,
+# and removes exactly the same characters (oracle twins keep the regex).
+_ASCII_PUNCT = "".join(
+    chr(i)
+    for r in ((33, 48), (58, 65), (91, 97), (123, 127))
+    for i in range(*r)
+)
+
+
 def alpha_ratio(c: ColumnOrName) -> Column:
     """Fraction of characters that are ASCII letters."""
     c = _col(c)
     n = F.length(c)
-    letters = n - F.length(F.regexp_replace(c, r"[A-Za-z]", ""))
+    letters = n - F.length(F.translate(c, _ASCII_LETTERS, ""))
     return F.when(n > 0, letters / n).otherwise(F.lit(0.0))
 
 
@@ -179,7 +190,7 @@ def punct_ratio(c: ColumnOrName) -> Column:
     """Fraction of characters that are punctuation."""
     c = _col(c)
     n = F.length(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    punct = F.length(c) - F.length(F.translate(c, _ASCII_PUNCT, ""))
     return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 

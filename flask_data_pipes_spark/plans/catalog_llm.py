@@ -230,7 +230,12 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: filter-before-shuffle means the shuffle carries only the
     clean subset; no skew (uniform hash key); whole thing is one stage
     boundary."""
-    d = load(spark, sf_dir, "documents")
+    from ..operators.dedup import spread_for_cpu
+
+    # the scan is a single split locally (one row group): spread before
+    # the heavy langid/quality/fingerprint projection or it runs on one
+    # core (no-op when the scan already has enough splits).
+    d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
         T.detect_language("text").alias("detected"),

@@ -642,6 +642,57 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_split_assign",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             {_ddb_md5_long("doc_id::VARCHAR", 11)} % 100 AS bucket
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM a GROUP BY split
+    """,
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by hashing
+    the document id into 100 buckets — the reproducible-sampling
+    primitive for training-data pipelines. Unlike `df.sample` (RNG,
+    partitioning-dependent, irreproducible across engines/runs), a
+    hash split is stable under re-runs, repartitioning, and engine
+    changes, and any subset can be recomputed independently.
+
+    Scale: pure map + one shuffle on a 3-value key with partial agg;
+    assignment itself is embarrassingly parallel."""
+    d = load(spark, sf_dir, "documents")
+    bucket = T.md5_long(F.col("doc_id").cast("string"), 11) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 def _hex_byte_sql(v: str) -> str:
     return f"upper(lpad(hex(({v})::BIGINT), 2, '0'))"
 

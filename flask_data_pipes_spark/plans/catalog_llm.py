@@ -693,6 +693,195 @@ def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_repetition",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      FROM documents
+    ),
+    lstats AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) = 0 THEN 0.0::DOUBLE
+                  ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) END AS dup_line_frac,
+             CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) = 0 THEN 0.0::DOUBLE
+                  ELSE (list_sum(list_transform(ls, l -> length(l)))
+                        - list_sum(list_transform(list_distinct(ls), l -> length(l))))::DOUBLE
+                       / list_sum(list_transform(ls, l -> length(l))) END AS dup_line_char_frac
+      FROM lines
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    tu AS (
+      SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_unigram_frac FROM tc GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+           coalesce(tu.top_unigram_frac, 0.0::DOUBLE) AS top_unigram_frac
+    FROM lstats l LEFT JOIN tu ON l.doc_id = tu.doc_id
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-line fraction, duplicate-line *character* fraction, and
+    the fraction of tokens taken by the single most frequent token.
+    High values flag boilerplate / templated / spammy documents that
+    repetition filters remove before training.
+
+    Scale: line stats are a pure per-row map (higher-order array
+    functions, zero shuffle). The top-unigram stat is a word-count
+    shape — shuffle on (doc_id, token) with map-side partial
+    aggregation, then a doc_id-partitioned agg; both keys are high-
+    cardinality and unskewed, and the final join is doc_id-to-doc_id
+    (co-partitioned by the same key)."""
+    d = load(spark, sf_dir, "documents")
+    ls = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    line_chars = F.aggregate(
+        F.transform(F.col("ls"), F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist_chars = F.aggregate(
+        F.transform(F.array_distinct(F.col("ls")), F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lstats = d.select("doc_id", ls.alias("ls")).select(
+        "doc_id",
+        F.when(F.size("ls") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct("ls")).cast("double") / F.size("ls")
+        )
+        .alias("dup_line_frac"),
+        F.when(line_chars == 0, F.lit(0.0))
+        .otherwise((line_chars - dist_chars).cast("double") / line_chars)
+        .alias("dup_line_char_frac"),
+    )
+    tc = (
+        d.where(F.trim("text") != "")
+        .select("doc_id", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tu = tc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_unigram_frac")
+    )
+    return lstats.join(tu, "doc_id", "left").select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_unigram_frac", F.lit(0.0)).alias("top_unigram_frac"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_IDNUM = r"\b\d{9,}\b"
+
+
+@register(
+    "llm_pii_redact",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id::VARCHAR || '@example.com from 10.'
+                               || (doc_id % 256)::VARCHAR || '.0.1 ref 123456789'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+             regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_IPV4}', '<IP>', 'g') AS red1
+      FROM aug
+    ),
+    rr AS (
+      SELECT doc_id, n_emails, n_ipv4,
+             len(regexp_extract_all(red1, '{_PII_IDNUM}')) AS n_idnum,
+             regexp_replace(red1, '{_PII_IDNUM}', '<ID>', 'g') AS red
+      FROM r
+    )
+    SELECT doc_id, n_emails, n_ipv4, n_idnum,
+           {_ddb_md5_long("red", 0)} AS redacted_fp
+    FROM rr
+    WHERE n_emails + n_ipv4 + n_idnum > 0
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count emails / IPv4 addresses / long
+    id-like digit runs per document, rewrite them to typed placeholder
+    tokens, and fingerprint the redacted text (the hash proves the
+    whole redacted string matches the oracle byte-for-byte without
+    shipping it). Returns only documents that contained PII.
+
+    Patterns are RE2-safe (no lookaround / backrefs) so Java regex and
+    DuckDB agree exactly; redaction passes apply in a fixed order
+    (email -> ip -> idnum) since later patterns could match inside
+    earlier spans.
+
+    Scale: pure narrow map over the corpus, zero shuffle; regex work
+    stays JVM-side in whole-stage codegen.
+
+    The synthetic corpus contains no digits or '@' at all, so the
+    query deterministically injects PII spans into every 7th document
+    first (identically in the oracle) — otherwise the gate would be
+    vacuously green on an empty result."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1 ref 123456789"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red1 = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_IPV4,
+        "<IP>",
+    )
+    step1 = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0))).alias("n_ipv4"),
+        red1.alias("red1"),
+    )
+    step2 = step1.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        F.size(F.regexp_extract_all("red1", F.lit(_PII_IDNUM), F.lit(0))).alias("n_idnum"),
+        F.regexp_replace(F.col("red1"), _PII_IDNUM, "<ID>").alias("red"),
+    )
+    return step2.where(
+        F.col("n_emails") + F.col("n_ipv4") + F.col("n_idnum") > 0
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_idnum",
+        T.md5_long("red", 0).alias("redacted_fp"),
+    )
+
+
 def _hex_byte_sql(v: str) -> str:
     return f"upper(lpad(hex(({v})::BIGINT), 2, '0'))"
 

@@ -882,6 +882,198 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_K = 4  # word n-gram size (real pipelines use 8-13; the synthetic
+# corpus is near-random text, so k=4 keeps the overlap set non-empty)
+_DDB_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_DDB_DECON_GRAM = _ddb_md5_long56(
+    f"array_to_string(({_DDB_TOKS})[i:i+{_DECON_K - 1}], ' ')", 3
+)
+
+
+@register(
+    "llm_decontaminate",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+             {_ddb_md5_long("doc_id::VARCHAR", 11)} % 100 AS bucket,
+             list_distinct(list_transform(
+               range(1, greatest(len({_DDB_TOKS}) - {_DECON_K - 1}, 0) + 1),
+               i -> {_DDB_DECON_GRAM}
+             )) AS grams
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tg AS (
+      SELECT doc_id AS test_doc, unnest(grams) AS g FROM s WHERE bucket >= 90
+    ),
+    rg AS (
+      SELECT doc_id AS train_doc, unnest(grams) AS g FROM s WHERE bucket < 80
+    )
+    SELECT rg.train_doc AS doc_id,
+           COUNT(DISTINCT rg.g) AS n_shared_grams,
+           COUNT(DISTINCT tg.test_doc) AS n_test_docs
+    FROM rg JOIN tg ON rg.g = tg.g
+    GROUP BY rg.train_doc
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: find training documents that share any
+    word {k}-gram with a test-split document (the standard n-gram-
+    overlap contamination check run before training). Splits come from
+    the same deterministic hash as `llm_split_assign`; n-grams are
+    60-bit-hashed so the join key is a fixed-width integer, not a long
+    string.
+
+    Scale: per-doc shingling is a narrow map; the contamination check
+    is an equi-join on the gram hash between the (small) distinct test
+    gram set and train grams — linear in corpus size, no crossJoin. In
+    production you additionally drop grams whose document frequency
+    exceeds a cap (boilerplate phrases) to bound skew; the synthetic
+    vocab here is tiny so the cap is omitted to keep the oracle exact.
+    """.replace("{k}", str(_DECON_K))
+    d = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    bucket = T.md5_long(F.col("doc_id").cast("string"), 11) % 100
+    grams = F.array_distinct(
+        F.transform(
+            T.word_shingles("text", _DECON_K),
+            lambda s: T.md5_long56(s, 3),
+        )
+    )
+    g = d.select("doc_id", bucket.alias("bucket"), grams.alias("grams"))
+    tg = (
+        g.where(F.col("bucket") >= 90)
+        .select(F.col("doc_id").alias("test_doc"), F.explode("grams").alias("g"))
+    )
+    rg = (
+        g.where(F.col("bucket") < 80)
+        .select(F.col("doc_id").alias("train_doc"), F.explode("grams").alias("g"))
+    )
+    return (
+        rg.join(tg, "g")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+        )
+        .select(
+            F.col("train_doc").alias("doc_id"), "n_shared_grams", "n_test_docs"
+        )
+    )
+
+
+_PACK_GROUPS = 64
+_PACK_BUDGET = 2048
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_ddb_md5_long("doc_id::VARCHAR", 7)} % {_PACK_GROUPS} AS grp,
+             {_ddb_md5_long("doc_id::VARCHAR", 8)} AS ord,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT grp, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY grp ORDER BY ord, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT grp, (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM c GROUP BY grp, bin_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins
+    (budget {b} whitespace tokens) for training-batch construction.
+    Documents are placed in a deterministic hash order and binned by
+    prefix-sum of token counts — the distributed approximation of
+    greedy packing (each bin overflows by at most one document).
+
+    Scale: the prefix sum runs inside a window PARTITIONED by a hash
+    group ({g} here; thousands in production) so no global sort or
+    single-partition window exists; each group sorts locally after one
+    shuffle. Output is one row per bin.""".replace(
+        "{b}", str(_PACK_BUDGET)
+    ).replace("{g}", str(_PACK_GROUPS))
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (T.md5_long(F.col("doc_id").cast("string"), 7) % _PACK_GROUPS).alias("grp"),
+        T.md5_long(F.col("doc_id").cast("string"), 8).alias("ord"),
+        T.token_count("text").cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("grp").orderBy("ord", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "grp",
+        "doc_id",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("cum"),
+    )
+    return (
+        c.select(
+            "grp",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)).alias("bin_id"),
+            "doc_id",
+            "n_tok",
+        )
+        .groupBy("grp", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "llm_lang_topterms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tc AS (
+      SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term
+    ),
+    rk AS (
+      SELECT lang, term, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+      FROM tc
+    )
+    SELECT lang, term, n, rank FROM rk WHERE rank <= 10
+    """,
+)
+def llm_lang_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 terms by frequency (corpus vocabulary
+    profiling). Ties break on the term string so ranking is fully
+    deterministic cross-engine.
+
+    Scale: word-count shape — shuffle on (lang, term) with map-side
+    partial agg, then a per-lang top-k window. The window partitions
+    by lang (low cardinality), but its input is already collapsed to
+    distinct terms, so per-partition volume is vocabulary-sized, not
+    corpus-sized; for huge vocabularies switch the final top-k to a
+    two-level (salted then merged) window."""
+    d = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    tc = (
+        d.select("lang", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        tc.select("lang", "term", "n", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 10)
+    )
+
+
 def _hex_byte_sql(v: str) -> str:
     return f"upper(lpad(hex(({v})::BIGINT), 2, '0'))"
 

@@ -38,6 +38,9 @@ HEADLINE = [
     "q_range_join",
     "q_percentiles",
     "llm_corpus_clean",
+    "llm_repetition",
+    "llm_decontaminate",
+    "llm_pack_sequences",
 ]
 
 

@@ -925,12 +925,20 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-doc shingling is a narrow map; the contamination check
     is an equi-join on the gram hash between the (small) distinct test
-    gram set and train grams — linear in corpus size, no crossJoin. In
+    gram set and train grams — linear in corpus size, no crossJoin.
+    The test side is explicitly broadcast: held-out eval sets are
+    orders of magnitude smaller than the training corpus, so the train
+    side never shuffles at all (drop the hint and let AQE decide if
+    the test set ever outgrows executor memory). In
     production you additionally drop grams whose document frequency
     exceeds a cap (boilerplate phrases) to bound skew; the synthetic
     vocab here is tiny so the cap is omitted to keep the oracle exact.
     """.replace("{k}", str(_DECON_K))
-    d = load(spark, sf_dir, "documents").where(F.trim("text") != "")
+    from ..operators.dedup import spread_for_cpu
+
+    d = spread_for_cpu(
+        load(spark, sf_dir, "documents").where(F.trim("text") != ""), "doc_id"
+    )
     bucket = T.md5_long(F.col("doc_id").cast("string"), 11) % 100
     grams = F.array_distinct(
         F.transform(
@@ -939,16 +947,24 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = d.select("doc_id", bucket.alias("bucket"), grams.alias("grams"))
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # `size(grams) > 0` filter and push the whole shingle+hash
+    # expression below the spread Exchange into the (single-split) scan
+    # stage — serializing it AND evaluating it twice. The outer variant
+    # infers nothing; null grams are dropped by an explicit cheap
+    # post-filter instead.
     tg = (
         g.where(F.col("bucket") >= 90)
-        .select(F.col("doc_id").alias("test_doc"), F.explode("grams").alias("g"))
+        .select(F.col("doc_id").alias("test_doc"), F.explode_outer("grams").alias("g"))
+        .where(F.col("g").isNotNull())
     )
     rg = (
         g.where(F.col("bucket") < 80)
-        .select(F.col("doc_id").alias("train_doc"), F.explode("grams").alias("g"))
+        .select(F.col("doc_id").alias("train_doc"), F.explode_outer("grams").alias("g"))
+        .where(F.col("g").isNotNull())
     )
     return (
-        rg.join(tg, "g")
+        rg.join(F.broadcast(tg), "g")
         .groupBy("train_doc")
         .agg(
             F.countDistinct("g").alias("n_shared_grams"),

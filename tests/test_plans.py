@@ -55,9 +55,24 @@ def test_no_cartesian_products(spark, sf_dir, name):
 def test_narrow_maps_have_no_exchange(spark, sf_dir):
     """Pure per-row operator queries (scalar vocab, token stats, quality,
     language id) must plan zero shuffles."""
-    for name in ["etl_recast_vocab", "llm_token_stats", "llm_quality", "llm_langid"]:
+    for name in [
+        "etl_recast_vocab",
+        "llm_token_stats",
+        "llm_quality",
+        "llm_langid",
+        "llm_pii_redact",
+    ]:
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} shuffles a narrow map"
+
+
+def test_pack_sequences_no_global_sort(spark, sf_dir):
+    """The packing prefix-sum must run inside hash-group-partitioned
+    windows — never a single-partition global window (the classic
+    cumulative-sum scale trap)."""
+    plan = _plan(spark, sf_dir, "llm_pack_sequences")
+    assert "SinglePartition" not in plan, "packing window collapsed to one partition"
+    assert "hashpartitioning(grp" in plan
 
 
 def test_exact_dedup_single_shuffle(spark, sf_dir):
@@ -92,6 +107,12 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
         "llm_dedup_exact",
         "llm_cosine_topk",
         "q_sessionize",
+        "llm_pii_redact",
+        "llm_decontaminate",
+        "llm_pack_sequences",
+        "llm_repetition",
+        "llm_lang_topterms",
+        "llm_split_assign",
     ],
 )
 def test_no_python_in_hot_paths(spark, sf_dir, name):

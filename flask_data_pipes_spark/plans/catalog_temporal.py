@@ -109,3 +109,52 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))
     return out.select("click_id", "error_id", "user_id", gap.alias("gap_us"))
+
+
+@register(
+    "q_window_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS roll3_sum,
+           COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_events
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-ordered analytics windows: lag/lead neighbors, a
+    3-row rolling sum, and a cumulative event counter — the standard
+    sliding-window feature-engineering shapes.
+
+    The rolling sum goes through DECIMAL(38,6) so the frame sum is
+    exact (engines may order float additions differently); the final
+    value is cast back to double.
+
+    Scale: a single shuffle on user_id, then partition-local sorts;
+    no global ordering anywhere. All four outputs share ONE window
+    definition, so Spark plans one Window operator (one sort), not
+    four."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w3)
+        .cast("double")
+        .alias("roll3_sum"),
+        F.count(F.lit(1)).over(wcum).alias("cum_events"),
+    )

@@ -117,6 +117,22 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension (user profile, domain metadata, model-version lookup).
+    Spark re-plans the static side per micro-batch, so a dimension
+    backed by a table picks up updates between batches.
+
+    Scale: the static side is explicitly broadcast — the stream never
+    shuffles, keeping the stage map-only regardless of stream volume.
+    For dimensions too large to broadcast, drop the hint and
+    pre-bucket the dimension on the join key instead.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, total_value double"

@@ -254,3 +254,29 @@ def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
     assert sorted(by_id) == [1, 2, 3], rows
     assert all(len(v) == 1 for v in by_id.values()), rows
     assert by_id[1] == ["2024-01-01 10:00:00"], rows
+
+
+def test_enrich_stream_matches_batch_join(spark, landing, tmp_path):
+    """Stream-static broadcast join: every streamed event picks up its
+    user's segment; result equals the batch join on the same data."""
+    from flask_data_pipes_spark.streaming.stream import enrich_stream
+
+    events = read_jsonl_stream(spark, landing, EVENTS_SCHEMA)
+    users = (
+        spark.read.schema(EVENTS_SCHEMA).json(landing)
+        .select("user_id").distinct()
+        .select("user_id", (F.col("user_id") % 5).cast("int").alias("segment"))
+    )
+    enriched = enrich_stream(events, users, on="user_id")
+    _drain(enriched, str(tmp_path), "enrich_out")
+    got = spark.table("enrich_out")
+
+    batch = spark.read.schema(EVENTS_SCHEMA).json(landing).join(
+        users, "user_id", "left"
+    )
+    assert got.count() == batch.count()
+    assert got.where(F.col("segment").isNull()).count() == 0
+    assert (
+        got.groupBy("segment").count().orderBy("segment").collect()
+        == batch.groupBy("segment").count().orderBy("segment").collect()
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars as S
@@ -581,4 +581,40 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__p")[2].alias("p75_price"),
             "p50_qty",
         )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM w WHERE o_totalprice > cust_avg
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average — the correlated
+    scalar-subquery shape (`WHERE x > (SELECT AVG(...) ... WHERE
+    correlated)`). Expressed as a per-customer analytic window, which
+    is exactly what a decorrelating optimizer rewrites it to: one
+    shuffle on the correlation key, no join, no per-row subquery
+    execution.
+
+    The mean goes through an exact DECIMAL sum divided by the count as
+    a double — float summation order never affects the predicate."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", avg.alias("cust_avg"))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
     )

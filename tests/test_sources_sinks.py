@@ -210,3 +210,50 @@ def test_paginated_frame_fans_out_on_executors(spark):
     )
     rows = {r["shard"]: r["value"] for r in df.collect()}
     assert rows == {f"shard-{i}": i * 10 for i in range(4)}
+
+
+def test_write_sorted_parquet_clusters_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered write: files are value-disjoint on the cluster
+    key (row-group pruning depends on it), and the write plan contains
+    a range exchange, not a global single-partition sort."""
+    from flask_data_pipes_spark.sinks.writers import write_sorted_parquet
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    part = l.repartitionByRange(4, F.col("l_shipdate")).sortWithinPartitions("l_shipdate")
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(l_shipdate" in plan
+    assert "SinglePartition" not in plan
+
+    out = str(tmp_path / "li_sorted")
+    write_sorted_parquet(l, out, ["l_shipdate"], num_partitions=4)
+    back = spark.read.parquet(out)
+    assert back.count() == l.count()
+    # per-file min/max must not overlap across files (disjoint ranges)
+    import pyspark.sql.functions as SF
+
+    stats = (
+        back.withColumn("file", SF.input_file_name())
+        .groupBy("file")
+        .agg(SF.min("l_shipdate").alias("lo"), SF.max("l_shipdate").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) > 1
+    for a, b in zip(stats, stats[1:]):
+        assert a["hi"] <= b["lo"], "file ranges overlap — clustering broken"
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from flask_data_pipes_spark.sinks.writers import compact_parquet
+    import glob
+
+    out = str(tmp_path / "frag")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(16).write.parquet(out)
+    assert len(glob.glob(out + "/*.parquet")) == 16
+    before = spark.read.parquet(out).count()
+    n = compact_parquet(spark, out, target_file_bytes=1 << 30)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n == 1
+    assert spark.read.parquet(out).count() == before

@@ -618,3 +618,97 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_custkey", "o_totalprice", avg.alias("cust_avg"))
         .where(F.col("o_totalprice") > F.col("cust_avg"))
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact table,
+    HAVING-filter the groups, then enrich the few survivors with order
+    and customer attributes.
+
+    Scale: the big fact aggregation runs FIRST (partial agg collapses
+    each order's lines map-side; one shuffle on l_orderkey), and only
+    the tiny surviving group set joins outward — the survivors
+    broadcast to orders/customer, so the wide tables never shuffle.
+    Aggregate-then-join beats join-then-aggregate by the join's full
+    shuffle width here."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+@register(
+    "q_argmin_join",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey, l_suppkey, l_orderkey, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rn
+      FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_name, r.l_suppkey AS cheapest_suppkey,
+           r.l_extendedprice AS cheapest_price
+    FROM r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1
+    """,
+)
+def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group (each part's cheapest recorded sale, with the
+    supplier that made it) — the 'row holding the group's extreme'
+    shape that a plain GROUP BY cannot express without losing the
+    attribution columns. Ties break on (orderkey, linenumber) so the
+    winner is unique and deterministic.
+
+    Scale: one shuffle on l_partkey for the window (rank within group,
+    filter rn=1 — Spark pushes the rn=1 predicate into the window sort
+    as a running-min, WindowGroupLimit), then the collapsed one-row-
+    per-part survivors join part; no self-join against a MIN()
+    aggregate (the naive 2-scan formulation)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = (
+        l.select(
+            "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+            "l_extendedprice", F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return r.join(p, r.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        F.col("l_suppkey").alias("cheapest_suppkey"),
+        F.col("l_extendedprice").alias("cheapest_price"),
+    )

@@ -712,3 +712,40 @@ def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("cheapest_suppkey"),
         F.col("l_extendedprice").alias("cheapest_price"),
     )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload
+    carried by every event (`get_json_object` — Spark's JSON path
+    evaluation, JVM-side) and aggregate on an extracted field. The
+    schema-on-read path for event streams whose payloads vary by
+    producer.
+
+    Scale: extraction is a narrow map fused into the scan stage
+    (whole-stage codegen); the aggregation shuffles on the small
+    (type, bucket) key space with map-side partials. For a hot field
+    at 100 TB, promote it to a real column at ingest instead of
+    re-parsing JSON per query."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -749,3 +749,42 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_events",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           COUNT(*) FILTER (event_type = 'click') AS n_click,
+           COUNT(*) FILTER (event_type = 'error') AS n_error,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (event_type = 'view') AS n_view
+    FROM events
+    GROUP BY user_bucket
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-bucket event counts spread into one column per
+    event type (long→wide). The pivot values are pinned explicitly —
+    never let pivot() infer them at scale (that's an extra full pass
+    over the data just to discover column names).
+
+    Scale: compiles to a single grouping aggregation with one
+    conditional-count per pinned value — one shuffle on the group key,
+    map-side partials; no join, no second scan."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.select((F.col("user_id") % 100).alias("user_bucket"), "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return renamed

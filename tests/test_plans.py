@@ -159,3 +159,39 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() == shuffled.count()
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew resilience: with AQE on, a join whose shuffle has one hot
+    key re-plans at runtime into a skew-split SortMergeJoin
+    (`skew=true`) instead of serializing on the hot partition — the
+    runtime half of the skew strategy (q_salted_agg is the static
+    half)."""
+    import pyspark.sql.functions as SF
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            SF.when(SF.col("id") % 10 < 9, SF.lit(7)).otherwise(SF.col("id")).alias("k"),
+            SF.concat(SF.lit("x" * 64), SF.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 5000).select(
+            SF.col("id").alias("k"), SF.col("id").alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 180_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

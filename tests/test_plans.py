@@ -195,3 +195,40 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Runtime row-level filtering: a selective predicate on one join
+    side injects a bloom-filter (`might_contain`) onto the fact side's
+    scan, pruning non-joining rows BEFORE the shuffle — at 100 TB this
+    is the difference between shuffling the full fact table and
+    shuffling only the ~matching slice. (The application-side size
+    threshold is lowered because local testdata is far below the 10 GB
+    default that gates the rewrite in production.)"""
+    import pyspark.sql.functions as SF
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact_p = str(tmp_path / "fact")
+        dim_p = str(tmp_path / "dim")
+        spark.range(0, 1_000_000).select(
+            SF.col("id").alias("k"), (SF.col("id") % 97).alias("v")
+        ).write.parquet(fact_p)
+        spark.range(0, 1_000_000).select(
+            SF.col("id").alias("k"), (SF.col("id") % 13).alias("w")
+        ).write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(SF.col("w") == 3)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -1426,3 +1426,37 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
     return multimodal.sample_frames(_payloads(spark, sf_dir), every_n=10)
+
+
+@register(
+    "llm_corpus_report",
+    oracle=r"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_chars,
+           SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health report: volumes, char totals,
+    mean length, short-doc counts, extremes — the daily monitoring
+    aggregate a corpus team watches for ingest regressions (a source
+    suddenly shipping truncated or empty documents shows up here
+    first).
+
+    Scale: one shuffle on the small (source, lang) key space with
+    map-side partials; sums go through DECIMAL so the report is
+    byte-identical across engines and runs."""
+    d = load(spark, sf_dir, "documents")
+    dec = F.sum(F.col("n_chars").cast("decimal(38,6)"))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec.cast("double").alias("total_chars"),
+        (dec.cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias("n_short"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

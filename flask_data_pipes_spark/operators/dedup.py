@@ -38,6 +38,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "minhash_lsh_ml_pairs",
     "spread_for_cpu",
+    "connected_components",
 ]
 
 
@@ -458,3 +459,66 @@ def minhash_lsh_ml_pairs(
             (F.lit(1.0) - F.col("__dist")).alias("jaccard_est"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list → columns
+    `(id, label)` where label is the component's minimum member id.
+    This is the transitive-closure step that turns pairwise near-dup
+    CANDIDATES into duplicate CLUSTERS (A~B, B~C ⇒ {A,B,C} even when
+    A,C never collided directly) — required before "keep one per
+    cluster" is well-defined.
+
+    Algorithm: min-label propagation. Each round every node adopts the
+    smallest label among itself and its neighbors; rounds ≤ the longest
+    shortest-path in a component (usually ≤ a handful for dup
+    clusters; `max_iter` bounds pathological chains).
+
+    Scale notes:
+    - Each round is one equi-join + one groupBy on the node id —
+      all shuffle-partitioned by id, no crossJoin, no driver-side
+      graph.
+    - `localCheckpoint(eager=True)` each round truncates lineage —
+      without it the plan doubles per iteration and Catalyst analysis
+      time explodes long before data does.
+    - The convergence probe (`changed == 0`) costs one small action
+      per round; at petabyte scale replace with a fixed iteration
+      count ~log2(max expected cluster diameter).
+    """
+    edges = pairs.select(
+        F.col(col_a).cast("long").alias("s"), F.col(col_b).cast("long").alias("t")
+    )
+    edges = edges.union(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.t == labels.id).select(
+            F.col("s").alias("id"), "label"
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

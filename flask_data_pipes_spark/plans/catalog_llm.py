@@ -1460,3 +1460,55 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=_DDB_SIG_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + rf""",
+    bands AS (
+      SELECT doc_id,
+             {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
+      FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS t FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r
+    ),
+    lab AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the
+    MinHash-LSH candidate pairs (A~B, B~C ⇒ one {A,B,C} cluster even
+    when A and C never collided directly). cluster_id is the smallest
+    member; cluster_size enables "keep 1 of N" accounting. The oracle
+    is a recursive-CTE reachability fixpoint — exact transitive
+    closure.
+
+    Scale: iterative min-label propagation, one equi-join + groupBy
+    per round, lineage truncated per round (operators/dedup.py::
+    connected_components); rounds ≈ cluster diameter, not corpus size.
+    """
+    from ..operators import dedup
+
+    pairs = llm_minhash_pairs(spark, sf_dir)
+    labels = dedup.connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).select("doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size"))

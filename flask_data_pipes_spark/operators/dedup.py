@@ -504,21 +504,24 @@ def connected_components(
     )
     for _ in range(max_iter):
         prop = edges.join(labels, edges.t == labels.id).select(
-            F.col("s").alias("id"), "label"
+            F.col("s").alias("id"), "label", F.lit(False).alias("own")
         )
+        # The convergence probe rides the same groupBy: min(label) is the
+        # new label, min(label WHERE own) is the node's previous label —
+        # no extra join, and the count below runs on the checkpointed
+        # (already materialized) round result.
         new = (
-            labels.unionByName(prop)
+            labels.select("id", "label", F.lit(True).alias("own"))
+            .unionByName(prop)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("label") != F.col("__old")).count()
+        labels = new.select("id", "label")
         if changed == 0:
             break
     return labels

@@ -199,3 +199,19 @@ def test_media_header_parses_and_rejects(spark):
     assert got[4]["kind"] == "unknown" and got[4]["width"] is None
     assert got[5]["kind"] == "unknown"  # truncated PNG signature
     assert got[6]["kind"] == "unknown"  # null payload
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A-B, B-C chains merge transitively; disjoint pairs stay apart;
+    labels are the component minimum."""
+    from flask_data_pipes_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "a long, b long",
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(pairs, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -156,7 +156,9 @@ def minhash_bands(
     )
 
 
-def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: Optional[int] = None
+) -> DataFrame:
     """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
     `<id>_a`, `<id>_b`.
 
@@ -170,14 +172,26 @@ def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     independently-scheduled rows each emitting ≤k pairs, so a hot
     bucket spreads across the cluster instead of materializing one
     k²/2-element array in a single task (which AQE cannot split — it is
-    one row). Per-row memory is O(k); buckets big enough for that to
-    hurt are "stop-shingle" buckets that should be capped upstream.
+    one row). Per-row memory is O(k).
+
+    `max_bucket` is the second skew defense: buckets with more than
+    `max_bucket` members are DROPPED entirely before pair enumeration.
+    A band bucket that attracts a large fraction of the corpus is a
+    degenerate signature (boilerplate, empty-ish docs — the LSH analog
+    of a stopword) whose k²/2 pairs are mostly false candidates; at
+    100 TB a single such bucket can dominate the whole job's output.
+    Dropping it trades recall on exactly the docs that other buckets
+    still cover (each doc has n_hashes/band_size chances to pair).
+    Default None (exact parity with the oracle); production: ~1000.
     """
     n_out = bands.sparkSession.sparkContext.defaultParallelism * 2
+    grouped = bands.groupBy("band_key").agg(
+        F.sort_array(F.collect_set(id_col)).alias("__ids")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("__ids") <= max_bucket)
     anchors = (
-        bands.groupBy("band_key")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") >= 2)
+        grouped.filter(F.size("__ids") >= 2)
         .select("__ids", F.posexplode("__ids").alias("__i", "__a"))
         .filter(F.col("__i") < F.size("__ids") - 1)  # last anchor: no pairs
         .repartition(n_out)

@@ -215,3 +215,18 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(pairs, "a", "b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_candidate_pairs_bucket_cap(spark):
+    """max_bucket drops degenerate (stop-shingle) buckets entirely while
+    normal buckets still pair — the at-scale guard against a single hot
+    bucket emitting k^2/2 candidates."""
+    from flask_data_pipes_spark.operators.dedup import candidate_pairs
+
+    rows = [(i, 0, 777) for i in range(50)]  # hot bucket: 50 members
+    rows += [(100, 0, 888), (101, 0, 888)]   # normal bucket: 2 members
+    bands = spark.createDataFrame(rows, "doc_id long, band long, band_key long")
+    capped = candidate_pairs(bands, "doc_id", max_bucket=10).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in capped} == {(100, 101)}
+    full = candidate_pairs(bands, "doc_id").count()
+    assert full == 50 * 49 // 2 + 1

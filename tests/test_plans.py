@@ -232,3 +232,17 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_driver_contract_integrity(spark, sf_dir):
+    """__spark_entry__ invariants the grading driver relies on: every
+    oracle key maps to a registered query, names are unique and
+    non-empty, and every query builds a DataFrame with at least one
+    column without executing anything."""
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+    assert all(qs.values())
+    for name, fn in qs.items():
+        df = fn(spark, sf_dir)
+        assert df.columns, f"{name} produced no columns"

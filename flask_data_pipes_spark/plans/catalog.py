@@ -398,7 +398,7 @@ def oracle_sql() -> Dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM g
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, session_seq::BIGINT AS session_seq,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*)::INT AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value

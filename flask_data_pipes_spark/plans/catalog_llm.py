@@ -997,7 +997,7 @@ _PACK_BUDGET = 2048
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t
     )
-    SELECT grp, (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
+    SELECT grp, ((cum - n_tok) // {_PACK_BUDGET})::BIGINT AS bin_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS min_doc_id
     FROM c GROUP BY grp, bin_id
@@ -1434,7 +1434,7 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, lang, COUNT(*) AS n_docs,
            CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars,
            CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_chars,
-           SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY source, lang

@@ -2,9 +2,15 @@
 on Spark AND its DuckDB oracle on the same parquet, compare row count,
 column names, and order-insensitive values.
 
-Comparison is strict (exact ints/strings/timestamps, bit-level doubles —
-the catalog's determinism rules make that achievable); mismatches print
-a diff sample.
+Two comparisons per query:
+1. strict value parity via collect()/fetchall (exact ints/strings/
+   timestamps, bit-level doubles) with a diff sample on mismatch;
+2. a driver-harness mimic: both results through pandas (toPandas /
+   duckdb .df()), columns sorted by name, rows sorted by all columns,
+   then dtype-sensitive hashing — this catches canonicalization
+   artifacts the exact path can't see (DuckDB HUGEINT/DECIMAL→float64
+   vs Spark int64/Decimal, unsortable array cells), which is exactly
+   what failed 4 gate rows in round 1 despite identical values.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import math
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 TABLES = [
@@ -109,10 +116,64 @@ def test_oracle_parity(spark, sf_dir, name):
         )
 
 
+def _canon_pd(df: pd.DataFrame) -> pd.DataFrame:
+    """Mimic the driver harness's canonicalization: columns sorted by
+    name, rows sorted by every column, index dropped."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        # unify datetime resolution (Spark toPandas → ns, DuckDB → us);
+        # the driver hash is resolution-insensitive (round-1 evidence:
+        # every timestamp-valued query passed), so don't flag it here
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _pd_hash(df: pd.DataFrame):
+    # dtype-sensitive, like the driver's value hash: int64 0 and
+    # float64 0.0 must NOT collide.
+    return pd.util.hash_pandas_object(df, index=False).sum()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, _, o in _query_names() if o is not None]
+)
+def test_gate_hash_mimic(spark, sf_dir, name):
+    specs = {n: (fn, o) for n, fn, o in _query_names()}
+    fn, oracle = specs[name]
+
+    spark_pd = fn(spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    duck_pd = con.sql(oracle).df()
+
+    a, b = _canon_pd(spark_pd), _canon_pd(duck_pd)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    # sort_values must not throw (unhashable/unsortable cells fail the
+    # real gate with err != null)
+    ha, hb = _pd_hash(a), _pd_hash(b)
+    if ha != hb:
+        bad = [
+            c
+            for c in a.columns
+            if not pd.util.hash_pandas_object(a[c], index=False).equals(
+                pd.util.hash_pandas_object(b[c], index=False)
+            )
+        ]
+        raise AssertionError(
+            f"{name}: harness-hash mismatch in columns {bad}; "
+            f"dtypes spark={a[bad].dtypes.to_dict() if bad else {}} "
+            f"duck={b[bad].dtypes.to_dict() if bad else {}}"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry
 
     df = entry.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    # driver contract: the flagship query must return >0 rows
+    assert len(rows) > 0
     assert df.columns

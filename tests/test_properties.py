@@ -38,7 +38,22 @@ def _run(spark, values, expr, out_type="string"):
     return [r["o"] for r in df.select(expr.alias("o")).collect()]
 
 
-@given(st.lists(texty, min_size=1, max_size=25))
+# Case-stable alphabet: Latin-1 case mappings have been frozen since
+# early Unicode, so the JVM's (newer) and CPython's (older) tables agree.
+# Higher planes diverge by Unicode version — e.g. U+019B gained an
+# uppercase (U+A7DC) in Unicode 16, which the JVM ships and CPython 3.11
+# does not — so asserting Python parity there tests the Unicode version,
+# not our operator.
+case_stable_texty = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0xFF),
+        max_size=40,
+    ),
+)
+
+
+@given(st.lists(case_stable_texty, min_size=1, max_size=25))
 @settings(**_SETTINGS)
 def test_case_folding_matches_python(spark, vals):
     got = _run(spark, vals, S.lowercase("v"))

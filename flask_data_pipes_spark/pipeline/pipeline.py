@@ -312,13 +312,23 @@ class Pipeline(metaclass=PipelineMeta):
         # canonicalize the model name so state rows join to DataModel rows
         model_qname = model_cls.__qname__ if model_cls else meta.get("model")
         created = meta.get("created") or _utcnow_iso()
+        batch_id = meta.get("batch_id")
         out: dict = dict(meta, model=model_qname)
         if self.durable_staging:
             suffix = ".jsonl.gz" if self.config.data_compression == "gzip" else ".jsonl"
+            # Filename discriminator: micro-batches key on batch_id so
+            # each foreachBatch invocation gets its OWN staged path —
+            # a replay of the same batch_id overwrites its own file
+            # (idempotent), never a sibling batch's. Batch objects key
+            # on pkey as before.
+            if batch_id is not None:
+                disc = f"b{batch_id}"
+            else:
+                disc = str(meta.get("pkey") if meta.get("pkey") is not None else 0)
             path = dated_path(
                 self.config.stage_dir(stage if stage != LOAD else TRANSFORM),
                 directory,
-                f"{filename}_{meta.get('pkey', 0)}{suffix}",
+                f"{filename}_{disc}{suffix}",
                 created,
             )
             write_jsonl(df, path, compression=self.config.data_compression)
@@ -333,6 +343,7 @@ class Pipeline(metaclass=PipelineMeta):
                 out.get("file"),
                 created=str(created)[:10],
                 model=model_qname,
+                batch_id=batch_id,
             )
         out.update(pkey=upserted["pkey"], created=upserted["created"])
         self._run_on_commit(stage, out)

@@ -131,13 +131,28 @@ class MetadataStore:
         model: Optional[str] = None,
         user: Optional[Any] = None,
         meta: Optional[dict] = None,
+        batch_id: Optional[int] = None,
     ) -> dict:
-        """Insert-or-stage-update (tables.py:139-157)."""
+        """Insert-or-stage-update (tables.py:139-157).
+
+        `batch_id` makes the insert idempotent per (model, batch_id):
+        a foreachBatch replay of the same micro-batch updates its
+        existing DataObject row instead of inserting a duplicate —
+        Spark's exactly-once contract for foreachBatch sinks."""
         with self._lock:
             if pkey is not None:
                 entry = self.get_object(pkey)
                 if entry is None:
                     raise KeyError(f"no DataObject pkey={pkey}")
+            elif batch_id is not None and model and any(
+                o.get("batch_id") == batch_id and o["model"] == model
+                for o in self.objects
+            ):
+                entry = next(
+                    o
+                    for o in self.objects
+                    if o.get("batch_id") == batch_id and o["model"] == model
+                )
             elif created and model:
                 latest = self.latest_model(model)
                 entry = dict(
@@ -159,6 +174,7 @@ class MetadataStore:
                     upload_user=None,
                     upload_meta=None,
                     pipeline_completed=False,
+                    batch_id=batch_id,
                 )
                 self.objects.append(entry)
             else:

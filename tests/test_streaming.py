@@ -280,3 +280,72 @@ def test_enrich_stream_matches_batch_join(spark, landing, tmp_path):
         got.groupBy("segment").count().orderBy("segment").collect()
         == batch.groupBy("segment").count().orderBy("segment").collect()
     )
+
+
+def test_foreach_batch_stage_batches_do_not_clobber(spark, tmp_path):
+    """Exactly-once contract of foreach_batch_stage: every micro-batch
+    stages to its OWN batchId-keyed file (earlier batches' staged data
+    survives later ones), one metadata row per batch_id, and a replay of
+    a batch_id updates its own row/file instead of inserting/clobbering."""
+    from flask_data_pipes_spark.models import Model, fields
+    from flask_data_pipes_spark.pipeline import Pipeline
+    from flask_data_pipes_spark.session import EngineConfig
+    from flask_data_pipes_spark.streaming.stream import foreach_batch_stage
+
+    class StreamEvent(Model):
+        event_id = fields.Integer()
+        event_type = fields.UppercaseString()
+
+    class StreamPipeline(Pipeline):
+        transform = True
+
+    cfg = EngineConfig(data_dir=str(tmp_path / "data"))
+    pipe = StreamPipeline(model=StreamEvent, spark=spark, config=cfg)
+    pipe.register_model(StreamEvent)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(3):
+        (land / f"f{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"event_id": i * 10 + j, "event_type": f"t{i}"})
+                for j in range(2)
+            )
+        )
+
+    stream = read_jsonl_stream(
+        spark,
+        str(land),
+        "event_id long, event_type string",
+        max_files_per_trigger=1,  # → one micro-batch per file
+    )
+    sink = foreach_batch_stage(pipe, StreamEvent)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    objs = [o for o in pipe.store.objects if o["model"] == StreamEvent.__qname__]
+    assert len(objs) == 3, objs
+    files = {o.get("batch_id"): o["transform_file"] for o in objs}
+    assert len(set(files.values())) == 3  # distinct staged paths
+    seen = set()
+    for f in files.values():
+        assert os.path.exists(f), f
+        seen |= {r["event_id"] for r in spark.read.json(f).collect()}
+    # earlier batches' staged rows all survive the later batches
+    assert seen == {0, 1, 10, 11, 20, 21}
+
+    # replay micro-batch 0 (Spark re-runs foreachBatch with the same
+    # batch_id after a failure): idempotent — same row, same file,
+    # no duplicate metadata
+    replay = spark.createDataFrame(
+        [(0, "t0"), (1, "t0")], "event_id long, event_type string"
+    )
+    sink(replay, 0)
+    objs2 = [o for o in pipe.store.objects if o["model"] == StreamEvent.__qname__]
+    assert len(objs2) == 3
+    assert {o.get("batch_id"): o["transform_file"] for o in objs2} == files

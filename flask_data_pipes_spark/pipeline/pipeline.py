@@ -192,6 +192,10 @@ class Pipeline(metaclass=PipelineMeta):
         )
         self.durable_staging = True
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+        from ..ext.engines import EngineRegistry
+
+        # named JDBC binds (O10): databases addressed by name, not URL
+        self.engines = EngineRegistry(getattr(self.config, "jdbc_binds", None))
 
     # -- model registration hook (ModelMeta._register_pipeline) -----------
     def version_config(self, model_cls) -> dict:
@@ -212,14 +216,20 @@ class Pipeline(metaclass=PipelineMeta):
 
     def register_model(self, model_cls) -> dict:
         """Push the model's version row into the metadata store
-        (reference __init__.py:192-207 signal handler)."""
-        return self.store.register_model(
+        (reference __init__.py:192-207 signal handler), then send the
+        `etl_tables_imported` signal (ext/signals.py analog) so user
+        code can hook registrations."""
+        from ..ext.signals import signals
+
+        row = self.store.register_model(
             name=model_cls.__qname__,
             pipeline=self.__qname__,
             directory=model_cls.directory(),
             filename=model_cls.filename(),
             config=self.version_config(model_cls),
         )
+        signals.etl_tables_imported.send(self, model=model_cls, row=row)
+        return row
 
     # -- hook running ------------------------------------------------------
     def _run_pre(self, stage: str, meta_list: list[dict]) -> list[dict]:

@@ -44,6 +44,9 @@ class EngineConfig:
     data_encoding: str = "utf-8"
     shuffle_partitions: Optional[int] = None  # None → max(cores*2, 32) locally
     extra_conf: dict = field(default_factory=dict)
+    # named JDBC binds (O10, reference SQLALCHEMY_BINDS → ext/engines.py):
+    # {"bind_name": {"url": ..., "driver": ..., "user": ..., ...}}
+    jdbc_binds: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self.temp_dir = self.temp_dir or os.path.join(self.data_dir, ".tmp")

@@ -1,1 +1,8 @@
-from .writers import dated_path, write_jdbc, write_jsonl, write_parquet  # noqa: F401
+from .writers import (  # noqa: F401
+    dated_path,
+    upsert_sql,
+    write_jdbc,
+    write_jsonl,
+    write_parquet,
+    write_upsert,
+)

@@ -29,6 +29,9 @@ __all__ = [
     "write_jsonl",
     "write_parquet",
     "write_jdbc",
+    "jdbc_write_options",
+    "write_upsert",
+    "upsert_sql",
     "write_sorted_parquet",
     "compact_parquet",
 ]
@@ -87,23 +90,117 @@ def write_parquet(
     return path
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    batchsize: Optional[int] = None,
+    **options,
+) -> dict:
+    """Assemble the JDBC writer option map (pure — unit-testable with
+    no JDBC driver; `write_jdbc` is this + `.save()`)."""
+    opts = {"url": url, "dbtable": table}
+    if batchsize:
+        opts["batchsize"] = str(batchsize)
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
     table: str,
     mode: str = "append",
-    batchsize: Optional[int] = None,
     **options,
 ) -> None:
     """Bulk DB load (W3): multi-row executemany per partition. The
-    reference's `batches=N` knob (W4, decorators.py:273-294) maps to
-    JDBC `batchsize` — commit cadence per executor partition."""
-    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
-    if batchsize:
-        writer = writer.option("batchsize", str(batchsize))
-    for k, v in options.items():
-        writer = writer.option(k, v)
-    writer.mode(mode).save()
+    reference's `batches=N` knob maps to JDBC `batchsize` for plain
+    appends; keyed upserts use `write_upsert` (W4) instead."""
+    df.write.format("jdbc").options(**jdbc_write_options(url, table, **options)).mode(
+        mode
+    ).save()
+
+
+def upsert_sql(
+    table: str,
+    columns: list[str],
+    keys: list[str],
+    dialect: str = "ansi",
+    placeholder: str = "?",
+) -> str:
+    """Parameterized keyed-upsert statement for `write_upsert`.
+
+    dialects:
+    - 'ansi': `MERGE INTO ... USING (VALUES ...) ON keys WHEN MATCHED
+      UPDATE WHEN NOT MATCHED INSERT` (SQL:2003; Postgres 15+, SQL
+      Server, Oracle, Delta).
+    - 'onconflict': `INSERT ... ON CONFLICT (keys) DO UPDATE`
+      (SQLite 3.24+, Postgres 9.5+, DuckDB).
+    """
+    non_keys = [c for c in columns if c not in keys]
+    ph = ", ".join([placeholder] * len(columns))
+    cols = ", ".join(columns)
+    if dialect == "onconflict":
+        updates = ", ".join(f"{c} = excluded.{c}" for c in non_keys) or None
+        conflict = (
+            f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {updates}"
+            if updates
+            else f"ON CONFLICT ({', '.join(keys)}) DO NOTHING"
+        )
+        return f"INSERT INTO {table} ({cols}) VALUES ({ph}) {conflict}"
+    if dialect == "ansi":
+        src_cols = ", ".join(f"{placeholder} AS {c}" for c in columns)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        setc = ", ".join(f"t.{c} = s.{c}" for c in non_keys)
+        ins_vals = ", ".join(f"s.{c}" for c in columns)
+        matched = f"WHEN MATCHED THEN UPDATE SET {setc} " if non_keys else ""
+        return (
+            f"MERGE INTO {table} t USING (SELECT {src_cols}) s ON {on} "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({ins_vals})"
+        )
+    raise ValueError(f"unknown upsert dialect: {dialect}")
+
+
+def write_upsert(
+    df: DataFrame,
+    connection_factory,
+    merge_row,
+    batch_size: int = 1000,
+) -> None:
+    """Batched keyed-upsert load (W4 — reference decorators.py:273-294
+    `@load(many=False, batches=N)` + pipeline.py:662-689: rows fed
+    one-by-one to a user merge call, committed every N via islice
+    slicing, with a final catch-all commit).
+
+    Spark-native shape: `foreachPartition` — each executor partition
+    opens its own connection via `connection_factory()` (no driver
+    funnel), feeds every row to `merge_row(conn, row)` (e.g. execute an
+    `upsert_sql(...)` statement), and calls `conn.commit()` every
+    `batch_size` rows plus once at the end (superfluous final commits
+    are no-ops, same as the reference's trailing session.commit()).
+
+    Scale: parallelism = partition count; repartition upstream to match
+    the target DB's concurrent-writer budget. For keyed idempotence the
+    statement must be a true upsert (MERGE / ON CONFLICT), making
+    Spark task retries safe: a re-run partition re-merges the same keys.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+
+    def _load_partition(rows) -> None:
+        conn = connection_factory()
+        try:
+            n = 0
+            for row in rows:
+                merge_row(conn, row)
+                n += 1
+                if n % batch_size == 0:
+                    conn.commit()
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(_load_partition)
 
 
 def write_sorted_parquet(

@@ -16,7 +16,14 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_staged", "read_jsonl", "read_csv", "read_parquet", "read_jdbc"]
+__all__ = [
+    "read_staged",
+    "read_jsonl",
+    "read_csv",
+    "read_parquet",
+    "read_jdbc",
+    "jdbc_scan_options",
+]
 
 
 def read_jsonl(
@@ -51,8 +58,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_jdbc(
-    spark: SparkSession,
+def jdbc_scan_options(
     url: str,
     query: str,
     partition_column: Optional[str] = None,
@@ -60,21 +66,40 @@ def read_jdbc(
     upper_bound: Optional[int] = None,
     num_partitions: int = 8,
     **options,
+) -> dict:
+    """Assemble the JDBC reader option map (pure — unit-testable in a
+    sandbox with no JDBC driver; `read_jdbc` is this + `.load()`).
+
+    With a partition column the scan fans out into `num_partitions`
+    range-striped queries; without one it is a SINGLE-task scan, which
+    is the #1 JDBC-at-scale mistake."""
+    opts = {"url": url, "query": query}
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update({k: str(v) for k, v in options.items()})
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    **kwargs,
 ) -> DataFrame:
     """Raw SQL scan (reference utils.py:75-81 `logged_query`) as a
     parallel JDBC read. Always supply partition bounds for big tables —
     an unpartitioned JDBC read is a single-task scan."""
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
-    if partition_column:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    for k, v in options.items():
-        reader = reader.option(k, v)
-    return reader.load()
+    opts = jdbc_scan_options(url, query, **kwargs)
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 _FORMATS = {

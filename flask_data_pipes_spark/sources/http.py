@@ -46,6 +46,7 @@ __all__ = [
     "Connection",
     "APIClient",
     "HTTPAuthenticator",
+    "HTTPLogin",
     "fetch_jsonl",
     "paginated_frame",
 ]
@@ -177,6 +178,53 @@ class APIClient:
 
     def close(self) -> None:
         self.connection.close()
+
+
+class HTTPLogin:
+    """Form/session login flow (clients.py:423-448): a callable login
+    object for `APIClient(configuration={'login': HTTPLogin(...)})`.
+
+    Reference shape: HTTPLogin is itself a client that issues one
+    `method` request to `url`+`endpoint` (credentials in `data`/`json`/
+    `params`) and hands the response to the auth handler. Here the
+    login request is issued ON the target connection's session, so
+    whatever the server sets (session cookies, CSRF headers) lands on
+    the session every subsequent request uses.
+
+    Config keys mirror the reference: `method` (or `http-method` /
+    `http_method`), `url` (or `host`; absolute with scheme — optional
+    here, defaults to the parent connection's base), `endpoint`, plus
+    any requests kwargs (`data`, `json`, `params`, `headers`).
+    """
+
+    def __init__(self, **kwargs: Any) -> None:
+        self.method = kwargs.pop(
+            "method", kwargs.pop("http-method", kwargs.pop("http_method", None))
+        )
+        self.url = kwargs.pop("url", kwargs.pop("host", None))
+        self.endpoint = kwargs.pop("endpoint", "")
+        self.request_kwargs = kwargs
+        self.response: Any = None
+        if not self.method:
+            raise KeyError(
+                "HTTP method must be defined for login event: add 'method' "
+                "or 'http-method' key"
+            )
+        if self.url and not urlparse(self.url).scheme:
+            raise MissingSchema(
+                "Login URL must be absolute path, providing a connection "
+                "scheme e.g., https://hostname"
+            )
+
+    def __call__(self, connection: "Connection"):
+        target = (
+            self.url.rstrip("/") + "/" + self.endpoint.lstrip("/")
+            if self.url
+            else self.endpoint
+        )
+        self.response = connection.request(self.method, target, **self.request_kwargs)
+        self.response.raise_for_status()
+        return self.response
 
 
 def fetch_jsonl(

@@ -257,3 +257,183 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == n == 1
     assert spark.read.parquet(out).count() == before
+
+
+# --- W4: batched upsert load ------------------------------------------------
+
+
+def _read_op_logs(log_dir: str):
+    import glob
+    import json as _json
+
+    logs = []
+    for p in sorted(glob.glob(os.path.join(log_dir, "*.jsonl"))):
+        with open(p) as fh:
+            logs.append([_json.loads(l) for l in fh])
+    return logs
+
+
+def test_write_upsert_commit_cadence(spark, tmp_path):
+    """Reference parity (pipeline.py:662-689): rows fed one-by-one,
+    commit every N, plus one trailing commit — pinned against a fake
+    DBAPI sink on a single partition so the op order is deterministic."""
+
+    class _LoggingConn:
+        """Fake DBAPI connection recording every op to a per-connection
+        JSONL file (foreachPartition runs in worker processes, so the
+        log must cross the process boundary via disk). Defined inside
+        the test so cloudpickle ships it by value to the workers."""
+
+        def __init__(self, log_dir: str):
+            import os as _os
+            import uuid
+
+            self.path = _os.path.join(log_dir, f"{uuid.uuid4().hex}.jsonl")
+            self._ops = []
+
+        def _log(self, op):
+            self._ops.append(op)
+
+        def commit(self):
+            self._log(["commit"])
+
+        def close(self):
+            import json as _json
+
+            with open(self.path, "w") as fh:
+                for op in self._ops:
+                    fh.write(_json.dumps(op) + "\n")
+
+    log_dir = str(tmp_path / "ops")
+    os.makedirs(log_dir)
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long").repartition(1)
+
+    writers.write_upsert(
+        df,
+        connection_factory=lambda: _LoggingConn(log_dir),
+        merge_row=lambda conn, row: conn._log(["merge", row["id"]]),
+        batch_size=2,
+    )
+
+    (ops,) = _read_op_logs(log_dir)
+    merges = [op[1] for op in ops if op[0] == "merge"]
+    assert sorted(merges) == [0, 1, 2, 3, 4]
+    # commit after every 2 merges + the trailing catch-all commit
+    kinds = [op[0] for op in ops]
+    assert kinds == [
+        "merge", "merge", "commit",
+        "merge", "merge", "commit",
+        "merge", "commit",
+    ]
+
+
+def test_write_upsert_sqlite_end_to_end(spark, tmp_path):
+    """Real keyed upsert against stdlib sqlite3 (the sandbox has no JDBC
+    driver; same DBAPI contract): second load with changed values
+    updates in place — row count stays, values move."""
+    import sqlite3
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE users (id INTEGER PRIMARY KEY, name TEXT, score REAL)")
+
+    sql = writers.upsert_sql(
+        "users", ["id", "name", "score"], keys=["id"], dialect="onconflict"
+    )
+
+    def factory():
+        return sqlite3.connect(db)
+
+    def merge(conn, row):
+        conn.execute(sql, (row["id"], row["name"], row["score"]))
+
+    df1 = spark.createDataFrame(
+        [(1, "ada", 1.0), (2, "alan", 2.0), (3, "grace", 3.0)],
+        "id long, name string, score double",
+    ).repartition(1)  # sqlite: single writer
+    writers.write_upsert(df1, factory, merge, batch_size=2)
+
+    df2 = spark.createDataFrame(
+        [(2, "alan", 20.0), (4, "edsger", 4.0)], "id long, name string, score double"
+    ).repartition(1)
+    writers.write_upsert(df2, factory, merge, batch_size=2)
+
+    with sqlite3.connect(db) as conn:
+        rows = dict(
+            (i, (n, s)) for i, n, s in conn.execute("SELECT id, name, score FROM users")
+        )
+    assert rows == {
+        1: ("ada", 1.0),
+        2: ("alan", 20.0),  # updated, not duplicated
+        3: ("grace", 3.0),
+        4: ("edsger", 4.0),
+    }
+
+
+def test_upsert_sql_dialects():
+    ansi = writers.upsert_sql("t", ["k", "a", "b"], keys=["k"], dialect="ansi")
+    assert ansi.startswith("MERGE INTO t t USING")
+    assert "WHEN MATCHED THEN UPDATE SET t.a = s.a, t.b = s.b" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT (k, a, b)" in ansi
+    oc = writers.upsert_sql("t", ["k", "a"], keys=["k"], dialect="onconflict")
+    assert oc == (
+        "INSERT INTO t (k, a) VALUES (?, ?) "
+        "ON CONFLICT (k) DO UPDATE SET a = excluded.a"
+    )
+    keys_only = writers.upsert_sql("t", ["k"], keys=["k"], dialect="onconflict")
+    assert keys_only.endswith("DO NOTHING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        writers.upsert_sql("t", ["k"], keys=["k"], dialect="nope")
+
+
+def test_batched_upsert_load_record_false(spark, tmp_path):
+    """@load(record=False, batches=N) interplay (reference
+    decorators.py:273,294 + pipeline.py:691-696): the batched upsert
+    runs, but the object is NOT marked loaded — resumable at load."""
+    import sqlite3
+
+    from flask_data_pipes_spark.models import Model, fields
+    from flask_data_pipes_spark.pipeline import Pipeline, decorators
+    from flask_data_pipes_spark.session import EngineConfig
+
+    db = str(tmp_path / "load.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE items (item TEXT PRIMARY KEY)")
+    sql = writers.upsert_sql("items", ["item"], keys=["item"], dialect="onconflict")
+
+    class Item(Model):
+        item = fields.String()
+
+    class UpsertPipeline(Pipeline):
+        extract = True
+        transform = True
+        load = True
+
+        @decorators.load(record=False, batches=2)
+        def load_items(self, df, meta):
+            batches = getattr(self.load_items, "__task_kwargs__", {}).get("batches")
+            writers.write_upsert(
+                df.repartition(1),
+                connection_factory=lambda: sqlite3.connect(db),
+                merge_row=lambda conn, row: conn.execute(sql, (row["item"],)),
+                batch_size=batches,
+            )
+
+    cfg = EngineConfig(data_dir=str(tmp_path / "data"))
+    pipe = UpsertPipeline(model=Item, spark=spark, config=cfg)
+    pipe.register_model(Item)
+
+    raw = tmp_path / "items.jsonl"
+    raw.write_text("\n".join(json.dumps({"item": w}) for w in ["a", "b", "c"]))
+    meta = [dict(pkey=None, model=Item.__qname__, file=str(raw), created="2026-08-13")]
+    out = pipe(stage="extract", meta=meta)
+
+    with sqlite3.connect(db) as conn:
+        loaded = sorted(r[0] for r in conn.execute("SELECT item FROM items"))
+    assert loaded == ["a", "b", "c"]
+
+    obj = pipe.store.get_object(out[0]["pkey"])
+    assert obj["transformed"]
+    assert not obj["loaded"]  # record=False leaves the object resumable

@@ -480,6 +480,7 @@ def connected_components(
     col_a: str,
     col_b: str,
     max_iter: int = 25,
+    fixed_rounds: Optional[int] = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list → columns
     `(id, label)` where label is the component's minimum member id.
@@ -501,8 +502,14 @@ def connected_components(
       without it the plan doubles per iteration and Catalyst analysis
       time explodes long before data does.
     - The convergence probe (`changed == 0`) costs one small action
-      per round; at petabyte scale replace with a fixed iteration
-      count ~log2(max expected cluster diameter).
+      per round. `fixed_rounds=n` is the at-scale mode: exactly n
+      propagation rounds with NO driver-side action per round — the
+      whole computation is one lazy plan chain (checkpointed per
+      round), correct whenever n ≥ the largest component diameter
+      (near-dup clusters are dense, so diameters are tiny; n=8 covers
+      any realistic corpus, and an undersized n degrades to splitting
+      one component into adjacent labels, never to wrong membership
+      merges).
     """
     edges = pairs.select(
         F.col(col_a).cast("long").alias("s"), F.col(col_b).cast("long").alias("t")
@@ -516,7 +523,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(fixed_rounds if fixed_rounds is not None else max_iter):
         prop = edges.join(labels, edges.t == labels.id).select(
             F.col("s").alias("id"), "label", F.lit(False).alias("own")
         )
@@ -534,8 +541,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = new.where(F.col("label") != F.col("__old")).count()
-        labels = new.select("id", "label")
-        if changed == 0:
-            break
+        if fixed_rounds is None:
+            changed = new.where(F.col("label") != F.col("__old")).count()
+            labels = new.select("id", "label")
+            if changed == 0:
+                break
+        else:
+            labels = new.select("id", "label")
     return labels

@@ -23,7 +23,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import vectors as V
 
-__all__ = ["cosine_topk", "hyperplanes", "lsh_bucket_expr", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "hyperplanes",
+    "lsh_bucket_expr",
+    "lsh_probe_buckets_expr",
+    "lsh_topk",
+    "IvfIndex",
+    "ivf_fit",
+    "ivf_search",
+    "ivf_topk",
+]
 
 
 def cosine_topk(
@@ -65,30 +75,42 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
+class IvfIndex:
+    """Fit-once IVF index: the cell-assigned corpus plus the centroid
+    table. Build with `ivf_fit`, search many query batches with
+    `ivf_search` — the fit (distributed KMeans) and the corpus
+    assignment pass are paid ONCE, not per query batch.
+
+    `persist()`/`unpersist()` pin the assigned corpus in cache for
+    repeated searches; at scale, write `assigned` out partitioned by
+    `__cell` instead and reload (cell-partitioned files = probe reads
+    only touch the probed cells' files)."""
+
+    def __init__(self, assigned: DataFrame, centers: list[list[float]], id_col: str):
+        self.assigned = assigned
+        self.centers = centers
+        self.id_col = id_col
+
+    def persist(self) -> "IvfIndex":
+        self.assigned = self.assigned.persist()
+        return self
+
+    def unpersist(self) -> "IvfIndex":
+        self.assigned.unpersist()
+        return self
+
+
+def ivf_fit(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    query_id_col: str = "qid",
     seed: int = 42,
     max_iter: int = 5,
-    round_to: Optional[int] = 6,
-) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into KMeans cells, probe
-    each query's `n_probe` nearest cells, exact-rerank within candidates.
-
-    Scale shape: the centroid table is n_cells rows (broadcast
-    everywhere); cell assignment is one model.transform map over the
-    corpus; the candidate join is an equi-join on cell id touching
-    ~n_probe/n_cells of the corpus per query. The KMeans fit itself is
-    pyspark.ml's distributed Lloyd's — sampled/iterative, run once and
-    reusable across query batches. Seeded → deterministic locally, but
-    kmeans is not SQL-expressible → rows-only correctness check.
-    """
+) -> IvfIndex:
+    """Coarse-quantize the corpus into KMeans cells (the expensive,
+    reusable half of IVF). The KMeans fit is pyspark.ml's distributed
+    Lloyd's; assignment is one model.transform map over the corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -105,10 +127,28 @@ def ivf_topk(
         predictionCol="__cell",
     ).fit(feats)
     assigned = model.transform(feats).select(id_col, "__v", "__inv", "__cell")
-
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    cent_df = corpus.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "__cell int, __cv array<double>"
+    return IvfIndex(assigned, centers, id_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Probe each query's `n_probe` nearest cells of a fitted IvfIndex,
+    exact cosine rerank within candidates.
+
+    Scale shape: the centroid table is n_cells rows (broadcast
+    everywhere); the candidate join is an equi-join on cell id touching
+    ~n_probe/n_cells of the corpus per query."""
+    id_col = index.id_col
+    cent_df = queries.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(index.centers)], "__cell int, __cv array<double>"
     )
     q = queries.select(
         F.col(query_id_col),
@@ -129,6 +169,7 @@ def ivf_topk(
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    assigned = index.assigned
     return (
         assigned.join(
             F.broadcast(probed),
@@ -138,6 +179,38 @@ def ivf_topk(
         .select(query_id_col, id_col, sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    seed: int = 42,
+    max_iter: int = 5,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """One-shot IVF ANN: `ivf_fit` + `ivf_search`. For repeated query
+    batches fit once and reuse the index (the fit dominates). Seeded →
+    deterministic locally, but kmeans is not SQL-expressible →
+    rows-only correctness check."""
+    index = ivf_fit(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed,
+        max_iter=max_iter,
+    )
+    return ivf_search(
+        index,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        round_to=round_to,
     )
 
 
@@ -159,6 +232,33 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def lsh_probe_buckets_expr(vec_col, planes: list[list[float]], n_probe: int):
+    """Multi-probe bucket list for a query vector: its own bucket plus
+    the buckets reached by flipping the sign bits with the SMALLEST
+    absolute margin |v·h_j| — the classic multi-probe LSH heuristic
+    (a vector close to hyperplane j most likely has true neighbors on
+    the other side of j). Pure codegen: per-plane dot products →
+    (margin, flipped-bucket) structs → sort_array on margin → slice.
+    Returns an array of `n_probe` bucket ids (n_probe ≤ n_planes+1)."""
+    dots = [V.dot(vec_col, F.array(*[F.lit(x) for x in h])) for h in planes]
+    bucket = F.lit(0).cast("long")
+    for j, d in enumerate(dots):
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    flips = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("m"),
+                    bucket.bitwiseXOR(F.lit(1 << j)).cast("long").alias("b"),
+                )
+                for j, d in enumerate(dots)
+            ]
+        )
+    )
+    ordered = F.transform(flips, lambda s: s["b"])
+    return F.concat(F.array(bucket), F.slice(ordered, 1, max(n_probe - 1, 0)))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,11 +270,18 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     round_to: Optional[int] = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signs, exact-rerank
-    within the query's bucket. Recall grows with fewer planes / multi-
-    probe; this single-probe form is the deterministic gate-checkable
-    core."""
+    within the query's probed buckets.
+
+    `n_probe=1` is the deterministic gate-checkable core (the query's
+    own bucket only). `n_probe>1` additionally probes the buckets
+    across the lowest-margin hyperplanes (multi-probe LSH): candidate
+    volume grows ~linearly in n_probe while recall climbs steeply,
+    because most missed neighbors sit just across the nearest
+    hyperplane. The probe fan-out happens on the (small, broadcast)
+    QUERY side — the corpus is bucketed once and never re-hashed."""
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col),
@@ -182,14 +289,19 @@ def lsh_topk(
         F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
     )
+    n_probe = min(n_probe, n_planes + 1)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
         F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
+        F.explode(
+            lsh_probe_buckets_expr(F.col(vec_col), planes, n_probe)
+        ).alias("__qbucket"),
     )
     # 1/norm precomputed per row under the join barrier: per-candidate
-    # cost is one dot product, not dot + two norms.
+    # cost is one dot product, not dot + two norms. A candidate matches
+    # at most ONE probe bucket (it lives in exactly one bucket), so the
+    # probe explode never duplicates candidates.
     sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)

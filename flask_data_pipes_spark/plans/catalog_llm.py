@@ -1319,9 +1319,12 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. Run it on a sampled query set in production.
 
     On the synthetic near-orthogonal embeddings this reports IVF ≈ 0.7,
-    hyperplane-LSH ≈ 0.18 at sf0.01 — exactly the kind of finding the
-    gauge exists to surface (data-oblivious hyperplanes hash
-    near-orthogonal vectors almost randomly; IVF adapts its cells)."""
+    single-probe hyperplane-LSH ≈ 0.18, and 4-probe multi-probe LSH
+    ≈ 0.5 at sf0.01 — exactly the kind of finding the gauge exists to
+    surface (data-oblivious hyperplanes hash near-orthogonal vectors
+    almost randomly; probing across the lowest-margin hyperplanes
+    recovers most of the loss at ~4× candidate volume; IVF adapts its
+    cells to the data)."""
     from ..operators import similarity
 
     e = load(spark, sf_dir, "embeddings")
@@ -1336,6 +1339,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": similarity.lsh_topk(e, q, k=5, n_planes=4, seed=42).select(
             "qid", "vec_id"
         ),
+        "lsh_mp4": similarity.lsh_topk(
+            e, q, k=5, n_planes=4, seed=42, n_probe=4
+        ).select("qid", "vec_id"),
     }
     parts = []
     for name, res in approx.items():
@@ -1353,7 +1359,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         parts.append(per_q)
-    both = parts[0].unionByName(parts[1])
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
     return both.groupBy("index").agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg("recall"), 6).alias("recall_at_5"),

@@ -52,12 +52,39 @@ def spread_for_cpu(df: DataFrame, key: str, num_partitions: Optional[int] = None
     back down — AQE only coalesces when the count isn't user-specified.
     At real scale (many splits) this is a no-op, so the shuffle is only
     paid when it buys parallelism.
+
+    The split estimate comes from Catalyst's size statistics (bytes /
+    maxPartitionBytes), NOT `df.rdd.getNumPartitions()` — the RDD
+    conversion forces a full plan translation per call, pure
+    driver-side overhead on every query build.
     """
     sc = df.sparkSession.sparkContext
     target = num_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if _estimated_splits(df) >= max(2, target // 2):
         return df
     return df.repartition(target, F.col(key))
+
+
+def _estimated_splits(df: DataFrame) -> int:
+    """Estimated scan task count: optimizer sizeInBytes over
+    maxPartitionBytes. Errs large for unknown-size sources (statistics
+    default to 'huge'), which correctly turns the spread into a no-op —
+    never repartition what is already big."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+        ).strip().lower().removesuffix("b")
+        mult = 1
+        if raw and raw[-1] in "kmgt":
+            mult = 1024 ** ("kmgt".index(raw[-1]) + 1)
+            raw = raw[:-1]
+        mpb = int(raw or "134217728") * mult
+        return max(1, size // max(mpb, 1))
+    except Exception:  # py4j internals unavailable (e.g. Spark Connect)
+        return df.rdd.getNumPartitions()
 
 
 def _pair_structs(ids: Column) -> Column:
@@ -225,6 +252,26 @@ def minhash_dedup_keep(
     return df.join(dupes, on=id_col, how="left_anti")
 
 
+def _simhash_total(hs_col: Column, n_col: Column, bits: int) -> Column:
+    """Majority-bit fold over an array of token hashes: bit b of the
+    result is set when ≥half the hashes have bit b set. `hs_col`/`n_col`
+    must reference ALREADY-PROJECTED columns (the hash array is
+    referenced `bits` times — keeping it behind a projection stops
+    CollapseProject from inlining and recomputing the md5 pass per bit
+    term)."""
+
+    def bit_pred(b: int):
+        return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
+
+    total: Column = F.lit(0)
+    for b in range(bits):
+        total = total + F.when(
+            2 * F.size(F.filter(hs_col, bit_pred(b))) >= n_col,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+    return total.cast("long")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -236,27 +283,37 @@ def simhash(
     simhash prefix for the scale path."""
     toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
     hs = F.transform(toks, lambda x: T.md5_long(x, 7))
-
-    def bit_pred(b: int):
-        return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
-
-    terms = [
-        F.when(
-            2 * F.size(F.filter(F.col("__hs"), bit_pred(b))) >= F.col("__n"),
-            F.lit(1 << b),
-        ).otherwise(F.lit(0))
-        for b in range(bits)
-    ]
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
     # cheap scan-stage pre-filter (⟺ size(tokens) > 0, null-rejecting);
     # see minhash_bands for why the filter must not be expression-heavy.
     return (
         spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
         .select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
-        .select(id_col, total.cast("long").alias("simhash"))
+        .select(
+            id_col,
+            _simhash_total(F.col("__hs"), F.col("__n"), bits).alias("simhash"),
+        )
     )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 16,
+) -> DataFrame:
+    """Attach a simhash column while KEEPING the input columns — the
+    building block for simhash-prefix blocking (`shiftrightunsigned(
+    simhash, bits - p)` is a p-bit prefix block key that co-buckets
+    near-dups, the production blocking signal for `jaccard_pairs`).
+
+    Two-step projection for the same reason as `simhash`: the token-
+    hash array is computed once per row, not once per bit term."""
+    toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
+    hs = F.transform(toks, lambda x: T.md5_long(x, 7))
+    staged = df.withColumns({"__hs": hs, "__n": F.size(toks)})
+    return staged.withColumn(
+        out_col, _simhash_total(F.col("__hs"), F.col("__n"), bits)
+    ).drop("__hs", "__n")
 
 
 def simhash_pairs(

@@ -493,16 +493,37 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_ngram_jaccard_pairs",
-    oracle=r"""
-    WITH t AS (
-      SELECT doc_id, doc_id % 50 AS block,
+_JACC_BLOCK_BITS = 16  # simhash width for the blocking signal
+_JACC_BLOCK_PREFIX = 6  # block key = top 6 simhash bits (64 blocks)
+
+
+def _ddb_jaccard_pairs_oracle() -> str:
+    """Oracle twin of the simhash-prefix-blocked jaccard: per-doc 16-bit
+    simhash (same majority-bit definition as llm_simhash) >> 10 is the
+    block; 3-shingle Jaccard within blocks."""
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, v -> (v >> {b}) & 1 = 1)) >= n THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(_JACC_BLOCK_BITS)
+    )
+    shift = _JACC_BLOCK_BITS - _JACC_BLOCK_PREFIX
+    return rf"""
+    WITH t0 AS (
+      SELECT doc_id, text,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT doc_id, text, len(toks) AS n,
+             list_transform(toks, x -> {_ddb_md5_long('x', 7)}) AS hs
+      FROM t0
+    ),
+    t AS (
+      SELECT doc_id, ({terms})::BIGINT >> {shift} AS block,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 0) + 1),
                i -> array_to_string((string_split_regex(trim(lower(text)), '\s+'))[i:i+2], ' ')
              )) AS sh
-      FROM documents WHERE trim(text) <> ''
+      FROM h
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.sh, b.sh)) /
@@ -511,20 +532,32 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE len(a.sh) > 0 AND len(b.sh) > 0
       AND len(list_intersect(a.sh, b.sh)) /
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
-    """,
-)
+    """
+
+
+@register("llm_ngram_jaccard_pairs", oracle=_ddb_jaccard_pairs_oracle())
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (word 3-shingle) Jaccard near-dup within blocking keys.
 
-    Blocking (here doc_id%50; in production a cheap signal like a
-    simhash prefix or length bucket) keeps the pairwise comparison
-    inside buckets — the join is an equi-join on block, linear overall.
+    The blocking key is the PRODUCTION signal: a 6-bit simhash prefix
+    (near-dup docs have near-identical simhashes, so their top bits
+    agree and they co-bucket; unrelated docs spread across 64 blocks).
+    The pairwise comparison stays inside blocks — an equi-join, linear
+    overall.
     """
     from ..operators import dedup
 
+    d = dedup.with_simhash(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        out_col="__simh",
+        bits=_JACC_BLOCK_BITS,
+    )
     return dedup.jaccard_pairs(
-        load(spark, sf_dir, "documents"),
-        block_col=F.col("doc_id") % 50,
+        d,
+        block_col=F.shiftrightunsigned(
+            F.col("__simh"), _JACC_BLOCK_BITS - _JACC_BLOCK_PREFIX
+        ),
         text_col="text",
         id_col="doc_id",
         k=3,

@@ -240,12 +240,27 @@ def compact_parquet(
     at scale the file listing + task-per-file overhead dominates reads
     long before data volume does. Returns the new file count.
 
-    Writes to a temp sibling then swaps, so a failed compaction never
-    destroys the input (the reference's temp-then-rename commit, W2,
-    at directory granularity)."""
+    LOCAL-FILESYSTEM ONLY: the swap uses os.rename, so object-store /
+    HDFS URIs are rejected up front (route those through a table format
+    with a transactional REPLACE — Delta/Iceberg — or the Hadoop
+    FileSystem API). The directory swap itself is NOT atomic: between
+    the two renames the dataset path briefly holds only the old copy
+    under `._compact_old`; a crash in that window leaves both copies on
+    disk (old at `._compact_old`, new at `._compact_tmp`) — data is
+    never destroyed, but the final path needs a manual rename to
+    recover."""
     import math
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_parquet swaps directories with os.rename and cannot "
+            f"operate on '{scheme}://' paths; use a transactional table "
+            f"format (Delta/Iceberg) or the Hadoop FileSystem API there"
+        )
 
     size = sum(
         os.path.getsize(os.path.join(r, f))

@@ -1081,6 +1081,69 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+@register(
+    "llm_chunk_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {_CHUNK_OVERLAP}, 1) + 1,
+                          {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           ((start - 1) // {_CHUNK_SIZE - _CHUNK_OVERLAP})::BIGINT AS chunk_id,
+           len(toks[start:start + {_CHUNK_SIZE - 1}])::BIGINT AS chunk_tokens,
+           array_to_string(toks[start:start + {_CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size {cs}, overlap {ov}):
+    the standard context-window preparation step — every training/RAG
+    pipeline slices documents into model-sized windows, overlapping so
+    no span of {ov} tokens is ever split across a boundary without a
+    copy. Chunk starts are 1, 1+stride, ... (stride = size − overlap);
+    a short document yields exactly one chunk.
+
+    Scale: pure narrow map + explode — tokenize once per row, emit
+    ~n_tokens/stride rows; no shuffle at all, so the operator scales
+    with scan bandwidth. chunk_id is derived arithmetically from the
+    start offset ((start-1)/stride), keeping the explode stateless.""".replace(
+        "{cs}", str(_CHUNK_SIZE)
+    ).replace("{ov}", str(_CHUNK_OVERLAP))
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = T.whitespace_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("__t"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("__t")) - _CHUNK_OVERLAP, F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__t"), F.col("start"), _CHUNK_SIZE)
+    return (
+        # explode_OUTER: a plain explode makes InferFiltersFromGenerate
+        # push `size(sequence(...)) > 0` (containing the tokenization)
+        # into the scan stage — the catalog-wide pushdown-trap rule.
+        base.select("doc_id", "__t", F.explode_outer(starts).alias("start"))
+        .filter(F.col("start").isNotNull())
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 @register(
     "llm_lang_topterms",
     oracle=r"""
@@ -1320,6 +1383,87 @@ def llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, q, k=5, n_planes=8, dim=64, seed=42).select(
         "qid", "vec_id", "sim", "rnk"
     )
+
+
+def _ddb_lsh_multiprobe_oracle(n_planes: int = 8, n_probe: int = 4) -> str:
+    """Oracle for MULTI-probe LSH top-k: per query, probe its own bucket
+    plus the buckets across the (n_probe-1) lowest-|margin| hyperplanes.
+    Identical plane literals, identical (margin, flipped-bucket) struct
+    sort on both engines."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, 42)
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(qv, {lst(h)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    c_bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lst(h)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    flip_structs = ", ".join(
+        f"{{'m': abs(list_dot_product(qv, {lst(h)})), 'b': xor(qbucket, {1 << j})}}"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id, v, inv, ({c_bucket_terms})::BIGINT AS bucket FROM c
+    ),
+    q0 AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    q1 AS (
+      SELECT qid, qv, qinv, ({bucket_terms})::BIGINT AS qbucket FROM q0
+    ),
+    qp AS (
+      SELECT qid, qv, qinv,
+             unnest([qbucket] || list_transform(
+               (list_sort([{flip_structs}]))[1:{n_probe - 1}], s -> s.b
+             )) AS qbucket
+      FROM q1
+    ),
+    scored AS (
+      SELECT qp.qid, cb.vec_id,
+             round(list_dot_product(qp.qv, cb.v) * qp.qinv * cb.inv, 6) AS sim
+      FROM qp JOIN cb ON qp.qbucket = cb.bucket AND qp.qid <> cb.vec_id
+    )
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register("llm_lsh_topk_multiprobe", oracle=_ddb_lsh_multiprobe_oracle())
+def llm_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (similarity.lsh_topk(n_probe=4)): beyond
+    the query's own bucket, probe across the 3 lowest-|margin|
+    hyperplanes — recovering most of single-probe's recall loss at ~4×
+    candidate volume (see llm_ann_recall: 0.18 → 0.5 on this data).
+
+    Scale: the probe fan-out multiplies only the broadcast QUERY side;
+    the corpus is hashed once and the join stays a bigint equi-join."""
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.lsh_topk(
+        e, q, k=5, n_planes=8, dim=64, seed=42, n_probe=4
+    ).select("qid", "vec_id", "sim", "rnk")
 
 
 @register("llm_ivf_topk")  # kmeans fit is iterative → not SQL-expressible; rows-only gate

@@ -300,15 +300,25 @@ def with_simhash(
     text_col: str = "text",
     out_col: str = "simhash",
     bits: int = 16,
+    max_tokens: Optional[int] = None,
 ) -> DataFrame:
     """Attach a simhash column while KEEPING the input columns — the
     building block for simhash-prefix blocking (`shiftrightunsigned(
     simhash, bits - p)` is a p-bit prefix block key that co-buckets
     near-dups, the production blocking signal for `jaccard_pairs`).
 
+    `max_tokens=w` hashes only the first w distinct tokens — a BOUNDED
+    signature cost per document regardless of length. Majority voting
+    over a w-token window is still robust to small edits, so near-dups
+    keep colliding, and the per-row cost stops scaling with document
+    size (the right trade for a blocking key, whose only job is recall;
+    the exact Jaccard downstream removes any extra collisions).
+
     Two-step projection for the same reason as `simhash`: the token-
     hash array is computed once per row, not once per bit term."""
     toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     hs = F.transform(toks, lambda x: T.md5_long(x, 7))
     staged = df.withColumns({"__hs": hs, "__n": F.size(toks)})
     return staged.withColumn(
@@ -405,46 +415,45 @@ def jaccard_pairs(
         block_col.alias("__block"),
         F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
     )
-    # no `__n > 0` filter: it would push `size(shingles) > 0` into the
-    # scan stage (the pushdown trap again), and it's redundant — only
-    # ids with ≥1 posting can reach the sizes join.
-    sizes = base.select(
-        F.col(id_col).alias("__sid"), F.size("__sh").alias("__n")
-    )
-    # one shuffle on (block, shingle); per-posting-list pair enumeration
-    # (lists are short — bounded by block size) then count per pair.
+    # Per-doc set size rides ON the posting rows (struct(id, n)) instead
+    # of a separate `sizes` relation: a second relation over `base`
+    # would RE-EVALUATE the whole shingle+block projection (different
+    # downstream exchanges → no reuse) and need two joins to re-attach —
+    # the single-pass shape halves the expensive projection work and
+    # drops both joins. n is functionally dependent on id, so grouping
+    # by (id, n) pairs is still a per-pair count.
+    #
     # explode_OUTER deliberately: a plain explode makes Catalyst infer a
     # `size(shingles) > 0` filter (InferFiltersFromGenerate) and push
     # the whole shingle computation down into the scan stage; the outer
     # form infers nothing, and the null rows drop with a cheap
     # post-Generate filter instead.
     posts = base.select(
-        id_col, "__block", F.explode_outer("__sh").alias("__s")
+        F.struct(F.col(id_col).alias("id"), F.size("__sh").alias("n")).alias("__d"),
+        "__block",
+        F.explode_outer("__sh").alias("__s"),
     ).filter(F.col("__s").isNotNull())
+    # one shuffle on (block, shingle); per-posting-list pair enumeration
+    # (lists are short — bounded by block size) then count per pair.
     inter = (
         posts.groupBy("__block", "__s")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") >= 2)
-        .select(F.explode(_pair_structs(F.col("__ids"))).alias("__p"))
+        .agg(F.sort_array(F.collect_set("__d")).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+        .select(F.explode(_pair_structs(F.col("__ds"))).alias("__p"))
         .groupBy(
-            F.col("__p.a").alias("__ida"), F.col("__p.b").alias("__idb")
+            F.col("__p.a.id").alias("__ida"),
+            F.col("__p.b.id").alias("__idb"),
+            F.col("__p.a.n").alias("__na"),
+            F.col("__p.b.n").alias("__nb"),
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    # sizes is corpus-sized: no broadcast hint — Spark broadcasts it
-    # while it fits the threshold and shuffle-joins beyond (the correct
-    # degradation at scale).
-    jacc = F.col("__inter") / (F.col("a.__n") + F.col("b.__n") - F.col("__inter"))
-    return (
-        inter.join(sizes.alias("a"), F.col("__ida") == F.col("a.__sid"))
-        .join(sizes.alias("b"), F.col("__idb") == F.col("b.__sid"))
-        .select(
-            F.col("__ida").alias(f"{id_col}_a"),
-            F.col("__idb").alias(f"{id_col}_b"),
-            jacc.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    jacc = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return inter.select(
+        F.col("__ida").alias(f"{id_col}_a"),
+        F.col("__idb").alias(f"{id_col}_b"),
+        jacc.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_neardup_pairs(

@@ -495,6 +495,7 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACC_BLOCK_BITS = 16  # simhash width for the blocking signal
 _JACC_BLOCK_PREFIX = 6  # block key = top 6 simhash bits (64 blocks)
+_JACC_BLOCK_TOKENS = 48  # bounded signature window (cost per doc is O(48), not O(len))
 
 
 def _ddb_jaccard_pairs_oracle() -> str:
@@ -509,7 +510,7 @@ def _ddb_jaccard_pairs_oracle() -> str:
     return rf"""
     WITH t0 AS (
       SELECT doc_id, text,
-             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+             (list_distinct(string_split_regex(trim(lower(text)), '\s+')))[1:{_JACC_BLOCK_TOKENS}] AS toks
       FROM documents WHERE trim(text) <> ''
     ),
     h AS (
@@ -552,6 +553,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         out_col="__simh",
         bits=_JACC_BLOCK_BITS,
+        max_tokens=_JACC_BLOCK_TOKENS,
     )
     return dedup.jaccard_pairs(
         d,

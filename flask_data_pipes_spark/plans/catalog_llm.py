@@ -1083,6 +1083,116 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_SEED = 11
+_STRAT_RATES = {"en": 0.25}  # downsample the dominant language
+_STRAT_DEFAULT_RATE = 0.75
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=rf"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_ddb_md5_long('doc_id::VARCHAR', _STRAT_SEED)} % 10000 <
+          CASE lang
+            {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in _STRAT_RATES.items())}
+            ELSE {int(_STRAT_DEFAULT_RATE * 10000)}
+          END
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix rebalancing
+    step (keep 25% of the dominant 'en', 75% of everything else).
+
+    Keep-predicate is a HASH of the stable document id against a
+    per-stratum threshold, NOT `df.sample`: the decision is
+    reproducible across runs, partitionings, and engines (the DuckDB
+    oracle applies the same predicate), documents keep or drop
+    consistently when the corpus is re-processed incrementally, and
+    changing a stratum's rate only adds/removes the marginal documents
+    (thresholds are nested: a doc kept at 25% is kept at 75%).
+
+    Scale: a pure narrow filter — no shuffle, no state, no RNG."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(int(_STRAT_DEFAULT_RATE * 10000))
+    for k, v in _STRAT_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(int(v * 10000))).otherwise(rate)
+    keep = (
+        T.md5_long(F.col("doc_id").cast("string"), _STRAT_SEED) % 10000 < rate
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+@register(
+    "llm_tfidf_topterms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, n_tok, COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, term, n_tok
+    ),
+    wdf AS (
+      SELECT doc_id, term, n_tok, cnt,
+             COUNT(*) OVER (PARTITION BY term) AS df,
+             (SELECT COUNT(*) FROM documents WHERE trim(text) <> '') AS n_docs
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, term,
+             round((cnt::DOUBLE / n_tok) * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM wdf
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic distinctive-term
+    extractor (doc keywords, near-dup explanation, topic drift checks).
+    tf = term count / doc length; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    ranking on the rounded score with term tie-break is deterministic
+    cross-engine.
+
+    Scale shape: ONE scan feeds everything. (doc, term) counts carry
+    the doc length in the grouping key (functionally dependent — same
+    no-reattach trick as jaccard_pairs); document frequency is a
+    window COUNT over the term partition of the aggregated counts (no
+    second scan, no join); the corpus size N is a 1-row aggregate
+    cross-joined in (broadcast — the only sane way to get a scalar to
+    every row). Three shuffles total: (doc,term) agg, term window,
+    doc-ranking window."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = T.whitespace_tokens(F.lower(F.col("text")))
+    tok = d.select(
+        "doc_id", F.size(toks).alias("n_tok"), F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = tok.groupBy("doc_id", "term", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wdf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = wdf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.col("cnt").cast("double") / F.col("n_tok"))
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 _CHUNK_SIZE = 32
 _CHUNK_OVERLAP = 8
 

@@ -246,3 +246,43 @@ def test_driver_contract_integrity(spark, sf_dir):
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} produced no columns"
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is tokenize-once + explode — a narrow map; any Exchange
+    means the operator stopped scaling with scan bandwidth."""
+    plan = _plan(spark, sf_dir, "llm_chunk_documents")
+    assert "Exchange" not in plan, "chunking shuffles a narrow map"
+
+
+def test_stratified_sample_no_shuffle_and_pruned(spark, sf_dir):
+    """Hash-threshold sampling is a pure filter: no Exchange, and the
+    scan reads only the two output columns + text-free predicate inputs."""
+    plan = _plan(spark, sf_dir, "llm_stratified_sample")
+    assert "Exchange" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1], "scan reads unused text column"
+
+
+def test_jaccard_pairs_single_scan_no_joins(spark, sf_dir):
+    """The single-pass posting shape: one scan (sizes ride in the
+    posting struct — no re-evaluation, no re-attach joins)."""
+    plan = _plan(spark, sf_dir, "llm_ngram_jaccard_pairs")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_lsh_multiprobe_broadcasts_probes(spark, sf_dir):
+    """Multi-probe fan-out stays on the broadcast query side; the corpus
+    is hashed once and equi-joined — never re-scanned per probe."""
+    plan = _plan(spark, sf_dir, "llm_lsh_topk_multiprobe")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") <= 2  # corpus + query selection
+
+
+def test_tfidf_single_scan_for_tf_df(spark, sf_dir):
+    """tf and df both come from ONE tokenization scan (df is a window
+    over the aggregated counts, not a second aggregation of the raw
+    tokens); only the 1-row corpus count may rescan."""
+    plan = _plan(spark, sf_dir, "llm_tfidf_topterms")
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan

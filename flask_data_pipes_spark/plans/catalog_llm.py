@@ -1083,6 +1083,67 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_quantize_embeddings",
+    oracle=r"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE round(x / scale, 0)::INT END) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * scale))), 6) AS max_err
+    FROM q
+    """,
+)
+def llm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column
+    (vectors.quantize_int8): per-vector scale = max|v_i|/127, codes in
+    [-127, 127], plus the max reconstruction error as the quality
+    gauge. 4× bandwidth/cache reduction — at 100 TB of embeddings the
+    quantized copy is what ANN candidate generation shuffles; full
+    floats are fetched only for the final rerank.
+
+    Gate columns are per-vector summaries (scale, code sum/min/max,
+    max error) because the harness cannot sort array cells; the full
+    code array is exercised by unit tests.
+
+    Scale: pure narrow map — zero shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (V.max_abs("embedding") / 127.0).alias("scale"),
+    )
+    q = s.select(
+        "vec_id", "v", "scale", V.quantize_int8(F.col("v"), F.col("scale")).alias("qv")
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"), F.col("qv"), lambda x, c: F.abs(x - c * F.col("scale"))
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
 _STRAT_SEED = 11
 _STRAT_RATES = {"en": 0.25}  # downsample the dominant language
 _STRAT_DEFAULT_RATE = 0.75
@@ -1190,6 +1251,41 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+_MIX_WEIGHTS = {"zh": 3, "fr": 2}  # upsample under-represented languages
+_MIX_DEFAULT_WEIGHT = 1
+
+
+@register(
+    "llm_mixture_upsample",
+    oracle=rf"""
+    SELECT doc_id, lang, unnest(range(1, CASE lang
+             {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())}
+             ELSE {_MIX_DEFAULT_WEIGHT} END + 1))::BIGINT AS copy
+    FROM documents
+    """,
+)
+def llm_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling — the other half of training-mix construction
+    (llm_stratified_sample downsamples the dominant stratum; this
+    repeats under-represented strata by an integer epoch weight, zh×3
+    fr×2 here). Emitting an explicit `copy` index keeps every row
+    distinct so downstream shuffles/dedup don't collapse the copies,
+    and lets samplers interleave copies across epochs.
+
+    Scale: explode of a tiny per-row sequence — narrow, no shuffle; at
+    100 TB the write amplification IS the point (weights belong in the
+    plan, not materialized — feed this straight into packing/sharding)."""
+    d = load(spark, sf_dir, "documents")
+    weight = F.lit(_MIX_DEFAULT_WEIGHT)
+    for k, v in _MIX_WEIGHTS.items():
+        weight = F.when(F.col("lang") == k, F.lit(v)).otherwise(weight)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), weight.cast("long"))).alias("copy"),
     )
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "sessionize_stream",
     "sessionize_batch",
     "foreach_batch_stage",
+    "foreach_batch_upsert",
 ]
 
 EVENTS_SCHEMA = (
@@ -258,5 +259,34 @@ def foreach_batch_stage(
             batch_id=batch_id,
         )
         pipeline._commit_stage("transform", out, meta)
+
+    return sink
+
+
+def foreach_batch_upsert(
+    connection_factory,
+    merge_row,
+    batch_size: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink keeping a KEYED external table continuously
+    up to date — the streaming materialized-view pattern: run a
+    windowed aggregation in `update` output mode so each micro-batch
+    emits only the keys whose aggregates changed, and upsert those rows
+    (sinks/writers.write_upsert, W4) into the target table.
+
+    Exactly-once falls out of idempotence: a replayed micro-batch
+    re-merges the same keys to the same values, so Spark's at-least-once
+    foreachBatch contract upgrades to effectively-once without any
+    batchId bookkeeping in the sink table.
+
+    Scale: per-partition connections, commit-every-N; the upserted rows
+    per batch are bounded by the number of CHANGED aggregate keys, not
+    the stream volume."""
+    from ..sinks.writers import write_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_upsert(batch_df, connection_factory, merge_row, batch_size)
 
     return sink

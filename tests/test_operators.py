@@ -312,3 +312,34 @@ def test_ivf_fit_once_reuse_matches_one_shot(spark, sf_dir):
         assert {r["qid"] for r in got_b} == {3, 4, 5}
     finally:
         index.unpersist()
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Codes stay in [-127,127], zero vectors map to zero codes, and
+    dequantized values reconstruct within scale/2 per component."""
+    from flask_data_pipes_spark.functions import vectors as V
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),         # zero vector
+        (3, [127.0, -127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s = df.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        (V.max_abs("embedding") / 127.0).alias("scale"),
+    )
+    out = s.select(
+        "vec_id", "v", "scale",
+        V.quantize_int8(F.col("v"), F.col("scale")).alias("qv"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[2]["qv"] == [0, 0, 0, 0]
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r["qv"]), r
+        if r["scale"] > 0:
+            for x, c in zip(r["v"], r["qv"]):
+                assert abs(x - c * r["scale"]) <= r["scale"] / 2 + 1e-12
+    # extreme components hit the rails exactly
+    assert by_id[3]["qv"][0] == 127 and by_id[3]["qv"][1] == -127

@@ -317,3 +317,55 @@ def test_split_assign_partitions_everything(spark, sf_dir):
     total = load(spark, sf_dir, "documents").count()
     assert sum(out.values()) == total
     assert abs(out.get("train", 0) / total - 0.80) < 0.10
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_with_exact_overlap(spark, token_counts):
+    """Chunking invariants for arbitrary document lengths: every token
+    appears in at least one chunk; consecutive full chunks overlap by
+    exactly `overlap` tokens; a doc of ≤ chunk_size tokens yields one
+    chunk."""
+    from flask_data_pipes_spark.plans.catalog_llm import (
+        _CHUNK_OVERLAP as OV,
+        _CHUNK_SIZE as CS,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stride = CS - OV
+    starts_col = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.split(F.trim("text"), r"\s+", -1)) - OV, F.lit(1)),
+        F.lit(stride),
+    )
+    out = (
+        df.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode_outer(starts_col).alias("start"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["start"])
+    for i, n in enumerate(token_counts):
+        if n == 0:
+            assert i not in by_doc  # blank docs are dropped
+            continue
+        starts = sorted(by_doc[i])
+        assert starts[0] == 1
+        if n <= CS:
+            assert starts == [1]
+        # every token index covered
+        covered = set()
+        for s in starts:
+            covered |= set(range(s, min(s + CS, n + 1)))
+        assert covered == set(range(1, n + 1)), (n, starts)
+        # consecutive chunk starts differ by exactly the stride
+        assert all(b - a == stride for a, b in zip(starts, starts[1:]))

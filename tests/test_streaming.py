@@ -349,3 +349,70 @@ def test_foreach_batch_stage_batches_do_not_clobber(spark, tmp_path):
     objs2 = [o for o in pipe.store.objects if o["model"] == StreamEvent.__qname__]
     assert len(objs2) == 3
     assert {o.get("batch_id"): o["transform_file"] for o in objs2} == files
+
+
+def test_foreach_batch_upsert_materialized_view(spark, landing, tmp_path):
+    """Streaming materialized view: hourly rollup in update mode →
+    keyed upsert into sqlite per micro-batch. The final table must
+    equal the batch aggregate over the same data — later micro-batches
+    overwrite their keys' rows, never duplicate them."""
+    import sqlite3
+
+    from flask_data_pipes_spark.sinks.writers import upsert_sql
+    from flask_data_pipes_spark.streaming.stream import foreach_batch_upsert
+
+    db = str(tmp_path / "mv.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE hourly (hour TEXT, event_type TEXT, n_events INTEGER,"
+            " total_value REAL, PRIMARY KEY (hour, event_type))"
+        )
+    sql = upsert_sql(
+        "hourly",
+        ["hour", "event_type", "n_events", "total_value"],
+        keys=["hour", "event_type"],
+        dialect="onconflict",
+    )
+
+    def merge(conn, row):
+        conn.execute(
+            sql,
+            (str(row["hour"]), row["event_type"], row["n_events"], row["total_value"]),
+        )
+
+    events = read_jsonl_stream(spark, landing, EVENTS_SCHEMA, max_files_per_trigger=1)
+    rollup = hourly_rollup(events, watermark="100 days")
+    q = (
+        rollup.writeStream.outputMode("update")
+        .foreachBatch(
+            foreach_batch_upsert(
+                lambda: sqlite3.connect(db), merge, batch_size=50
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).json(landing)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    expected = {
+        (str(r["hour"]), r["event_type"]): (r["n"], r["v"])
+        for r in batch.collect()
+    }
+    with sqlite3.connect(db) as conn:
+        got = {
+            (h, t): (n, v)
+            for h, t, n, v in conn.execute(
+                "SELECT hour, event_type, n_events, total_value FROM hourly"
+            )
+        }
+    assert len(got) == len(expected)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        assert abs(got[k][1] - expected[k][1]) < 1e-6, k

@@ -220,12 +220,19 @@ def quality_score(c: ColumnOrName) -> Column:
     )
 
 
-def detect_language(c: ColumnOrName) -> Column:
+def detect_language(c: ColumnOrName, max_tokens: "int | None" = None) -> Column:
     """Stopword-overlap language ID over STOPWORDS languages; returns the
     lang code with the most token hits ('und' if zero hits everywhere).
     Ties break by language-code order (deterministic, SQL-expressible).
+
+    `max_tokens=w` scores only the first w tokens — the production
+    language-ID pattern (fasttext-style detectors read the first 1-2 KB):
+    per-document cost becomes O(w), independent of length, and accuracy
+    barely moves because language is a document-global property.
     """
     toks = whitespace_tokens(F.lower(_col(c)))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in sorted(STOPWORDS):

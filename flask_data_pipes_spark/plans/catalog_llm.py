@@ -107,12 +107,21 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ddb_hits(lang_list: str) -> str:
-    return (
-        "len(list_filter(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
-        r"ELSE string_split_regex(trim(lower(text)), '\s+') END, "
-        f"x -> list_contains({lang_list}, x)))"
+# Language is a document-global property, so production language-ID
+# scores a bounded prefix (fasttext-style detectors read ~1-2 KB): cost
+# becomes O(cap) per document instead of O(doc length). Mirrored on both
+# engines so the gate hash still matches.
+LANGID_MAX_TOKENS = 64
+
+
+def _ddb_hits(lang_list: str, max_tokens: "int | None" = None) -> str:
+    toks = (
+        "CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+        r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
     )
+    if max_tokens is not None:
+        toks = f"list_slice({toks}, 1, {max_tokens})"
+    return f"len(list_filter({toks}, x -> list_contains({lang_list}, x)))"
 
 
 _SW = {
@@ -128,10 +137,10 @@ _SW = {
     oracle=f"""
     WITH h AS (
       SELECT doc_id, lang,
-             {_ddb_hits(_SW['de'])} AS h_de,
-             {_ddb_hits(_SW['en'])} AS h_en,
-             {_ddb_hits(_SW['es'])} AS h_es,
-             {_ddb_hits(_SW['fr'])} AS h_fr
+             {_ddb_hits(_SW['de'], LANGID_MAX_TOKENS)} AS h_de,
+             {_ddb_hits(_SW['en'], LANGID_MAX_TOKENS)} AS h_en,
+             {_ddb_hits(_SW['es'], LANGID_MAX_TOKENS)} AS h_es,
+             {_ddb_hits(_SW['fr'], LANGID_MAX_TOKENS)} AS h_fr
       FROM documents
     )
     SELECT doc_id, lang,
@@ -148,7 +157,11 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     code order) with max hits wins, zero hits → 'und'."""
     d = load(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", "lang", T.detect_language("text").alias("detected")
+        "doc_id",
+        "lang",
+        T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
+            "detected"
+        ),
     )
 
 
@@ -198,10 +211,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
              + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))
                AS quality,
-             {_ddb_hits(_SW['de'])} AS h_de,
-             {_ddb_hits(_SW['en'])} AS h_en,
-             {_ddb_hits(_SW['es'])} AS h_es,
-             {_ddb_hits(_SW['fr'])} AS h_fr,
+             {_ddb_hits(_SW['de'], LANGID_MAX_TOKENS)} AS h_de,
+             {_ddb_hits(_SW['en'], LANGID_MAX_TOKENS)} AS h_en,
+             {_ddb_hits(_SW['es'], LANGID_MAX_TOKENS)} AS h_es,
+             {_ddb_hits(_SW['fr'], LANGID_MAX_TOKENS)} AS h_fr,
              {_ddb_md5_long(_DDB_CANON)} AS fingerprint
       FROM t
     ),
@@ -238,7 +251,9 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
-        T.detect_language("text").alias("detected"),
+        T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
+            "detected"
+        ),
         T.quality_score("text").alias("quality"),
         T.doc_fingerprint("text").alias("fingerprint"),
     )

@@ -30,6 +30,7 @@ from ..functions import vectors as V
 
 __all__ = [
     "exact_dedup",
+    "boilerplate_prune",
     "minhash_bands",
     "candidate_pairs",
     "minhash_dedup_keep",
@@ -113,6 +114,81 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .agg(
             F.min(id_col).alias(f"keep_{id_col}"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def boilerplate_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate span removal (the "any three-sentence span
+    occurring more than once is removed" rule, on fixed token chunks
+    since this corpus has no sentence boundaries): split each document
+    into non-overlapping `chunk_size`-token chunks, count DISTINCT
+    documents per chunk hash corpus-wide, drop every chunk that appears
+    in >= `min_docs` documents, and re-join the survivors in order.
+
+    Output: (id, n_chunks, n_kept, clean_text), one row per non-blank
+    document; clean_text = '' when everything was boilerplate.
+
+    Scale shape: two passes over the chunk projection — (1) groupBy
+    chunk hash with countDistinct(id) partially aggregated map-side
+    (only 64-bit hashes + ids shuffle; text never leaves the map
+    stage); the boilerplate set is tiny by construction (<=
+    corpus_chunks / min_docs after the HAVING) and BROADCASTS into
+    (2) a flag join + groupBy(id) rebuild whose shuffle carries each
+    chunk's text exactly once. No corpus self-join, no skew (chunk
+    hashes are uniform 60-bit keys).
+    """
+    toks = T.whitespace_tokens(F.col(text_col))
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__t")
+    )
+    starts = F.sequence(F.lit(1), F.size("__t"), F.lit(chunk_size))
+    chunk = F.array_join(F.slice(F.col("__t"), F.col("start"), chunk_size), " ")
+    chunks = (
+        # explode_outer + notNull filter: a plain explode lets
+        # InferFiltersFromGenerate push size(sequence(...)) > 0 — which
+        # contains the tokenization — down into the scan stage, doubling
+        # the tokenize work (catalog-wide pushdown-trap rule).
+        base.select(id_col, "__t", F.explode_outer(starts).alias("start"))
+        .filter(F.col("start").isNotNull())
+        .select(id_col, "start", chunk.alias("chunk_text"))
+        .withColumn("h", T.md5_long(F.col("chunk_text"), 7))
+    )
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("h", F.lit(True).alias("__boiler"))
+    )
+    kept = F.col("__boiler").isNull()
+    return (
+        chunks.join(F.broadcast(boiler), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    # collect_list order is nondeterministic; the sort on
+                    # (start, text) restores document order (start unique).
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(F.col("start"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )
 

@@ -1367,6 +1367,63 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER_CHUNK = 16
+_BOILER_MIN_DOCS = 2
+
+
+@register(
+    "llm_boilerplate_prune",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, len(toks) + 1, {_BOILER_CHUNK})) AS start
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, start,
+             array_to_string(toks[start:start + {_BOILER_CHUNK - 1}], ' ') AS chunk_text
+      FROM s
+    ),
+    b AS (
+      SELECT chunk_text FROM c GROUP BY chunk_text
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    )
+    SELECT c.doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           (COUNT(*) FILTER (WHERE b.chunk_text IS NULL))::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN b.chunk_text IS NULL THEN c.chunk_text END,
+                               ' ' ORDER BY c.start), '') AS clean_text
+    FROM c LEFT JOIN b ON c.chunk_text = b.chunk_text
+    GROUP BY c.doc_id
+    """,
+)
+def llm_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate removal (reference has no
+    analog; this is the training-data-pipeline surface): any
+    {cs}-token chunk that occurs in >= {md} distinct documents is
+    boilerplate (nav bars, license headers, cookie banners) and is cut
+    from every document; survivors are re-joined in order.
+
+    Scale: see operators/dedup.py:boilerplate_prune — only 60-bit
+    chunk hashes + doc ids shuffle for the frequency count (map-side
+    partial countDistinct); the boilerplate set is tiny and broadcasts
+    back; one groupBy(doc_id) rebuild carries each chunk's text once.
+    The oracle groups on chunk text where Spark groups on md5_long —
+    equivalent absent 60-bit collisions.""".replace(
+        "{cs}", str(_BOILER_CHUNK)
+    ).replace("{md}", str(_BOILER_MIN_DOCS))
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    return dedup.boilerplate_prune(
+        d, chunk_size=_BOILER_CHUNK, min_docs=_BOILER_MIN_DOCS
+    )
+
+
 @register(
     "llm_lang_topterms",
     oracle=r"""

@@ -28,6 +28,30 @@ def test_exact_dedup(spark, docs):
     assert by_keep[3] == 1 and by_keep[4] == 1
 
 
+def test_boilerplate_prune(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "unique one two three"),
+        (4, "a b c d"),  # entirely boilerplate
+        (5, ""),  # blank: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_prune(df, chunk_size=4, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # "a b c d" occurs in docs 1, 2, 4 -> pruned everywhere
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == "e f g h"
+    assert out[2]["clean_text"] == "x y z w"
+    # untouched doc keeps its full text
+    assert out[3]["n_kept"] == 1 and out[3]["clean_text"] == "unique one two three"
+    # all-boilerplate doc survives as a row with empty clean_text
+    assert out[4]["n_kept"] == 0 and out[4]["clean_text"] == ""
+
+
 def test_minhash_dedup_keep(spark, docs):
     kept = sorted(
         r["doc_id"] for r in dedup.minhash_dedup_keep(docs).collect()

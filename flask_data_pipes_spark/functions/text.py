@@ -32,6 +32,7 @@ __all__ = [
     "mean_word_len",
     "quality_score",
     "detect_language",
+    "chunk_clean",
     "STOPWORDS",
 ]
 
@@ -217,6 +218,62 @@ def quality_score(c: ColumnOrName) -> Column:
         + F.lit(0.3) * sw_signal
         + F.lit(0.2) * len_signal
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio(c))
+    )
+
+
+def chunk_clean(
+    c: ColumnOrName,
+    chunk_size: int = 16,
+    min_tokens: int = 8,
+    min_distinct_ratio: float = 0.6,
+    max_stop_ratio: float = 0.3,
+    stopwords: "tuple[str, ...]" = ("a", "the"),
+) -> Column:
+    """CCNet-style segment cleaning, adapted to fixed token chunks
+    (CCNet filters per *line*; this corpus has no line boundaries):
+    split into non-overlapping `chunk_size`-token chunks, drop chunks
+    that are (in precedence order) too short (< `min_tokens`),
+    repetitive (distinct-token ratio < `min_distinct_ratio`), or
+    stopword-heavy (> `max_stop_ratio`), and re-join the survivors.
+
+    Returns struct(n_chunks, n_short, n_repetitive, n_stoppy, n_kept,
+    clean_text) with n_chunks = n_short + n_repetitive + n_stoppy +
+    n_kept (the precedence makes the counters a partition).
+
+    Scale: the whole operator is higher-order array expressions
+    (transform/filter/flatten) inside one projection — zero shuffle,
+    zero explode; it scales with scan bandwidth exactly like a map.
+    """
+    toks = whitespace_tokens(_col(c))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_size))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+
+    def short(ch):
+        return F.size(ch) < min_tokens
+
+    def repetitive(ch):
+        n = F.size(ch)
+        return ~short(ch) & (F.size(F.array_distinct(ch)) / n < min_distinct_ratio)
+
+    def stoppy(ch):
+        n = F.size(ch)
+        sr = F.size(F.filter(ch, lambda t: F.array_contains(sw, t))) / n
+        return ~short(ch) & ~repetitive(ch) & (sr > max_stop_ratio)
+
+    def kept(ch):
+        return ~short(ch) & ~repetitive(ch) & ~stoppy(ch)
+
+    def count_where(pred):
+        return F.size(F.filter(chunks, pred)).cast("long")
+
+    return F.struct(
+        F.size(chunks).cast("long").alias("n_chunks"),
+        count_where(short).alias("n_short"),
+        count_where(repetitive).alias("n_repetitive"),
+        count_where(stoppy).alias("n_stoppy"),
+        count_where(kept).alias("n_kept"),
+        F.array_join(F.flatten(F.filter(chunks, kept)), " ").alias("clean_text"),
     )
 
 

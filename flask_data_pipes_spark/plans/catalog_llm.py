@@ -1424,6 +1424,55 @@ def llm_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLEAN_KEPT = (
+    "len(ch) >= 8 AND len(list_distinct(ch))::DOUBLE / len(ch) >= 0.6 "
+    "AND len(list_filter(ch, x -> x IN ('a','the')))::DOUBLE / len(ch) <= 0.3"
+)
+
+
+@register(
+    "llm_chunk_clean",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks), 1) + 1, 16),
+                            s -> toks[s:s + 15]) AS chunks
+      FROM t
+    )
+    SELECT doc_id,
+      len(chunks)::BIGINT AS n_chunks,
+      len(list_filter(chunks, ch -> len(ch) < 8))::BIGINT AS n_short,
+      len(list_filter(chunks, ch -> len(ch) >= 8
+          AND len(list_distinct(ch))::DOUBLE / len(ch) < 0.6))::BIGINT AS n_repetitive,
+      len(list_filter(chunks, ch -> len(ch) >= 8
+          AND len(list_distinct(ch))::DOUBLE / len(ch) >= 0.6
+          AND len(list_filter(ch, x -> x IN ('a','the')))::DOUBLE / len(ch) > 0.3
+          ))::BIGINT AS n_stoppy,
+      len(list_filter(chunks, ch -> {_CLEAN_KEPT}))::BIGINT AS n_kept,
+      array_to_string(flatten(list_filter(chunks, ch -> {_CLEAN_KEPT})), ' ')
+        AS clean_text
+    FROM c
+    """,
+)
+def llm_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-segment cleaning (functions/text.py:chunk_clean):
+    drop short / repetitive / stopword-heavy 16-token chunks per
+    document and re-join survivors, with a per-rule drop census
+    (n_chunks = n_short + n_repetitive + n_stoppy + n_kept).
+
+    Scale: zero shuffle — the whole operator is higher-order array
+    expressions in one projection; complement to llm_boilerplate_prune
+    (corpus-wide frequency rule), which needs a shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return d.select("doc_id", T.chunk_clean(F.col("text")).alias("__s")).select(
+        "doc_id", "__s.*"
+    )
+
+
 @register(
     "llm_lang_topterms",
     oracle=r"""

@@ -155,6 +155,73 @@ def test_quality_score_bounded(spark, vals):
         assert g is not None and -1e-9 <= g <= 1.0 + 1e-9 and not math.isnan(g)
 
 
+_CC_VOCAB = ["a", "the", "x", "y", "zz", "longword"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_CC_VOCAB), max_size=12).map(" ".join),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_chunk_clean_matches_python_model(spark, vals):
+    """chunk_clean vs a direct Python model: census partition + exact
+    clean_text, over a vocab dense in stopwords so every drop rule
+    (short/repetitive/stoppy) fires."""
+    cs, mt, mdr, msr, sw = 4, 2, 0.6, 0.3, ("a", "the")
+
+    def model(v):
+        toks = _py_tokens(v)
+        chunks = [
+            toks[s - 1 : s - 1 + cs] for s in range(1, max(len(toks), 1) + 1, cs)
+        ]
+
+        def cls(c):
+            if len(c) < mt:
+                return "short"
+            if len(set(c)) / len(c) < mdr:
+                return "repetitive"
+            if sum(t in sw for t in c) / len(c) > msr:
+                return "stoppy"
+            return "kept"
+
+        tags = [cls(c) for c in chunks]
+        kept = [c for c, t in zip(chunks, tags) if t == "kept"]
+        return (
+            len(chunks),
+            tags.count("short"),
+            tags.count("repetitive"),
+            tags.count("stoppy"),
+            tags.count("kept"),
+            " ".join(t for c in kept for t in c),
+        )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        T.chunk_clean(
+            "v",
+            chunk_size=cs,
+            min_tokens=mt,
+            min_distinct_ratio=mdr,
+            max_stop_ratio=msr,
+            stopwords=sw,
+        ).alias("o")
+    ).collect()
+    for r, v in zip(got, vals):
+        o = r["o"]
+        assert (
+            o["n_chunks"],
+            o["n_short"],
+            o["n_repetitive"],
+            o["n_stoppy"],
+            o["n_kept"],
+            o["clean_text"],
+        ) == model(v)
+        assert o["n_chunks"] == o["n_short"] + o["n_repetitive"] + o["n_stoppy"] + o["n_kept"]
+
+
 # --- temporal join properties ---------------------------------------------
 
 _asof_events = st.lists(

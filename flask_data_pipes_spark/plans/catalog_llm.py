@@ -63,6 +63,14 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = "['the','and','of','to','in','is','that','it','for','with']"
 
+# quality_score mirrored in DuckDB SQL (expects CTE columns text, n, toks);
+# shared by llm_quality and llm_token_budget so the two oracles can never
+# drift apart.
+_DDB_QUALITY_EXPR = rf"""0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
+           + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
+           + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
+           + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))"""
+
 
 @register(
     "llm_quality",
@@ -84,10 +92,7 @@ _SW_EN = "['the','and','of','to','in','is','that','it','for','with']"
            CASE WHEN len(toks) > 0
                 THEN list_sum(list_transform(toks, x -> length(x)))::BIGINT / len(toks)
                 ELSE 0.0::DOUBLE END AS mean_wlen,
-           0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
-           + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
-           + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
-           + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))
+           {_DDB_QUALITY_EXPR}
              AS quality
     FROM t
     """,
@@ -1471,6 +1476,94 @@ def llm_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.chunk_clean(F.col("text")).alias("__s")).select(
         "doc_id", "__s.*"
     )
+
+
+_BUDGET_TOKENS = 2000  # per-language token budget
+_BUDGET_BUCKETS = 10
+
+
+@register(
+    "llm_token_budget",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, text, length(text) AS n,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    f AS (
+      SELECT doc_id, lang, len(toks)::BIGINT AS n_tok, {_DDB_QUALITY_EXPR} AS q
+      FROM t
+    ),
+    r AS (
+      SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM f
+    )
+    SELECT doc_id, lang, n_tok, q FROM r WHERE cum <= {_BUDGET_TOKENS}
+    """,
+)
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota selection: per language, keep the
+    highest-quality documents until a {bt}-token budget is exhausted
+    (the data-mixture construction step every pretraining corpus goes
+    through: "give me the best N billion tokens of each language").
+
+    Semantics = cumulative token sum over docs ordered by
+    (quality DESC, doc_id) per language, kept while cum <= budget —
+    which is exactly the oracle's single window. The implementation
+    does NOT run that window: partitionBy(lang) puts an entire
+    language in one task, and at 100 TB "en" is a multi-TB partition.
+    Instead, two-phase bucketed selection:
+
+      1. bucket docs by quality decile; aggregate per-(lang,bucket)
+         token totals (tiny: langs x {bb} rows) and take a running
+         total over buckets — window over the TINY aggregate only.
+      2. broadcast those bucket boundaries back: buckets that fit
+         entirely under budget are kept with NO window at all; the
+         single boundary bucket per language gets the per-doc
+         running-sum window over ~1/{bb} of its language's rows.
+
+    floor(q * {bb}) is monotone in q, so (bucket DESC, q DESC,
+    doc_id) ordering equals the oracle's (q DESC, doc_id) ordering
+    and results match exactly.""".replace("{bt}", str(_BUDGET_TOKENS)).replace(
+        "{bb}", str(_BUDGET_BUCKETS)
+    )
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("q"),
+    ).withColumn(
+        "bucket",
+        F.least(
+            F.floor(F.col("q") * _BUDGET_BUCKETS), F.lit(_BUDGET_BUCKETS - 1)
+        ).cast("int"),
+    )
+    bstats = feats.groupBy("lang", "bucket").agg(F.sum("n_tok").alias("btok"))
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bstats = bstats.withColumn("prior", F.sum("btok").over(wb) - F.col("btok"))
+    j = feats.join(F.broadcast(bstats), ["lang", "bucket"])
+    cols = ["doc_id", "lang", "n_tok", "q"]
+    whole = j.filter(F.col("prior") + F.col("btok") <= _BUDGET_TOKENS)
+    wdoc = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        j.filter(
+            (F.col("prior") < _BUDGET_TOKENS)
+            & (F.col("prior") + F.col("btok") > _BUDGET_TOKENS)
+        )
+        .withColumn("cum", F.sum("n_tok").over(wdoc))
+        .filter(F.col("prior") + F.col("cum") <= _BUDGET_TOKENS)
+    )
+    return whole.select(cols).unionByName(boundary.select(cols))
 
 
 @register(

@@ -286,3 +286,48 @@ def test_tfidf_single_scan_for_tf_df(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_tfidf_topterms")
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_two_phase_equals_single_window(spark, sf_dir):
+    """The bucketed two-phase quota select (no partitionBy(lang) window
+    over the full data) must equal the naive single-window semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.functions import text as T
+    from flask_data_pipes_spark.plans.catalog import load
+    from flask_data_pipes_spark.plans.catalog_llm import _BUDGET_TOKENS
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        d.select(
+            "doc_id",
+            "lang",
+            T.token_count("text").alias("n_tok"),
+            T.quality_score("text").alias("q"),
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= _BUDGET_TOKENS)
+        .select("doc_id", "lang", "n_tok", "q")
+    )
+    got = sorted(map(tuple, entry.queries()["llm_token_budget"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_token_budget_no_full_data_window_per_lang(spark, sf_dir):
+    """The per-doc window runs partitioned by (lang, bucket) — never by
+    lang alone — so no single task ever holds a whole language."""
+    plan = _plan(spark, sf_dir, "llm_token_budget")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    perdoc = [s for s in specs if "doc_id" in s]  # the per-doc running sum
+    assert perdoc, "expected a per-doc running-sum window in the plan"
+    for spec in perdoc:
+        assert "bucket" in spec, f"full-language window found: {spec}"

@@ -1566,6 +1566,100 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return whole.select(cols).unionByName(boundary.select(cols))
 
 
+_DOMAIN_CTE = rf"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text, length(text) AS n,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    f AS (
+      SELECT doc_id, source, lang, len(toks)::BIGINT AS n_tok,
+             {_DDB_QUALITY_EXPR} AS q
+      FROM t
+    ),
+    s AS (
+      SELECT source,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tok)::BIGINT AS n_tokens,
+             COUNT(DISTINCT lang)::BIGINT AS n_langs,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+      FROM f GROUP BY source
+    )"""
+_DOMAIN_MIN_Q = 0.592
+_DOMAIN_STATIC_BLOCK = ("src3", "src11")
+
+
+def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    f = d.select(
+        "source",
+        "lang",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("q"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.sum(F.col("q").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
+@register(
+    "llm_domain_stats",
+    oracle=_DOMAIN_CTE + "\n    SELECT * FROM s",
+)
+def llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus census (docs, tokens, language spread, mean
+    quality) — the aggregate every web-corpus pipeline keeps per
+    registrable domain for reputation decisions.
+
+    Scale: one groupBy(source); every aggregate (count/sum/
+    countDistinct-over-5-langs/decimal-sum) partial-aggregates
+    map-side, so a mega-domain never concentrates rows — the skewed
+    key arrives pre-combined. Quality sums go through DECIMAL(38,6)
+    (catalog-wide rule) so the mean is order-independent and
+    bit-equal cross-engine."""
+    return _domain_stats(spark, sf_dir)
+
+
+@register(
+    "llm_domain_blocklist_filter",
+    oracle=_DOMAIN_CTE
+    + rf"""
+    , b AS (
+      SELECT source FROM s
+      WHERE avg_quality < {_DOMAIN_MIN_Q}
+         OR source IN {_DOMAIN_STATIC_BLOCK!r}
+    )
+    SELECT doc_id, source FROM t
+    WHERE source NOT IN (SELECT source FROM b)
+    """,
+)
+def llm_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: drop documents whose source is on a
+    static blocklist OR whose domain-level mean quality falls below
+    {mq} (the dynamic reputation rule derived from
+    llm_domain_stats).
+
+    Scale: the blocklist is per-DOMAIN (tiny even when the corpus is
+    100 TB) — derived with the partial-aggregating census groupBy,
+    then broadcast into a LeftAnti BroadcastHashJoin: document rows
+    never shuffle at all.""".replace("{mq}", str(_DOMAIN_MIN_Q))
+    stats = _domain_stats(spark, sf_dir)
+    blocked = stats.filter(
+        (F.col("avg_quality") < _DOMAIN_MIN_Q)
+        | F.col("source").isin(*_DOMAIN_STATIC_BLOCK)
+    ).select("source")
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return d.join(F.broadcast(blocked), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
 @register(
     "llm_lang_topterms",
     oracle=r"""

@@ -331,3 +331,12 @@ def test_token_budget_no_full_data_window_per_lang(spark, sf_dir):
     assert perdoc, "expected a per-doc running-sum window in the plan"
     for spec in perdoc:
         assert "bucket" in spec, f"full-language window found: {spec}"
+
+
+def test_domain_blocklist_broadcast_anti_join(spark, sf_dir):
+    """The blocklist is domain-granularity (tiny at any corpus size):
+    document rows must flow through a broadcast LeftAnti join, never a
+    shuffled one."""
+    plan = _plan(spark, sf_dir, "llm_domain_blocklist_filter")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -41,6 +41,8 @@ __all__ = [
     "lenient_date",
     "lenient_timestamp",
     "lenient_time",
+    "epoch_us",
+    "epoch_seconds",
 ]
 
 ColumnOrName = Union[Column, str]
@@ -103,6 +105,23 @@ def booler(c: ColumnOrName, strict: bool = True) -> Column:
             ).cast("boolean")
         )
     return base.otherwise(F.lit(None).cast("boolean"))
+
+
+def epoch_us(c: ColumnOrName) -> Column:
+    """Timestamp → microseconds since epoch, accepting both TIMESTAMP
+    and TIMESTAMP_NTZ inputs (parquet files written without a timezone
+    load as NTZ, which `unix_micros`/`cast(bigint)` reject in Spark 4).
+    The NTZ→LTZ cast reads the naive value in the session timezone; the
+    engine pins that to UTC (session.py), so this equals DuckDB's
+    `epoch_us(ts)` on the same naive value."""
+    return F.unix_micros(_col(c).cast("timestamp"))
+
+
+def epoch_seconds(c: ColumnOrName) -> Column:
+    """Timestamp → whole seconds since epoch; NTZ-safe like
+    [`epoch_us`]. Sub-second precision is truncated, matching what
+    `CAST(ts AS LONG)` did for TIMESTAMP inputs."""
+    return F.to_unix_timestamp(_col(c).cast("timestamp"))
 
 
 def recast_null(c: ColumnOrName) -> Column:

@@ -35,6 +35,8 @@ from typing import List, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_us
+
 __all__ = ["asof_join", "range_join"]
 
 _SIDE = "__asof_side"
@@ -116,7 +118,7 @@ def asof_join(
     )
     if tolerance is not None:
         tol_us = int(round(tolerance * 1_000_000))
-        fresh = F.unix_micros(F.col(left_ts)) - F.unix_micros(
+        fresh = epoch_us(F.col(left_ts)) - epoch_us(
             F.col(_PAYLOAD)[rts_out]
         ) <= F.lit(tol_us)
         out = out.withColumn(_PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
@@ -157,15 +159,15 @@ def range_join(
     min_us = int(round(min_delta * 1_000_000))
     max_us = int(round(max_delta * 1_000_000))
 
-    lus = F.unix_micros(F.col(left_ts))
-    rus = F.unix_micros(F.col(right_ts))
+    lus = epoch_us(F.col(left_ts))
+    rus = epoch_us(F.col(right_ts))
     lo_bucket = F.floor((lus + F.lit(min_us + 1)) / F.lit(w_us))
     hi_bucket = F.floor((lus + F.lit(max_us)) / F.lit(w_us))
     lt = left.withColumn(
         _BUCKET, F.explode(F.sequence(lo_bucket, hi_bucket))
     )
     rt = right.withColumn(_BUCKET, F.floor(rus / F.lit(w_us)))
-    delta = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    delta = epoch_us(F.col(right_ts)) - epoch_us(F.col(left_ts))
     return (
         lt.join(rt, keys + [_BUCKET])
         .filter((delta > min_us) & (delta <= max_us))

@@ -1458,7 +1458,7 @@ _CLEAN_KEPT = (
           AND len(list_filter(ch, x -> x IN ('a','the')))::DOUBLE / len(ch) > 0.3
           ))::BIGINT AS n_stoppy,
       len(list_filter(chunks, ch -> {_CLEAN_KEPT}))::BIGINT AS n_kept,
-      array_to_string(flatten(list_filter(chunks, ch -> {_CLEAN_KEPT})), ' ')
+      COALESCE(array_to_string(flatten(list_filter(chunks, ch -> {_CLEAN_KEPT})), ' '), '')
         AS clean_text
     FROM c
     """,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import epoch_us
 from ..operators.temporal import asof_join, range_join
 from .catalog import load, register
 
@@ -56,7 +57,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(
         purchases, views, on="user_id", left_ts="ts", right_ts="view_ts"
     )
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
+    gap = epoch_us(F.col("ts")) - epoch_us(F.col("view_ts"))
     return out.select(
         "event_id", "user_id", "ts", "view_id", "view_ts", gap.alias("gap_us")
     )
@@ -107,7 +108,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_delta=0.0,
         max_delta=300.0,
     )
-    gap = F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))
+    gap = epoch_us(F.col("error_ts")) - epoch_us(F.col("click_ts"))
     return out.select("click_id", "error_id", "user_id", gap.alias("gap_us"))
 
 

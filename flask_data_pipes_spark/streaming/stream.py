@@ -217,10 +217,12 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     as q_sessionize). One shuffle on user_id."""
     from pyspark.sql import Window
 
+    from ..functions.scalars import epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = epoch_seconds("ts")  # NTZ-safe epoch (UTC session tz)
     gap_break = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > gap_seconds,
+        ts_s - F.lag(ts_s).over(w) > gap_seconds,
         F.lit(1),
     ).otherwise(F.lit(0))
     with_session = events.withColumn(

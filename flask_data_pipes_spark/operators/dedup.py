@@ -203,15 +203,24 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, band_key): MinHash signature banded for LSH.
 
-    The k-hash family is affine over two 56-bit md5 base hashes
-    (h1 + i*h2) — 2 hashes per shingle total, overflow-free under ANSI.
+    The k-hash family is affine over two 56-bit base hashes (h1 + i*h2)
+    carved from the two halves of ONE md5 digest per shingle — md5 is
+    the only non-trivial per-shingle cost, and higher-order-function
+    lambdas get no subexpression elimination, so the digest is
+    materialized in its own projection and each half is a cheap
+    substring parse. 56-bit bases keep h1 + 7*h2 < 2^59, overflow-free
+    under ANSI in both engines.
     """
     assert n_hashes % band_size == 0
     shingles = F.array_distinct(T.char_ngrams(text_col, shingle_n))
+    digests = F.transform(
+        F.col("__shingles"), lambda s: F.md5(F.concat(F.lit("0|"), s))
+    )
     hs = F.transform(
-        F.col("__shingles"),
-        lambda s: F.struct(
-            T.md5_long56(s, 0).alias("h1"), T.md5_long56(s, 1).alias("h2")
+        F.col("__digests"),
+        lambda d: F.struct(
+            F.conv(F.substring(d, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(d, 15, 14), 16, 10).cast("long").alias("h2"),
         ),
     )
 
@@ -248,6 +257,7 @@ def minhash_bands(
     return (
         spread_for_cpu(df.filter(F.length(text_col) >= shingle_n), id_col)
         .select(id_col, shingles.alias("__shingles"))
+        .select(id_col, digests.alias("__digests"))
         .select(id_col, hs.alias("__hs"))
         .select(id_col, sig.alias("__sig"))
         .select(id_col, F.explode(bands).alias("__b"))

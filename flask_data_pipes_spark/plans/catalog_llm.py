@@ -314,11 +314,15 @@ _DDB_SIG_CTE = rf"""
     WITH sh AS (
       SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
     ),
+    dg AS (
+      SELECT doc_id, list_transform(shingles, s -> md5('0|' || s)) AS dgs
+      FROM sh WHERE len(shingles) > 0
+    ),
     hh AS (
       SELECT doc_id,
-             list_transform(shingles, s -> {_ddb_md5_long56('s', 0)}) AS h1,
-             list_transform(shingles, s -> {_ddb_md5_long56('s', 1)}) AS h2
-      FROM sh WHERE len(shingles) > 0
+             list_transform(dgs, d -> ('0x' || substr(d, 1, 14))::BIGINT) AS h1,
+             list_transform(dgs, d -> ('0x' || substr(d, 15, 14))::BIGINT) AS h2
+      FROM dg
     ),
     sig AS (
       SELECT doc_id,
@@ -341,10 +345,11 @@ def llm_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of 2). Output: (doc_id, band, band_key) — the bucketing that
     drives candidate generation in `llm_minhash_pairs`.
 
-    The 8-hash family derives from TWO md5 base hashes per shingle via
-    the affine h1 + i*h2 (standard minhash trick) — 4x less hashing than
-    independent seeds; 56-bit bases keep h1 + 7*h2 < 2^59, overflow-free
-    under ANSI in both engines.
+    The 8-hash family derives from ONE md5 digest per shingle, split
+    into two 56-bit halves combined affinely (h1 + i*h2, the standard
+    minhash trick) — 8x less hashing than independent seeds; 56-bit
+    bases keep h1 + 7*h2 < 2^59, overflow-free under ANSI in both
+    engines.
 
     Scale: per-row expression work only; signatures never leave the
     executor; the band table is 4x doc count, partitioned by band_key

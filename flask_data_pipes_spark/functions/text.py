@@ -134,6 +134,16 @@ def doc_fingerprint(c: ColumnOrName) -> Column:
     return md5_long(canon)
 
 
+def prefix_fingerprint(c: ColumnOrName, n_tokens: int = 8) -> Column:
+    """Coarse head-of-document fingerprint: 60-bit hash of the first
+    `n_tokens` canonical tokens. Documents that share an opening (mirror
+    pages, syndicated feeds, templated boilerplate with varying tails)
+    collide here while full-text fingerprints don't — the standard
+    first-pass key for incremental batch-vs-corpus dedup."""
+    head = F.slice(whitespace_tokens(F.lower(_col(c))), 1, n_tokens)
+    return md5_long(F.array_join(head, " "))
+
+
 ROLLING_BASE = 1000003
 ROLLING_MOD = (1 << 31) - 1
 

@@ -1,5 +1,8 @@
-from . import dedup, multimodal, similarity, temporal  # noqa: F401
+from . import corpus, dedup, multimodal, similarity, temporal  # noqa: F401
+from .corpus import unigram_logprob  # noqa: F401
 from .dedup import (  # noqa: F401
+    bloom_bitmap,
+    bloom_incremental_dedup,
     candidate_pairs,
     embedding_neardup_pairs,
     exact_dedup,

@@ -1,0 +1,90 @@
+"""Corpus-statistics operators: quality signals that need a pass over
+the WHOLE corpus before they can score a single document (unlike the
+per-row functions in functions/text.py).
+
+First resident: a corpus-trained unigram language model and the
+per-document mean log-probability under it — the cheap, fully
+SQL-expressible stand-in for the CCNet/KenLM perplexity filter
+(documents whose tokens are collectively improbable under the corpus
+distribution are boilerplate, encoding junk, or off-language; CCNet
+buckets corpora by exactly this kind of LM score before training).
+
+Scale shape (the reason this is written as two aggregations + one
+broadcast join, not a window):
+- pass 1: token frequencies — one shuffle keyed by token; partial
+  aggregation collapses counts map-side, so the shuffle carries the
+  VOCABULARY (≪ corpus; Heaps' law), not the token stream.
+- the 1-row total and the per-token log-probs derive from that
+  vocabulary table; both BROADCAST.
+- pass 2: per-document aggregation — tokens join the broadcast
+  log-prob table map-side, then one shuffle keyed by doc id (partial
+  aggregation again collapses to one row per doc map-side).
+A `SUM(...) OVER ()` total or a per-token window would instead force a
+single-partition exchange — the non-scalable shape this avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+from .dedup import spread_for_cpu
+
+__all__ = ["unigram_logprob"]
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_term: int = 9,
+    round_out: int = 6,
+) -> DataFrame:
+    """Score each document by the mean log-probability of its tokens
+    under the corpus's own unigram distribution (maximum-likelihood,
+    no smoothing needed: every scored token is in the vocabulary by
+    construction). Output: (id, n_tok, avg_logp, bits_per_token) for
+    each non-blank document; bits_per_token = -avg_logp / ln 2 is the
+    unigram cross-entropy, the "perplexity-style" quality knob (CCNet's
+    filter keeps the low-surprisal head of the corpus).
+
+    Cross-engine determinism: each token's log-prob is rounded to
+    `round_term` decimals and summed EXACTLY as DECIMAL(38,9) (float
+    addition orders differ between engines/partitions); the mean is
+    computed in doubles only after the exact sum is fixed, then rounded
+    to `round_out`.
+
+    The token stream is evaluated twice (once per aggregation pass) —
+    deliberate: materializing it would cost more than re-tokenizing,
+    and both passes are scan-bound.
+    """
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    posts = (
+        spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
+        .select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+    )
+    freq = posts.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__total"))
+    logp = (
+        freq.join(F.broadcast(total))
+        .select(
+            "__tok",
+            F.round(
+                F.log(F.col("__c").cast("double") / F.col("__total").cast("double")),
+                round_term,
+            ).alias("__logp"),
+        )
+    )
+    sum_dec = F.sum(F.col("__logp").cast("decimal(38,9)"))
+    n = F.count(F.lit(1))
+    avg = sum_dec.cast("double") / n  # double division AFTER the exact sum
+    return (
+        posts.join(F.broadcast(logp), "__tok")
+        .groupBy(id_col)
+        .agg(
+            n.alias("n_tok"),
+            F.round(avg, round_out).alias("avg_logp"),
+            F.round(-avg / F.log(F.lit(2.0)), round_out).alias("bits_per_token"),
+        )
+    )

@@ -40,6 +40,8 @@ __all__ = [
     "minhash_lsh_ml_pairs",
     "spread_for_cpu",
     "connected_components",
+    "bloom_bitmap",
+    "bloom_incremental_dedup",
 ]
 
 
@@ -624,6 +626,100 @@ def minhash_lsh_ml_pairs(
             F.col(f"datasetB.{id_col}").alias(f"{id_col}_b"),
             (F.lit(1.0) - F.col("__dist")).alias("jaccard_est"),
         )
+    )
+
+
+def _bloom_positions(c: Column, m_bits: int, k: int) -> Column:
+    """`k` bloom probe positions in [0, m_bits) for a value, via
+    Kirsch-Mitzenmacher double hashing over the two 56-bit halves of one
+    md5 digest (h1 + i·h2 mod m) — one crypto hash per value regardless
+    of k, same digest-splitting trick as `minhash_bands`."""
+    digest = F.md5(F.concat(F.lit("bf|"), c.cast("string")))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 15, 14), 16, 10).cast("long")
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_bitmap(
+    values: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Bloom filter over a column as a DataFrame bitmap: rows
+    `(__w, __bits)` where `__bits` is the OR of the 64-bit words at
+    word index `__w`. ≤ `m_bits/64` rows regardless of input size.
+
+    Pure DataFrame ops (explode positions → `bit_or` per word): the
+    whole filter builds with one tiny shuffle on the word index and the
+    result broadcasts — membership probes against a 100 TB corpus
+    become a broadcast join against an ~m/64-row table, no corpus-sized
+    join anywhere. (Spark's internal `BloomFilterAggregate` is not SQL-
+    registered; this bitmap-table form is equivalent and keeps the
+    filter inspectable/persistable as ordinary data.)
+    """
+    pos = values.select(F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("__p"))
+    return (
+        pos.select(
+            (F.col("__p") / 64).cast("long").alias("__w"),
+            F.expr("shiftleft(1L, CAST(pmod(__p, 64) AS INT))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+
+
+def bloom_incremental_dedup(
+    new: DataFrame,
+    hist: DataFrame,
+    fp_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against a HISTORICAL
+    corpus: returns the new rows whose `fp_col` already exists in
+    `hist` — with the historical side reduced to a broadcast bloom
+    bitmap before any join touches it.
+
+    Why this shape at 100 TB: the naive `new ⋉ hist` semi-join
+    shuffles the full historical fingerprint set every batch. Here
+    the history collapses to an m-bit bitmap once (buildable
+    incrementally: `bit_or` of old and new bitmaps); each new row
+    probes the broadcast bitmap, and only the ~|new∩hist| + ε·|new|
+    bloom survivors (ε = false-positive rate) reach the exact
+    verification semi-join, whose left side is now tiny. Output is
+    EXACT — bloom false positives are removed by the verify join, so
+    the operator is oracle-checkable; false negatives are impossible
+    (bloom property).
+    """
+    bloom = bloom_bitmap(hist.select(fp_col), fp_col, m_bits, k)
+    probes = new.select(
+        id_col,
+        fp_col,
+        F.explode(_bloom_positions(F.col(fp_col), m_bits, k)).alias("__p"),
+    ).select(
+        id_col,
+        fp_col,
+        (F.col("__p") / 64).cast("long").alias("__w"),
+        F.expr("shiftleft(1L, CAST(pmod(__p, 64) AS INT))").alias("__m"),
+    )
+    candidates = (
+        probes.join(F.broadcast(bloom), "__w")
+        .filter(F.col("__m").bitwiseAND(F.col("__bits")) != 0)
+        .groupBy(id_col, fp_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") == k)
+        .select(id_col, fp_col)
+    )
+    # Exact verify without shuffling the historical side: broadcast the
+    # (tiny) candidate fingerprint set INTO a semi-join that streams
+    # hist — one scan, no hist-side exchange — then keep the candidates
+    # whose fingerprint was confirmed.
+    confirmed_fps = (
+        hist.select(fp_col)
+        .join(F.broadcast(candidates.select(fp_col)), fp_col, "left_semi")
+        .distinct()
+    )
+    return candidates.join(F.broadcast(confirmed_fps), fp_col, "left_semi").select(
+        id_col, fp_col
     )
 
 

@@ -2169,6 +2169,82 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_unigram_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    f AS (SELECT tok, COUNT(*) AS c FROM p GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM f),
+    lp AS (SELECT tok, round(ln(c::DOUBLE / total::DOUBLE), 9) AS logp FROM f, tot)
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tok,
+           round((SUM(logp::DECIMAL(38,9))::DOUBLE) / COUNT(*), 6) AS avg_logp,
+           round(-((SUM(logp::DECIMAL(38,9))::DOUBLE) / COUNT(*)) / ln(2.0::DOUBLE), 6)
+             AS bits_per_token
+    FROM p JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (operators/corpus.py):
+    mean token log-probability + unigram cross-entropy per document —
+    the SQL-expressible stand-in for CCNet's KenLM perplexity filter.
+
+    Scale: vocabulary-keyed shuffle (partial agg map-side), log-prob
+    table broadcasts, doc-keyed shuffle — never a corpus-wide window.
+    """
+    from ..operators.corpus import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_DDB_PREFIX8 = (
+    r"array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 8), ' ')"
+)
+
+
+@register(
+    "llm_bloom_dedup",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, {_ddb_md5_long(_DDB_PREFIX8)} AS fingerprint
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT n.doc_id, n.fingerprint
+    FROM fp n
+    WHERE n.doc_id % 5 = 0
+      AND n.fingerprint IN
+          (SELECT fingerprint FROM fp h WHERE h.doc_id % 5 <> 0)
+    """,
+)
+def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a "new batch" (every 5th doc) against the
+    "historical corpus" (the rest) through a broadcast bloom bitmap
+    (operators/dedup.py::bloom_incremental_dedup): history collapses to
+    an m-bit `bit_or` bitmap table, new rows probe it map-side, and
+    only bloom survivors reach the exact verification semi-join — the
+    batch-vs-100 TB dedup shape where the historical fingerprint set is
+    never shuffled. Output is exact (bloom false positives removed by
+    the verify join), so the gate oracle is a plain semi-join. The key
+    is the 8-token head fingerprint (functions/text.py::
+    prefix_fingerprint) — this corpus has no full-text exact copies,
+    but shared openings (templated/mirrored heads) do recur.
+    """
+    from ..operators import dedup
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", T.prefix_fingerprint("text", 8).alias("fingerprint"))
+    )
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.bloom_incremental_dedup(new, hist, "fingerprint", "doc_id")
+
+
+@register(
     "llm_dedup_clusters",
     oracle=_DDB_SIG_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
     + rf""",

@@ -52,6 +52,51 @@ def test_boilerplate_prune(spark):
     assert out[4]["n_kept"] == 0 and out[4]["clean_text"] == ""
 
 
+def test_bloom_incremental_dedup_exact_and_no_false_negatives(spark):
+    # history: ids 0..99 with fingerprints f0..f99; new batch: f50..f149
+    hist = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("f"), F.col("id")).alias("fp")
+    )
+    new = spark.range(50, 150).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("f"), F.col("id")).alias("fp")
+    )
+    # Tiny bitmap (256 bits, 3 hashes) to force bloom false positives —
+    # the exact verify join must still produce exactly the true overlap.
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.bloom_incremental_dedup(
+            new, hist, "fp", "doc_id", m_bits=256, k=3
+        ).collect()
+    )
+    assert out == list(range(50, 100))  # no false negatives, no false positives
+
+
+def test_bloom_bitmap_is_bounded(spark):
+    vals = spark.range(10_000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+    bm = dedup.bloom_bitmap(vals, "v", m_bits=1 << 12, k=4).collect()
+    assert len(bm) <= (1 << 12) // 64  # never more rows than words
+    assert all(r["__bits"] != 0 for r in bm)
+
+
+def test_unigram_logprob_invariants(spark, docs):
+    from flask_data_pipes_spark.operators.corpus import unigram_logprob
+
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # blank doc 5 excluded
+    # identical docs score identically; all logps are negative
+    assert out[1]["avg_logp"] == out[2]["avg_logp"]
+    assert all(r["avg_logp"] < 0 for r in out.values())
+    # bits_per_token is the negated avg_logp in bits
+    import math
+
+    for r in out.values():
+        assert r["bits_per_token"] == pytest.approx(
+            -r["avg_logp"] / math.log(2), abs=1e-5
+        )
+    # doc 4 is all rare tokens -> more surprising than the dup pair
+    assert out[4]["avg_logp"] < out[1]["avg_logp"]
+
+
 def test_minhash_dedup_keep(spark, docs):
     kept = sorted(
         r["doc_id"] for r in dedup.minhash_dedup_keep(docs).collect()

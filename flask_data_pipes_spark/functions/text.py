@@ -127,11 +127,13 @@ def md5_long56(c: ColumnOrName, seed: int = 0) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
 
 
-def doc_fingerprint(c: ColumnOrName) -> Column:
+def doc_fingerprint(c: ColumnOrName, toks: "Column | None" = None) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
-    lowercased text (rolling-hash-equivalent canonical form)."""
-    canon = F.array_join(whitespace_tokens(F.lower(_col(c))), " ")
-    return md5_long(canon)
+    lowercased text (rolling-hash-equivalent canonical form). `toks` as
+    in [`stopword_ratio`]."""
+    if toks is None:
+        toks = whitespace_tokens(F.lower(_col(c)))
+    return md5_long(F.array_join(toks, " "))
 
 
 def prefix_fingerprint(c: ColumnOrName, n_tokens: int = 8) -> Column:
@@ -170,9 +172,15 @@ def rolling_fingerprint(c: ColumnOrName) -> Column:
     )
 
 
-def stopword_ratio(c: ColumnOrName, lang: str = "en") -> Column:
-    """Fraction of whitespace tokens that are (lang) stopwords."""
-    toks = whitespace_tokens(F.lower(_col(c)))
+def stopword_ratio(
+    c: ColumnOrName, lang: str = "en", toks: "Column | None" = None
+) -> Column:
+    """Fraction of whitespace tokens that are (lang) stopwords.
+    `toks` (pre-computed lowered whitespace tokens, ALREADY PROJECTED to
+    a column) lets fused pipelines tokenize once — see llm_corpus_clean.
+    """
+    if toks is None:
+        toks = whitespace_tokens(F.lower(_col(c)))
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
@@ -214,15 +222,16 @@ def mean_word_len(c: ColumnOrName) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(c: ColumnOrName) -> Column:
+def quality_score(c: ColumnOrName, toks: "Column | None" = None) -> Column:
     """Deterministic heuristic quality score in [0,1]:
     0.3*alpha_ratio + 0.3*stopword-signal + 0.2*length-signal +
     0.2*(1-punct_ratio). Mirrors C4/Gopher-style length/punct/stopword
-    filters as one scalar; SQL-twin-exact.
+    filters as one scalar; SQL-twin-exact. `toks` as in
+    [`stopword_ratio`] — share one tokenization across fused signals.
     """
     c = _col(c)
     len_signal = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
-    sw_signal = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    sw_signal = F.least(stopword_ratio(c, toks=toks) * F.lit(4.0), F.lit(1.0))
     return (
         F.lit(0.3) * alpha_ratio(c)
         + F.lit(0.3) * sw_signal
@@ -287,7 +296,11 @@ def chunk_clean(
     )
 
 
-def detect_language(c: ColumnOrName, max_tokens: "int | None" = None) -> Column:
+def detect_language(
+    c: ColumnOrName,
+    max_tokens: "int | None" = None,
+    toks: "Column | None" = None,
+) -> Column:
     """Stopword-overlap language ID over STOPWORDS languages; returns the
     lang code with the most token hits ('und' if zero hits everywhere).
     Ties break by language-code order (deterministic, SQL-expressible).
@@ -297,7 +310,8 @@ def detect_language(c: ColumnOrName, max_tokens: "int | None" = None) -> Column:
     per-document cost becomes O(w), independent of length, and accuracy
     barely moves because language is a document-global property.
     """
-    toks = whitespace_tokens(F.lower(_col(c)))
+    if toks is None:
+        toks = whitespace_tokens(F.lower(_col(c)))
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
     best_lang = F.lit("und")

@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
     minhash_bands,
     minhash_dedup_keep,
     minhash_lsh_ml_pairs,
+    semdedup_keep,
     simhash,
 )
 from .multimodal import (  # noqa: F401

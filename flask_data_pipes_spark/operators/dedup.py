@@ -591,6 +591,44 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup_keep(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    embedding space, drop all-but-one of each high-cosine group inside
+    a cluster): here the "clusters" are deterministic random-hyperplane
+    LSH buckets (data-oblivious, no fitting pass), pairs come from the
+    bucket equi-join, and the greedy keep drops every id that pairs
+    with a smaller id.
+
+    Scale: bucket sizes are ~n/2^planes with data-oblivious planes; the
+    pair join is `embedding_neardup_pairs`' block equi-join (one dot
+    product per candidate, ids spread before vectors attach); the final
+    keep is a broadcast-able left_anti on the drop set. Swap the bucket
+    expression for IVF cell ids (`ivf_fit`) when the corpus is clustered
+    enough that data-adaptive cells beat oblivious planes.
+    """
+    from .similarity import hyperplanes, lsh_bucket_expr
+
+    planes = hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    pairs = embedding_neardup_pairs(
+        df,
+        block_col=lsh_bucket_expr(v, planes),
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+    )
+    dupes = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
 def minhash_lsh_ml_pairs(
     df: DataFrame,
     text_col: str = "text",

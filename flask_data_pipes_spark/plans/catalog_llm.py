@@ -678,6 +678,60 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ddb_semdedup_oracle(n_planes: int = 4, threshold: float = 0.35) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, 42)
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lst(h)}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id, label, v, inv, ({bucket_terms})::BIGINT AS bucket FROM c),
+    dupes AS (
+      SELECT DISTINCT b.vec_id
+      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) >= {threshold}
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dupes)
+    """
+
+
+@register("llm_semdedup_keep", oracle=_ddb_semdedup_oracle())
+def llm_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py::semdedup_keep): embedding-space
+    semantic dedup — LSH-bucket the embedding space with 4 deterministic
+    hyperplanes, drop every vector whose within-bucket cosine to a
+    smaller-id vector is ≥ 0.35 (threshold tuned down from the paper's
+    ~0.9 because these synthetic embeddings are near-orthogonal; at 0.9
+    the gate would pass vacuously empty).
+
+    Scale: data-oblivious bucketing needs no fitting pass over the
+    corpus; everything downstream is the block equi-join + left_anti.
+    """
+    from ..operators import dedup
+
+    return dedup.semdedup_keep(
+        load(spark, sf_dir, "embeddings"),
+        vec_col="embedding",
+        id_col="vec_id",
+        n_planes=4,
+        dim=64,
+        seed=42,
+        threshold=0.35,
+    ).select("vec_id", "label")
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 

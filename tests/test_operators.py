@@ -97,6 +97,18 @@ def test_unigram_logprob_invariants(spark, docs):
     assert out[4]["avg_logp"] < out[1]["avg_logp"]
 
 
+def test_semdedup_keep_drops_bucket_neighbors(spark):
+    # two identical vectors (cosine 1.0) + one orthogonal-ish vector
+    rows = [
+        (1, [1.0] * 64, "a"),
+        (2, [1.0] * 64, "a"),  # exact copy of 1 -> dropped
+        (3, [(-1.0) ** i for i in range(64)], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    kept = sorted(r["vec_id"] for r in dedup.semdedup_keep(df, threshold=0.9).collect())
+    assert kept == [1, 3]
+
+
 def test_minhash_dedup_keep(spark, docs):
     kept = sorted(
         r["doc_id"] for r in dedup.minhash_dedup_keep(docs).collect()

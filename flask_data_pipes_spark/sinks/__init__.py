@@ -3,6 +3,7 @@ from .writers import (  # noqa: F401
     upsert_sql,
     write_jdbc,
     write_jsonl,
+    write_orc,
     write_parquet,
     write_upsert,
 )

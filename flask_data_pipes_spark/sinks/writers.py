@@ -28,6 +28,7 @@ __all__ = [
     "dated_path",
     "write_jsonl",
     "write_parquet",
+    "write_orc",
     "write_jdbc",
     "jdbc_write_options",
     "write_upsert",
@@ -87,6 +88,21 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return path
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+) -> str:
+    """ORC write — columnar sibling of `write_parquet` for stacks whose
+    downstream readers are ORC-native (Hive/Trino)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
     return path
 
 

@@ -21,6 +21,8 @@ __all__ = [
     "read_jsonl",
     "read_csv",
     "read_parquet",
+    "read_orc",
+    "read_text",
     "read_jdbc",
     "jdbc_scan_options",
 ]
@@ -56,6 +58,31 @@ def read_csv(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning story as parquet
+    (Spark-native, no extra packages)."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_docs: bool = False,
+    line_col: str = "text",
+) -> DataFrame:
+    """Raw text shards — the most common LLM-corpus ingest format.
+    One row per line (`wholetext=False`) or one row per FILE
+    (`whole_docs=True`: each shard is a document); `.gz` decompresses
+    transparently. Column is renamed to `line_col` (`value` is Spark's
+    default and collides with the events table vocabulary).
+
+    Scale: line mode splits large uncompressed files across tasks;
+    whole-doc mode (and any gzip input) is one task per file — shard
+    the corpus into many files upstream."""
+    df = spark.read.text(path, wholetext=whole_docs)
+    return df.withColumnRenamed("value", line_col)
 
 
 def jdbc_scan_options(
@@ -107,6 +134,8 @@ _FORMATS = {
     ".json": read_jsonl,
     ".csv": read_csv,
     ".parquet": read_parquet,
+    ".orc": read_orc,
+    ".txt": read_text,
 }
 
 
@@ -119,6 +148,6 @@ def read_staged(spark: SparkSession, path: str, schema: Optional[str] = None) ->
         fn = _FORMATS[ext]
     except KeyError:
         raise ValueError(f"unsupported staged file type: {path}") from None
-    if fn is read_parquet:
+    if fn in (read_parquet, read_orc, read_text):
         return fn(spark, path)
     return fn(spark, path, schema=schema)

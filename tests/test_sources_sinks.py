@@ -58,6 +58,31 @@ def test_read_csv_defaults_to_strings(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_orc_round_trip_with_staged_dispatch(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    path = str(tmp_path / "out.orc")
+    writers.write_orc(df, path)
+    back = files.read_staged(spark, path)
+    assert sorted(r["doubled"] for r in back.collect()) == [i * 2 for i in range(10)]
+
+
+def test_read_text_lines_and_whole_docs(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.txt").write_text("second doc\n")
+    lines = files.read_text(spark, str(tmp_path / "*.txt"))
+    assert lines.columns == ["text"]
+    assert sorted(r["text"] for r in lines.collect()) == [
+        "line one",
+        "line two",
+        "second doc",
+    ]
+    docs = files.read_text(spark, str(tmp_path / "*.txt"), whole_docs=True)
+    assert docs.count() == 2  # one row per shard file
+    assert any("line one\nline two" in r["text"] for r in docs.collect())
+
+
 def test_read_staged_unsupported_extension(spark):
     with pytest.raises(ValueError, match="unsupported staged file type"):
         files.read_staged(spark, "/x/y/file.xlsx")

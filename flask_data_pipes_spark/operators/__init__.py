@@ -1,5 +1,5 @@
 from . import corpus, dedup, multimodal, similarity, temporal  # noqa: F401
-from .corpus import unigram_logprob  # noqa: F401
+from .corpus import shuffle_shards, unigram_logprob  # noqa: F401
 from .dedup import (  # noqa: F401
     bloom_bitmap,
     bloom_incremental_dedup,

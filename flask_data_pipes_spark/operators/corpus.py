@@ -30,7 +30,42 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import text as T
 from .dedup import spread_for_cpu
 
-__all__ = ["unigram_logprob"]
+__all__ = ["unigram_logprob", "shuffle_shards"]
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a shard
+    (uniform md5 hash of its id, salted by `seed`) and a position
+    within the shard (rank by a second hash) — the
+    reshard-then-local-shuffle that precedes training-data export.
+    Changing `seed` produces an independent permutation (new epoch
+    order) without touching the data.
+
+    Output: input columns + (shard, pos); (shard, pos) is a total
+    order, reproducible across runs and engines.
+
+    Scale: ONE shuffle keyed by shard, then a partition-local sort —
+    there is no global sort anywhere (a global orderBy would range-
+    partition the corpus: a second full shuffle plus a sampling pass).
+    Rows land evenly (uniform hash), so shards stay balanced no matter
+    how skewed the input layout was.
+    """
+    from pyspark.sql import Window
+
+    h = T.md5_long(F.col(id_col).cast("string"), seed)
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    order_key = T.md5_long(F.col(id_col).cast("string"), seed + 1)
+    w = Window.partitionBy("shard").orderBy("__ord", id_col)  # id tiebreak
+    return (
+        df.withColumns({"shard": shard, "__ord": order_key})
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )
 
 
 def unigram_logprob(

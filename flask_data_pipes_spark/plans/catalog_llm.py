@@ -678,6 +678,35 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "llm_shuffle_shards",
+    oracle=rf"""
+    WITH h AS (
+      SELECT doc_id,
+             ({_ddb_md5_long('doc_id::VARCHAR', 11)} % {_SHUFFLE_SHARDS})::INT AS shard,
+             {_ddb_md5_long('doc_id::VARCHAR', 12)} AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS pos
+    FROM h
+    """,
+)
+def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (operators/corpus.py::
+    shuffle_shards): uniform-hash shard assignment + in-shard hash
+    order — reproducible epoch permutations with ONE shuffle and no
+    global sort."""
+    from ..operators.corpus import shuffle_shards
+
+    return shuffle_shards(
+        load(spark, sf_dir, "documents"), "doc_id", _SHUFFLE_SHARDS, seed=11
+    ).select("doc_id", "shard", "pos")
+
+
 def _ddb_semdedup_oracle(n_planes: int = 4, threshold: float = 0.35) -> str:
     from ..operators.similarity import hyperplanes
 

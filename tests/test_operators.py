@@ -97,6 +97,24 @@ def test_unigram_logprob_invariants(spark, docs):
     assert out[4]["avg_logp"] < out[1]["avg_logp"]
 
 
+def test_shuffle_shards_balanced_and_seed_independent(spark):
+    from flask_data_pipes_spark.operators.corpus import shuffle_shards
+
+    df = spark.range(800).select(F.col("id").alias("doc_id"))
+    s0 = shuffle_shards(df, n_shards=8, seed=0)
+    sizes = [r["n"] for r in s0.groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8 and min(sizes) > 50  # uniform-ish, all shards used
+    # (shard, pos) is a total order: positions within a shard are 1..n
+    one = s0.filter(F.col("shard") == 0).select("pos").collect()
+    assert sorted(r["pos"] for r in one) == list(range(1, len(one) + 1))
+    # a different seed yields a different permutation of the same rows
+    s1 = shuffle_shards(df, n_shards=8, seed=1)
+    j = s0.select("doc_id", "shard").join(
+        s1.select("doc_id", F.col("shard").alias("shard1")), "doc_id"
+    )
+    assert j.filter(F.col("shard") != F.col("shard1")).count() > 0
+
+
 def test_semdedup_keep_drops_bucket_neighbors(spark):
     # two identical vectors (cosine 1.0) + one orthogonal-ish vector
     rows = [

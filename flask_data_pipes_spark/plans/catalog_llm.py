@@ -319,7 +319,7 @@ _DDB_SIG_CTE = rf"""
       SELECT doc_id, {_ddb_shingles()} AS shingles FROM documents
     ),
     dg AS (
-      SELECT doc_id, list_transform(shingles, s -> md5('0|' || s)) AS dgs
+      SELECT doc_id, list_transform(shingles, s -> md5('4|' || s)) AS dgs
       FROM sh WHERE len(shingles) > 0
     ),
     hh AS (

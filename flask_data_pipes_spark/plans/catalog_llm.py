@@ -678,6 +678,44 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_weighted_sample",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    ),
+    q AS (SELECT doc_id, {_DDB_QUALITY_EXPR} AS q FROM t)
+    SELECT doc_id, round(q, 6) AS quality
+    FROM q
+    WHERE ({_ddb_md5_long('doc_id::VARCHAR', 21)} / 1152921504606846976.0) < q * q
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling ("temperature" corpus
+    selection): keep each document with probability quality², decided
+    by comparing a salted uniform hash of its id (60-bit md5 / 2^60)
+    to the squared quality score. Squaring is a temperature knob —
+    it up-weights the high-quality head the way mixture recipes
+    (The Pile, C4 variants) oversample clean sources; the hash makes
+    the draw reproducible across runs, engines, and re-partitionings
+    (unlike df.sample, whose outcome depends on partition layout).
+
+    Scale: pure per-row projection + filter, zero shuffle; changing
+    the salt re-draws an independent sample without touching data.
+    """
+    u = T.md5_long(F.col("doc_id").cast("string"), 21) / F.lit(float(1 << 60))
+    q = T.quality_score("text")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", q.alias("__q"), u.alias("__u"))
+        .filter(F.col("__u") < F.col("__q") * F.col("__q"))
+        .select("doc_id", F.round("__q", 6).alias("quality"))
+    )
+
+
 _SHUFFLE_SHARDS = 8
 
 

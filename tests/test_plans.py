@@ -248,6 +248,36 @@ def test_driver_contract_integrity(spark, sf_dir):
         assert df.columns, f"{name} produced no columns"
 
 
+def test_checked_prefix_curated():
+    """The driver's gate checks the first 50 queries() names in
+    enumeration order. Assert the curated prefix: exactly 50 unique
+    registered names, every one oracled (full hash check, not
+    rows-only), enumeration leads with them, and each major operator
+    family has a representative inside the checked window."""
+    from flask_data_pipes_spark.plans.catalog import CHECKED_PREFIX
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    names = list(qs)
+    assert len(CHECKED_PREFIX) == 50
+    assert len(set(CHECKED_PREFIX)) == 50
+    assert names[:50] == CHECKED_PREFIX
+    missing_oracle = [n for n in CHECKED_PREFIX if n not in os_]
+    assert not missing_oracle, missing_oracle
+    families = {
+        "temporal": ["q_asof_join", "q_range_join", "q_window_rolling"],
+        "minhash": ["llm_minhash_pairs"],
+        "simhash": ["llm_simhash_pairs"],
+        "clusters": ["llm_dedup_clusters"],
+        "semantic-dedup": ["llm_semdedup_keep", "llm_embedding_neardup"],
+        "ann": ["llm_cosine_topk", "llm_lsh_topk"],
+        "corpus": ["llm_boilerplate_prune", "llm_token_budget"],
+        "multimodal": ["llm_multimodal_meta", "llm_media_header"],
+    }
+    for fam, members in families.items():
+        assert any(m in CHECKED_PREFIX[:50] for m in members), fam
+
+
 def test_chunk_documents_no_shuffle(spark, sf_dir):
     """Chunking is tokenize-once + explode — a narrow map; any Exchange
     means the operator stopped scaling with scan bandwidth."""

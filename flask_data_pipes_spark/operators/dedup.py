@@ -555,6 +555,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     round_to: Optional[int] = 6,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocking keys (LSH bucket / IVF cell
     / label). Equi-join on the block — never N×N.
@@ -566,12 +567,28 @@ def embedding_neardup_pairs(
     enumerated first on an id+block-only table, then explicitly spread
     across partitions before vectors are attached — blocks are few, so
     the block-join's output would otherwise land on a handful of cores.
+
+    `max_bucket` is the skew/degeneracy defense (same contract as
+    `candidate_pairs`): blocks with more than `max_bucket` members are
+    DROPPED before pair enumeration. Within-block pairing is O(Σ k²) —
+    one block that attracts a large fraction of the corpus (a dense
+    embedding-space mode, or too few hyperplanes) would otherwise make
+    the join effectively quadratic. Default None = exact oracle parity.
     """
     sim = V.dot(F.col("a.__v"), F.col("b.__v")) * F.col("a.__inv") * F.col("b.__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
 
     keyed = df.select(id_col, block_col.alias("__block"))
+    if max_bucket is not None:
+        # Block census is #blocks rows (tiny) → broadcast back onto the
+        # id+block table; oversize blocks never reach the pair join.
+        sizes = keyed.groupBy("__block").agg(F.count(F.lit(1)).alias("__bn"))
+        keyed = (
+            keyed.join(F.broadcast(sizes), "__block")
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     la = keyed.select(F.col(id_col).alias("__ida"), "__block")
     lb = keyed.select(F.col(id_col).alias("__idb"), "__block")
     pair_ids = la.join(lb, "__block").filter(F.col("__ida") < F.col("__idb"))
@@ -595,31 +612,70 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup_planes_for(n_rows: int) -> int:
+    """√N-buckets rule: pick `n_planes` so bucket count 2^p ≈ √N, the
+    SemDeDup paper's cluster-count scaling (k-means with k ≈ √N keeps
+    expected bucket size AND bucket count both at √N, so the within-
+    bucket O(Σ k²) pair join stays ~N^1.5 total instead of quadratic).
+    """
+    import math
+
+    if n_rows < 4:
+        return 1
+    return max(1, min(30, round(math.log2(n_rows) / 2)))
+
+
 def semdedup_keep(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: Optional[int] = None,
     dim: int = 64,
     seed: int = 42,
     threshold: float = 0.9,
+    max_bucket: Optional[int] = None,
+    strategy: str = "greedy",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
     embedding space, drop all-but-one of each high-cosine group inside
-    a cluster): here the "clusters" are deterministic random-hyperplane
-    LSH buckets (data-oblivious, no fitting pass), pairs come from the
-    bucket equi-join, and the greedy keep drops every id that pairs
-    with a smaller id.
+    a cluster): the "clusters" are deterministic random-hyperplane LSH
+    buckets (data-oblivious, no fitting pass) and pairs come from the
+    bucket equi-join.
 
-    Scale: bucket sizes are ~n/2^planes with data-oblivious planes; the
-    pair join is `embedding_neardup_pairs`' block equi-join (one dot
-    product per candidate, ids spread before vectors attach); the final
-    keep is a broadcast-able left_anti on the drop set. Swap the bucket
-    expression for IVF cell ids (`ivf_fit`) when the corpus is clustered
-    enough that data-adaptive cells beat oblivious planes.
+    `n_planes=None` (default) sizes the bucket count to the corpus:
+    one count() job, then 2^p ≈ √N buckets (`semdedup_planes_for`) so
+    within-bucket pairing stays ~N^1.5 — a fixed small p is quadratic
+    at corpus scale. Pass an explicit `n_planes` to skip the count job
+    (e.g. when table row counts are already known, or to pin a test
+    fixture). `max_bucket` drops degenerate buckets before pairing
+    (see `embedding_neardup_pairs`) — production belt-and-braces on
+    top of the √N sizing; None = exact oracle parity.
+
+    `strategy` picks the keep rule:
+    - "greedy" (default): drop every id that pairs with ANY smaller id.
+      One distinct + left_anti, no iteration. Deliberately cheaper than
+      the paper: on a non-transitive chain a~b, b~c, a≁c it drops both
+      b and c although c's only near-duplicate was itself removed —
+      acceptable over-dropping for a dedup pre-filter (documented
+      round-2 advice adjudication).
+    - "component": paper-faithful keep-one-per-duplicate-group — run
+      `connected_components` on the pair set, keep each component's
+      minimum id. Costs the CC rounds; on the a<b<c star a~c, b~c it
+      keeps {a} where greedy keeps {a, b}.
+
+    Scale: bucket sizes are ~√N with adaptive planes; the pair join is
+    `embedding_neardup_pairs`' block equi-join (one dot product per
+    candidate, ids spread before vectors attach); the final keep is a
+    broadcast-able left_anti on the drop set. Swap the bucket
+    expression for IVF cell ids (`ivf_fit`) when the corpus is
+    clustered enough that data-adaptive cells beat oblivious planes.
     """
     from .similarity import hyperplanes, lsh_bucket_expr
 
+    if strategy not in ("greedy", "component"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if n_planes is None:
+        n_planes = semdedup_planes_for(df.count())
     planes = hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     pairs = embedding_neardup_pairs(
@@ -628,8 +684,15 @@ def semdedup_keep(
         vec_col=vec_col,
         id_col=id_col,
         threshold=threshold,
+        max_bucket=max_bucket,
     )
-    dupes = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    if strategy == "component":
+        comp = connected_components(pairs, f"{id_col}_a", f"{id_col}_b")
+        dupes = comp.filter(F.col("id") != F.col("label")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        dupes = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
     return df.join(dupes, on=id_col, how="left_anti")
 
 
@@ -730,16 +793,28 @@ def bloom_incremental_dedup(
     verification semi-join, whose left side is now tiny. Output is
     EXACT — bloom false positives are removed by the verify join, so
     the operator is oracle-checkable; false negatives are impossible
-    (bloom property).
+    (bloom property; membership counts DISTINCT probe indices, so
+    duplicate (id, fp) input rows cannot inflate the hit count).
+    Duplicate (id_col, fp_col) input rows collapse to one output row.
     """
     bloom = bloom_bitmap(hist.select(fp_col), fp_col, m_bits, k)
+    # posexplode carries the probe INDEX: membership = all k probe
+    # indices hit a set bit, checked as countDistinct(__i) == k. A raw
+    # row count would break when `new` contains duplicate (id, fp)
+    # rows — each duplicate multiplies the surviving probe rows, making
+    # `count == k` fail and silently dropping a true duplicate (round-2
+    # advice). Distinct-index counting is duplicate-immune and rides
+    # the same (id, fp) shuffle the aggregation needs anyway.
     probes = new.select(
         id_col,
         fp_col,
-        F.explode(_bloom_positions(F.col(fp_col), m_bits, k)).alias("__p"),
+        F.posexplode(_bloom_positions(F.col(fp_col), m_bits, k)).alias(
+            "__i", "__p"
+        ),
     ).select(
         id_col,
         fp_col,
+        "__i",
         (F.col("__p") / 64).cast("long").alias("__w"),
         F.expr("shiftleft(1L, CAST(pmod(__p, 64) AS INT))").alias("__m"),
     )
@@ -747,7 +822,7 @@ def bloom_incremental_dedup(
         probes.join(F.broadcast(bloom), "__w")
         .filter(F.col("__m").bitwiseAND(F.col("__bits")) != 0)
         .groupBy(id_col, fp_col)
-        .agg(F.count(F.lit(1)).alias("__hits"))
+        .agg(F.count_distinct(F.col("__i")).alias("__hits"))
         .filter(F.col("__hits") == k)
         .select(id_col, fp_col)
     )

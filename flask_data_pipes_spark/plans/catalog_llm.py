@@ -63,13 +63,25 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = "['the','and','of','to','in','is','that','it','for','with']"
 
-# quality_score mirrored in DuckDB SQL (expects CTE columns text, n, toks);
-# shared by llm_quality and llm_token_budget so the two oracles can never
-# drift apart.
+# quality_score mirrored in DuckDB SQL (expects CTE columns text, n,
+# ltoks — LOWERED whitespace tokens, because the Spark side's
+# stopword_ratio lowercases before matching; a capitalized stopword
+# ('The') must score identically on both engines). Shared by
+# llm_quality / llm_weighted_sample / llm_token_budget / domain census
+# so the oracles can never drift apart.
 _DDB_QUALITY_EXPR = rf"""0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
-           + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
+           + 0.3::DOUBLE * least((CASE WHEN len(ltoks) > 0 THEN len(list_filter(ltoks, x -> list_contains({_SW_EN}, x))) / len(ltoks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
            + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
            + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))"""
+
+# Lowered whitespace tokens — the stopword-matching twin of Spark's
+# `whitespace_tokens(F.lower(text))`. (lower() never creates or removes
+# whitespace, so token COUNT equals the unlowered count; token LENGTH
+# can differ for rare Unicode, so mean_wlen keeps unlowered toks.)
+_DDB_LTOKS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    r"ELSE string_split_regex(trim(lower(text)), '\s+') END"
+)
 
 
 @register(
@@ -78,7 +90,8 @@ _DDB_QUALITY_EXPR = rf"""0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_
     WITH t AS (
       SELECT doc_id, text, length(text) AS n,
              CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks,
+             {_DDB_LTOKS} AS ltoks
       FROM documents
     )
     SELECT doc_id,
@@ -86,8 +99,8 @@ _DDB_QUALITY_EXPR = rf"""0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_
                 ELSE 0.0::DOUBLE END AS alpha_ratio,
            CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n
                 ELSE 0.0::DOUBLE END AS punct_ratio,
-           CASE WHEN len(toks) > 0
-                THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks)
+           CASE WHEN len(ltoks) > 0
+                THEN len(list_filter(ltoks, x -> list_contains({_SW_EN}, x))) / len(ltoks)
                 ELSE 0.0::DOUBLE END AS stop_ratio,
            CASE WHEN len(toks) > 0
                 THEN list_sum(list_transform(toks, x -> length(x)))::BIGINT / len(toks)
@@ -205,16 +218,12 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, text, length(text) AS n,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+             {_DDB_LTOKS} AS ltoks
       FROM documents
     ),
     s AS (
       SELECT doc_id,
-             0.3::DOUBLE * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / n ELSE 0.0::DOUBLE END)
-             + 0.3::DOUBLE * least((CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({_SW_EN}, x))) / len(toks) ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
-             + 0.2::DOUBLE * least(n::DOUBLE / 500.0::DOUBLE, 1.0::DOUBLE)
-             + 0.2::DOUBLE * (1.0::DOUBLE - (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / n ELSE 0.0::DOUBLE END))
+             {_DDB_QUALITY_EXPR}
                AS quality,
              {_ddb_hits(_SW['de'], LANGID_MAX_TOKENS)} AS h_de,
              {_ddb_hits(_SW['en'], LANGID_MAX_TOKENS)} AS h_en,
@@ -683,8 +692,7 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, text, length(text) AS n,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+             {_DDB_LTOKS} AS ltoks
       FROM documents
     ),
     q AS (SELECT doc_id, {_DDB_QUALITY_EXPR} AS q FROM t)
@@ -782,6 +790,11 @@ def llm_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller-id vector is ≥ 0.35 (threshold tuned down from the paper's
     ~0.9 because these synthetic embeddings are near-orthogonal; at 0.9
     the gate would pass vacuously empty).
+
+    `n_planes=4` is an explicit gate-fixture pin (the oracle hard-codes
+    the same 16 buckets). Production default is `n_planes=None`, which
+    sizes 2^p ≈ √N so within-bucket pairing stays ~N^1.5 instead of
+    quadratic, plus `max_bucket` to drop degenerate buckets.
 
     Scale: data-oblivious bucketing needs no fitting pass over the
     corpus; everything downstream is the block equi-join + left_anti.
@@ -1617,7 +1630,8 @@ _BUDGET_BUCKETS = 10
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, lang, text, length(text) AS n,
-             string_split_regex(trim(text), '\s+') AS toks
+             string_split_regex(trim(text), '\s+') AS toks,
+             {_DDB_LTOKS} AS ltoks
       FROM documents WHERE trim(text) <> ''
     ),
     f AS (
@@ -1699,7 +1713,8 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMAIN_CTE = rf"""
     WITH t AS (
       SELECT doc_id, source, lang, text, length(text) AS n,
-             string_split_regex(trim(text), '\s+') AS toks
+             string_split_regex(trim(text), '\s+') AS toks,
+             {_DDB_LTOKS} AS ltoks
       FROM documents WHERE trim(text) <> ''
     ),
     f AS (

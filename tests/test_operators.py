@@ -71,6 +71,29 @@ def test_bloom_incremental_dedup_exact_and_no_false_negatives(spark):
     assert out == list(range(50, 100))  # no false negatives, no false positives
 
 
+def test_bloom_incremental_dedup_duplicate_input_rows(spark):
+    """Regression (round-2 advice): duplicate (id, fp) rows in the new
+    batch used to multiply the per-row probe count, turning the
+    `hits == k` membership check false — a silent false negative.
+    Membership now counts distinct probe indices, so duplicates
+    collapse to one output row instead of vanishing."""
+    hist = spark.createDataFrame(
+        [(1, "fa"), (2, "fb")], ["doc_id", "fp"]
+    )
+    new = spark.createDataFrame(
+        # fa appears 3× under the same doc_id, fb 2×, fz is novel
+        [(10, "fa"), (10, "fa"), (10, "fa"), (11, "fb"), (11, "fb"), (12, "fz")],
+        ["doc_id", "fp"],
+    )
+    out = sorted(
+        (r["doc_id"], r["fp"])
+        for r in dedup.bloom_incremental_dedup(
+            new, hist, "fp", "doc_id", m_bits=256, k=3
+        ).collect()
+    )
+    assert out == [(10, "fa"), (11, "fb")]
+
+
 def test_bloom_bitmap_is_bounded(spark):
     vals = spark.range(10_000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
     bm = dedup.bloom_bitmap(vals, "v", m_bits=1 << 12, k=4).collect()
@@ -125,6 +148,69 @@ def test_semdedup_keep_drops_bucket_neighbors(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
     kept = sorted(r["vec_id"] for r in dedup.semdedup_keep(df, threshold=0.9).collect())
     assert kept == [1, 3]
+
+
+def test_semdedup_planes_scale_with_corpus():
+    # √N-buckets rule: 2^p ≈ √N, clamped to [1, 30]
+    assert dedup.semdedup_planes_for(1) == 1
+    assert dedup.semdedup_planes_for(256) == 4  # √256=16=2^4
+    assert dedup.semdedup_planes_for(1 << 20) == 10
+    assert dedup.semdedup_planes_for(10**12) == 20  # ~1M buckets at 1T rows
+    assert dedup.semdedup_planes_for(2**100) == 30  # clamp
+
+
+def test_embedding_neardup_max_bucket_drops_degenerate_block(spark):
+    """The skew guard: a block holding most of the corpus is dropped
+    before pair enumeration, so its quadratic pair set never exists."""
+    rows = [(i, [1.0] * 8, "hot") for i in range(10)] + [
+        (100, [1.0] * 8, "cold"),
+        (101, [1.0] * 8, "cold"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pairs = dedup.embedding_neardup_pairs(
+        df, block_col=F.col("label"), threshold=0.5, max_bucket=5
+    ).collect()
+    # only the 2-member cold block survives the guard
+    assert sorted((r["vec_id_a"], r["vec_id_b"]) for r in pairs) == [(100, 101)]
+    # without the guard the hot block contributes 45 pairs
+    allp = dedup.embedding_neardup_pairs(
+        df, block_col=F.col("label"), threshold=0.5
+    ).count()
+    assert allp == 46
+
+
+def test_semdedup_component_strategy_keeps_one_per_group(spark):
+    """Star a~c, b~c with near-orthogonal a,b: greedy keeps {a, b}
+    (b's only smaller neighbor a is not similar); component strategy
+    keeps only the component minimum a — paper-faithful
+    keep-one-per-duplicate-group."""
+    import math
+
+    # a and b orthogonal; c = normalize(a+b) → cos(c,a)=cos(c,b)≈0.707
+    a = [1.0, 0.0] + [0.0] * 62
+    b = [0.0, 1.0] + [0.0] * 62
+    s = 1.0 / math.sqrt(2.0)
+    c = [s, s] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(1, a, "x"), (2, b, "x"), (3, c, "x")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    greedy = sorted(
+        r["vec_id"]
+        for r in dedup.semdedup_keep(
+            df, n_planes=0, threshold=0.7, strategy="greedy"
+        ).collect()
+    )
+    comp = sorted(
+        r["vec_id"]
+        for r in dedup.semdedup_keep(
+            df, n_planes=0, threshold=0.7, strategy="component"
+        ).collect()
+    )
+    assert greedy == [1, 2]
+    assert comp == [1]
 
 
 def test_minhash_dedup_keep(spark, docs):

@@ -169,6 +169,79 @@ def test_gate_hash_mimic(spark, sf_dir, name):
         )
 
 
+# Queries whose oracle embeds the quality/stopword expression. The live
+# documents testdata is all-lowercase, so the sweep above can never
+# catch a case-sensitivity drift between Spark's stopword_ratio
+# (lowercases before matching) and the SQL twins — this fixture can.
+_QUALITY_SENSITIVE = [
+    "llm_quality",
+    "llm_weighted_sample",
+    "llm_token_budget",
+    "llm_corpus_clean",
+    "llm_domain_stats",
+]
+
+
+@pytest.mark.parametrize("name", _QUALITY_SENSITIVE)
+def test_quality_oracles_survive_capitalized_stopwords(
+    spark, tmp_path, name
+):
+    """Regression (round-2 advice): a document containing 'The' must get
+    the same quality score — and thus the same keep/drop decision — on
+    both engines, even though live testdata never exercises case."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "The And Of To In Is That It For With",  # all-caps-initial stopwords
+        "THE THE THE the the and AND other words here now",
+        "MiXeD Case The End with some longer filler text to score",
+        "no stopwords whatsoever xyzzy plugh quux",
+        "the quick brown fox jumps over the lazy dog " * 12,
+        "",
+        "   ",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(
+                [f"src{i % 2}" for i in range(len(texts))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    specs = {n: (fn, o) for n, fn, o in _query_names()}
+    fn, oracle = specs[name]
+
+    sdf = fn(spark, str(tmp_path))
+    spark_cols = sdf.columns
+    spark_rows = sdf.collect()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    duck = con.sql(oracle)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    order = sorted(spark_cols)
+    s_idx = [spark_cols.index(c) for c in order]
+    d_idx = [duck_cols.index(c) for c in order]
+    s_rows = _norm_rows(([r[i] for i in s_idx] for r in spark_rows))
+    d_rows = _norm_rows(([r[i] for i in d_idx] for r in duck_rows))
+    assert s_rows == d_rows, (
+        f"{name}: capitalized-stopword divergence; first diff: "
+        f"{next(((a, b) for a, b in zip(s_rows, d_rows) if a != b), None)}"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry
 

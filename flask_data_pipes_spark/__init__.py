@@ -12,6 +12,17 @@ Public surface:
 - streaming: structured-streaming stage wrappers
 """
 
+from .exceptions import (  # noqa: F401
+    ModelError,
+    ModelFieldDeclarationError,
+    PipelineDataError,
+    PipelineError,
+    PipelineExecutionError,
+    PipelineModelError,
+    PipelineTaskSchemaError,
+    PipelineVersionError,
+    StopPipeline,
+)
 from .session import EngineConfig, get_spark  # noqa: F401
 
 __version__ = "0.1.0"

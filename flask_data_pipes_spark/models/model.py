@@ -38,8 +38,9 @@ from .fields import (
 )
 
 
-class ModelFieldDeclarationError(Exception):
-    """More than one Denormalized* field on a model (model.py:28-30)."""
+# Canonical definition lives in the package-level taxonomy
+# (exceptions.py); re-exported here for back-compat.
+from ..exceptions import ModelError, ModelFieldDeclarationError  # noqa: F401
 
 
 def tableize(name: str) -> str:

@@ -59,12 +59,19 @@ from .decorators import (
     TRANSFORM,
     UPLOAD,
 )
+from ..exceptions import (
+    PipelineExecutionError,
+    PipelineModelError,
+    PipelineTaskSchemaError,
+    StopPipeline,
+)
 from .state import MetadataStore, PipelineVersionError
 from .versioning import TASK_KEYS, mix_model_hash, stage_hash
 
 
-class PipelineTaskError(Exception):
-    """Invalid task schema (reference exceptions.py / pipeline.py:97-121)."""
+class PipelineTaskError(PipelineTaskSchemaError):
+    """Invalid task schema (reference exceptions.py / pipeline.py:97-121).
+    Back-compat alias of the taxonomy's PipelineTaskSchemaError."""
 
 
 class PipelineMeta(type):
@@ -372,9 +379,9 @@ class Pipeline(metaclass=PipelineMeta):
             if qname == name or qname.endswith("." + name)
         ]
         if len(matches) > 1:
-            raise LookupError(f"ambiguous model name '{name}': {matches}")
+            raise PipelineModelError(f"ambiguous model name '{name}': {matches}")
         if not matches:
-            raise LookupError(f"no registered model named '{name}'")
+            raise PipelineModelError(f"no registered model named '{name}'")
         return matches[0]
 
     # -- entry points ------------------------------------------------------
@@ -405,7 +412,7 @@ class Pipeline(metaclass=PipelineMeta):
         tables.py:184-196 version assertion)."""
         obj = self.store.get_object(pkey)
         if obj is None:
-            raise LookupError(f"no DataObject pkey={pkey}")
+            raise PipelineExecutionError(f"no DataObject pkey={pkey}")
         if not ignore_pipeline_version:
             latest = self.store.latest_model(obj["model"])
             if latest and obj["pipeline_version"] != latest["pipeline_version"]:
@@ -415,7 +422,9 @@ class Pipeline(metaclass=PipelineMeta):
                 )
         stage, meta = self.store.next(pkey)
         if stage is None:
-            return []
+            # reference pipeline.py:477: advancing a completed object is
+            # a StopPipeline, not a silent no-op
+            raise StopPipeline(f"DataObject pkey={pkey} has no remaining stages")
         return self(stage=stage, meta=[meta])
 
     def restart_stalled(self) -> int:

@@ -32,8 +32,10 @@ from typing import Any, Optional
 from .versioning import TASK_KEYS, version_setter
 
 
-class PipelineVersionError(Exception):
-    """Version mismatch on advance (reference exceptions.py)."""
+# Canonical definition lives in the package-level taxonomy
+# (exceptions.py, reference exceptions.py:36-39); re-exported here for
+# back-compat with earlier imports.
+from ..exceptions import PipelineVersionError  # noqa: F401,E402
 
 
 def _utcnow() -> str:

@@ -328,3 +328,85 @@ def test_async_hooks_and_record_toggle(spark, tmp_path):
     assert ("pre_transform", 1) in calls and ("load", 1) in calls
     assert obj["transformed"]
     assert not obj["loaded"]  # record=False skips the loaded mark
+
+
+# --- exception taxonomy (reference exceptions.py:1-49) ---------------------
+
+
+def test_exception_taxonomy_hierarchy():
+    """The reference's error hierarchy is mirrored, including its quirk
+    of rooting both trees at NameError; legacy names stay importable."""
+    from flask_data_pipes_spark import exceptions as ex
+    from flask_data_pipes_spark.models.model import (
+        ModelFieldDeclarationError as legacy_mfde,
+    )
+    from flask_data_pipes_spark.pipeline.pipeline import PipelineTaskError
+    from flask_data_pipes_spark.pipeline.state import (
+        PipelineVersionError as legacy_pve,
+    )
+
+    for sub in (
+        ex.PipelineModelError,
+        ex.PipelineTaskSchemaError,
+        ex.PipelineExecutionError,
+        ex.PipelineDataError,
+        ex.StopPipeline,
+        ex.PipelineVersionError,
+    ):
+        assert issubclass(sub, ex.PipelineError)
+    assert issubclass(ex.PipelineError, NameError)
+    assert issubclass(ex.ModelError, NameError)
+    assert issubclass(ex.ModelFieldDeclarationError, ex.ModelError)
+    # legacy aliases resolve into the taxonomy
+    assert issubclass(PipelineTaskError, ex.PipelineTaskSchemaError)
+    assert legacy_pve is ex.PipelineVersionError
+    assert legacy_mfde is ex.ModelFieldDeclarationError
+    # pre-taxonomy LookupError handlers keep working for model lookup
+    assert issubclass(ex.PipelineModelError, LookupError)
+
+
+def test_exception_taxonomy_raise_sites(spark, tmp_path):
+    """Resolution, completed-advance, and missing-object paths raise the
+    reference's exception types."""
+    from flask_data_pipes_spark.exceptions import (
+        PipelineExecutionError,
+        PipelineModelError,
+        StopPipeline,
+    )
+
+    class TaxPipeline(Pipeline):
+        extract = True
+        transform = True
+
+    class TaxUser(User):
+        pass
+
+    cfg = EngineConfig(data_dir=str(tmp_path / "data"))
+    pipe = TaxPipeline(model=TaxUser, spark=spark, config=cfg)
+    pipe.register_model(TaxUser)
+
+    with pytest.raises(PipelineModelError):
+        pipe._resolve_model("NoSuchModelAnywhere")
+    with pytest.raises(PipelineExecutionError):
+        pipe.advance(999_999)
+
+    raw = tmp_path / "t.jsonl"
+    raw.write_text(
+        json.dumps(
+            {"first": "x", "last": "y", "birthday": None, "profile": None}
+        )
+    )
+    pipe._extract_executor(
+        [
+            dict(
+                pkey=None,
+                model=TaxUser.__qname__,
+                file=str(raw),
+                created="2026-08-13",
+            )
+        ]
+    )
+    pkey = pipe.store.objects[-1]["pkey"]
+    pipe.advance(pkey)  # completes transform
+    with pytest.raises(StopPipeline):
+        pipe.advance(pkey)  # reference pipeline.py:477

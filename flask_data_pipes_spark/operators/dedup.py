@@ -281,7 +281,10 @@ def minhash_bands(
 
 
 def candidate_pairs(
-    bands: DataFrame, id_col: str = "doc_id", max_bucket: Optional[int] = None
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: Optional[int] = None,
+    spread_anchors: Optional[bool] = None,
 ) -> DataFrame:
     """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
     `<id>_a`, `<id>_b`. Precondition: `bands` rows are unique per
@@ -310,6 +313,15 @@ def candidate_pairs(
     Dropping it trades recall on exactly the docs that other buckets
     still cover (each doc has n_hashes/band_size chances to pair).
     Default None (exact parity with the oracle); production: ~1000.
+
+    `spread_anchors` controls the round-robin repartition that spreads
+    anchor expansion across the cluster. None (default) decides from
+    Catalyst size statistics, same policy as `spread_for_cpu`: a small
+    input skips the exchange (the expansion rides the band-groupBy
+    reduce stage — one fewer AQE stage barrier, worth ~25% of the
+    whole operator at bench scale), a large-or-unknown input keeps it
+    (a hot bucket's k anchors must not expand serially in one reduce
+    task at 100 TB).
     """
     n_out = bands.sparkSession.sparkContext.defaultParallelism * 2
     # collect_LIST: (band_key, id) rows are unique by construction —
@@ -320,12 +332,15 @@ def candidate_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("__ids") <= max_bucket)
+    if spread_anchors is None:
+        spread_anchors = _estimated_splits(bands) >= max(2, n_out // 4)
     anchors = (
         grouped.filter(F.size("__ids") >= 2)
         .select("__ids", F.posexplode("__ids").alias("__i", "__a"))
         .filter(F.col("__i") < F.size("__ids") - 1)  # last anchor: no pairs
-        .repartition(n_out)
     )
+    if spread_anchors:
+        anchors = anchors.repartition(n_out)
     return (
         anchors.select(
             F.col("__a").alias(f"{id_col}_a"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import vectors as V
@@ -259,6 +260,33 @@ def lsh_probe_buckets_expr(vec_col, planes: list[list[float]], n_probe: int):
     return F.concat(F.array(bucket), F.slice(ordered, 1, max(n_probe - 1, 0)))
 
 
+def _bucket_vectorized(planes: list[list[float]]):
+    """Arrow-vectorized sign-pattern bucket id: one numpy matmul per
+    batch instead of n_planes interpreted higher-order-function folds
+    per ROW (measured ~400µs/row for 8 planes × 64 dims — the
+    per-element lambda interpretation is the cost, not the flops; the
+    vectorized path is ~0.1µs/row, the difference between a feasible
+    and an infeasible corpus-side projection at 100 TB).
+
+    Float caveat: numpy's matmul accumulates in a different order than
+    the sequential fold the SQL twin uses; a bucket bit could only
+    differ if a margin |v·h| sat within float-epsilon of zero, which
+    has vanishing probability for real-valued embeddings (and the
+    exact rerank downstream is unaffected either way)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64)).astype(np.int64)
+
+    def bucket(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(((M @ P) >= 0) @ weights)
+
+    return pandas_udf(bucket, "long")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -287,7 +315,7 @@ def lsh_topk(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+        _bucket_vectorized(planes)(F.col(vec_col)).alias("__bucket"),
     )
     n_probe = min(n_probe, n_planes + 1)
     q = queries.select(

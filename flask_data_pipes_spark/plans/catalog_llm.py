@@ -1171,11 +1171,13 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import decontaminate
     from ..operators.dedup import spread_for_cpu
 
-    d = spread_for_cpu(
-        load(spark, sf_dir, "documents").where(F.trim("text") != ""), "doc_id"
-    )
+    d = load(spark, sf_dir, "documents").where(F.trim("text") != "")
     bucket = T.md5_long(F.col("doc_id").cast("string"), 11) % 100
-    train = d.where(bucket < 80)
+    # Spread only the TRAIN side: it carries 80% of the corpus and all
+    # the per-row shingle work. The test side is broadcast-tiny and the
+    # cap's window exchange (shuffle on g) already redistributes it, so
+    # a spread there would just add a stage barrier.
+    train = spread_for_cpu(d.where(bucket < 80), "doc_id")
     test = d.where(bucket >= 90)
     return decontaminate(
         train,

@@ -314,16 +314,16 @@ def candidate_pairs(
     still cover (each doc has n_hashes/band_size chances to pair).
     Default None (exact parity with the oracle); production: ~1000.
 
-    `spread_anchors` controls the round-robin repartition that spreads
-    anchor expansion across the cluster. None (default) decides from
-    Catalyst size statistics, same policy as `spread_for_cpu`: a small
-    input skips the exchange (the expansion rides the band-groupBy
-    reduce stage — one fewer AQE stage barrier, worth ~25% of the
-    whole operator at bench scale), a large-or-unknown input keeps it
-    (a hot bucket's k anchors must not expand serially in one reduce
-    task at 100 TB).
+    `spread_anchors` (default True) hash-repartitions the anchors on
+    (anchor index, anchor id) WITHOUT an explicit partition count: AQE
+    coalesces the exchange to almost nothing when the input is small
+    (measured cheaper than skipping it via a stats heuristic — and a
+    heuristic on INPUT size is a trap anyway: a 15 MB corpus with a
+    7.7k-member degenerate bucket expands to ~100 M pairs, 3× slower
+    unspread), while a hot bucket's k anchors hash across the cluster
+    at scale because the key includes the anchor index. Only pass
+    False when the caller guarantees near-uniform tiny buckets.
     """
-    n_out = bands.sparkSession.sparkContext.defaultParallelism * 2
     # collect_LIST: (band_key, id) rows are unique by construction —
     # band_key embeds the band index, and minhash_bands emits one row
     # per (doc, band) — so set semantics only add hash-dedup overhead.
@@ -332,15 +332,13 @@ def candidate_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("__ids") <= max_bucket)
-    if spread_anchors is None:
-        spread_anchors = _estimated_splits(bands) >= max(2, n_out // 4)
     anchors = (
         grouped.filter(F.size("__ids") >= 2)
         .select("__ids", F.posexplode("__ids").alias("__i", "__a"))
         .filter(F.col("__i") < F.size("__ids") - 1)  # last anchor: no pairs
     )
-    if spread_anchors:
-        anchors = anchors.repartition(n_out)
+    if spread_anchors is None or spread_anchors:
+        anchors = anchors.repartition("__i", "__a")
     return (
         anchors.select(
             F.col("__a").alias(f"{id_col}_a"),

@@ -195,6 +195,94 @@ def boilerplate_prune(
     )
 
 
+def repeated_ngram_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-substring removal on OVERLAPPING token k-grams — the
+    ExactSubstr dedup of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), at token-n-gram instead of
+    suffix-array resolution: any k-token span whose hash occurs in
+    >= `min_docs` distinct documents is removed from EVERY document,
+    and a token survives only if no duplicated span covers it.
+
+    Differs from `boilerplate_prune` (C4 rule) in both window and
+    coverage: spans overlap (every position starts one), so removal
+    has token granularity instead of chunk granularity, and a span
+    duplicated anywhere deletes all its occurrences.
+
+    Output: (id, n_tokens, n_removed, clean_text) per non-blank doc.
+
+    Scale shape: (1) one projection computes the per-position gram
+    hashes (text tokenized once, hashes via per-position array slice);
+    postings (id, pos, hash) shuffle as 64-bit keys + ints — never
+    text. (2) groupBy hash with partial countDistinct finds duplicated
+    grams — a tiny set (bounded by corpus_grams / min_docs) that
+    BROADCASTS into (3) a flag join keeping only duplicated-span
+    occurrences, collected per doc as a sorted start-position array.
+    (4) The doc table left-joins those arrays (shuffle keyed by id)
+    and rebuilds clean_text in one projection: token i survives iff no
+    duplicated start p in [i-k+1, i] exists — an F.exists over the
+    per-doc duplicated-start array (|ps| is small in real corpora;
+    worst case cost n·|ps| per doc). No self-joins, no skew (uniform
+    hash keys), text crosses exactly two shuffles (scan→spread and the
+    final id join).
+    """
+    toks = T.whitespace_tokens(F.col(text_col))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(F.col(id_col), toks.alias("__t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__t") - F.lit(k - 1), F.lit(0))
+    )
+    gram = F.array_join(F.slice(F.col("__t"), F.col("__p"), k), " ")
+    posts = (
+        # explode_outer + notNull: the catalog-wide pushdown-trap rule
+        # (a plain explode would push size(sequence(...)) — containing
+        # the tokenization — into the scan stage)
+        base.select(id_col, "__t", F.explode_outer(starts).alias("__p"))
+        .filter(F.col("__p").isNotNull())
+        .select(id_col, "__p", T.md5_long(gram, 5).alias("__h"))
+    )
+    dup = (
+        posts.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    dup_starts = (
+        posts.join(F.broadcast(dup), "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__p")).alias("__ps"))
+    )
+
+    def covered(i):
+        # token i (1-based) is covered iff some duplicated start p
+        # satisfies p <= i < p + k
+        return F.exists(
+            F.col("__ps"), lambda p: (p <= i) & (i < p + F.lit(k))
+        )
+
+    idx = F.sequence(F.lit(1), F.size("__t"))
+    clean = F.array_join(
+        F.filter(F.col("__t"), lambda t, i: ~covered(i + F.lit(1))), " "
+    )
+    n_removed = F.size(F.filter(idx, lambda i: covered(i)))
+    return (
+        base.join(dup_starts, id_col, "left")
+        .withColumn("__ps", F.coalesce("__ps", F.array().cast("array<long>")))
+        .select(
+            id_col,
+            F.size("__t").alias("n_tokens"),
+            n_removed.cast("long").alias("n_removed"),
+            clean.alias("clean_text"),
+        )
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",

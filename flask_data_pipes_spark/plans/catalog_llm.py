@@ -1587,6 +1587,68 @@ def llm_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_K = 8  # tokens per overlapping span
+_SUBSTR_MIN_DOCS = 2
+
+
+@register(
+    "llm_substring_dedup",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             {_ddb_md5_long(f"array_to_string(toks[pos:pos+{_SUBSTR_K - 1}], ' ')", 5)} AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - {_SUBSTR_K - 1}, 0) + 1)) AS pos
+            FROM t)
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) >= {_SUBSTR_MIN_DOCS}
+    ),
+    ps AS (
+      SELECT doc_id, list_sort(list(pos)) AS ps
+      FROM g JOIN dup USING (h) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           len(list_filter(range(1, len(t.toks) + 1),
+               i -> len(list_filter(coalesce(ps.ps, []::BIGINT[]),
+                                    p -> p <= i AND i < p + {_SUBSTR_K})) > 0
+           ))::BIGINT AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                 i -> len(list_filter(coalesce(ps.ps, []::BIGINT[]),
+                                      p -> p <= i AND i < p + {_SUBSTR_K})) = 0),
+               i -> t.toks[i]), ' '), '') AS clean_text
+    FROM t LEFT JOIN ps ON t.doc_id = ps.doc_id
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring removal on overlapping token {k}-grams — the
+    ExactSubstr dedup of Lee et al. 2022 at n-gram resolution: any
+    {k}-token span occurring in >= {md} distinct documents is cut from
+    every document, with token-granular coverage (overlapping spans),
+    unlike llm_boilerplate_prune's non-overlapping C4 chunks.
+
+    Scale: operators/dedup.py::repeated_ngram_dedup — postings shuffle
+    as 60-bit hashes + ints, the duplicated-gram set broadcasts, text
+    crosses exactly two shuffles.""".replace("{k}", str(_SUBSTR_K)).replace(
+        "{md}", str(_SUBSTR_MIN_DOCS)
+    )
+    from ..operators import dedup
+
+    return dedup.repeated_ngram_dedup(
+        load(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        min_docs=_SUBSTR_MIN_DOCS,
+    )
+
+
 _CLEAN_KEPT = (
     "len(ch) >= 8 AND len(list_distinct(ch))::DOUBLE / len(ch) >= 0.6 "
     "AND len(list_filter(ch, x -> x IN ('a','the')))::DOUBLE / len(ch) <= 0.3"

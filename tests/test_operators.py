@@ -150,6 +150,30 @@ def test_semdedup_keep_drops_bucket_neighbors(spark):
     assert kept == [1, 3]
 
 
+def test_repeated_ngram_dedup_token_granular_coverage(spark):
+    """Lee-et-al-style overlapping-span removal: a 6-token phrase
+    shared by two docs is excised from BOTH with token granularity
+    (the 4-gram windows covering it overlap), while unshared tails and
+    unique docs are untouched."""
+    rows = [
+        (1, "a b c d e f g h tail one"),
+        (2, "x y a b c d e f z zz"),
+        (3, "totally unique text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.repeated_ngram_dedup(df, k=4, min_docs=2).collect()
+    }
+    # shared grams: "a b c d", "b c d e", "c d e f" -> cover exactly
+    # the 6 tokens "a b c d e f" in each doc
+    assert out[1]["clean_text"] == "g h tail one"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (10, 6)
+    assert out[2]["clean_text"] == "x y z zz"
+    assert out[2]["n_removed"] == 6
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+
+
 def test_decontaminate_gram_df_cap(spark):
     """A boilerplate phrase present in every test doc must stop
     flagging train docs once the cap excludes it, while a genuinely

@@ -76,6 +76,47 @@ def cosine_topk(
     )
 
 
+def threshold_matches(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """All (corpus, query) pairs with cosine >= threshold — the
+    SEMANTIC test-set decontamination primitive (embedding-space
+    contamination: a training item near-duplicating an eval item in
+    meaning, not in n-grams). `queries` is the eval set and must be
+    small (it broadcasts); the corpus side never shuffles, and each
+    pair costs one dot product (1/norms precomputed under the join).
+    At eval sets too big to broadcast, bucket both sides with
+    `lsh_bucket_expr` and use `embedding_neardup_pairs` instead
+    (recall tradeoff documented there).
+
+    Output: (id, qid, sim) — one row per contaminated (train, eval)
+    pair; aggregate per id for a drop list."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+    )
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(id_col, query_id_col, sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 class IvfIndex:
     """Fit-once IVF index: the cell-assigned corpus plus the centroid
     table. Build with `ivf_fit`, search many query batches with

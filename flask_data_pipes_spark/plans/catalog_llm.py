@@ -1587,6 +1587,50 @@ def llm_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDECON_T = 0.30  # cosine threshold for semantic contamination
+
+
+@register(
+    "llm_semantic_decon",
+    oracle=rf"""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv,
+             {_ddb_md5_long("vec_id::VARCHAR", 11)} % 100 AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, inv AS qinv FROM s WHERE bucket >= 90),
+    c AS (SELECT vec_id, v, inv FROM s WHERE bucket < 80)
+    SELECT c.vec_id, q.qid,
+           round(list_dot_product(q.qv, c.v) * q.qinv * c.inv, 6) AS sim
+    FROM c, q
+    WHERE round(list_dot_product(q.qv, c.v) * q.qinv * c.inv, 6) >= {_SEMDECON_T}
+    """,
+)
+def llm_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC test-set decontamination: training vectors whose cosine
+    to any eval vector >= {t} (embedding-space contamination — near-
+    duplicates in meaning that share no n-grams, the complement of
+    llm_decontaminate). Splits mirror llm_split_assign's deterministic
+    vec_id hash (train <80, eval >=90).
+
+    Scale: operators/similarity.py::threshold_matches — the eval set
+    broadcasts, the corpus streams (one dot per pair, 1/norms
+    precomputed); at eval sets too big to broadcast, LSH-bucket both
+    sides (embedding_neardup_pairs).""".replace("{t}", str(_SEMDECON_T))
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    bucket = T.md5_long(F.col("vec_id").cast("string"), 11) % 100
+    return similarity.threshold_matches(
+        e.where(bucket < 80),
+        e.where(bucket >= 90).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        threshold=_SEMDECON_T,
+    )
+
+
 _SUBSTR_K = 8  # tokens per overlapping span
 _SUBSTR_MIN_DOCS = 2
 

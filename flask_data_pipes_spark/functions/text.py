@@ -222,6 +222,38 @@ def mean_word_len(c: ColumnOrName) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
+# entropy alphabet: lowercase letters, digits, space — everything else
+# pools into one "other" bucket so the distribution is total
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(c: ColumnOrName) -> Column:
+    """Shannon entropy (bits) of the lowercased character distribution
+    over [a-z0-9 space] + one other-bucket — the Gopher/CCNet-style
+    gibberish signal (base64 blobs and key-mash score far from prose's
+    ~4.1 bits; repeated-char junk scores near 0).
+
+    Zero shuffle, zero explode, pure codegen: each symbol's count is
+    `length(s) - length(translate(s, sym, ''))` (a per-char table
+    lookup, no regex), entropy is a 38-term arithmetic fold. The same
+    counts are SQL-twin-expressible so the gate can hash-check it.
+    Empty text → 0.0."""
+    s = F.lower(_col(c))
+    n = F.length(s)
+
+    def count(sym: str) -> Column:
+        return n - F.length(F.translate(s, sym, ""))
+
+    counts = [count(ch) for ch in _ENTROPY_ALPHABET]
+    other = n - sum(counts[1:], counts[0])
+    terms = None
+    for cnt in counts + [other]:
+        p = cnt / n
+        t = F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        terms = t if terms is None else terms + t
+    return F.when(n > 0, terms).otherwise(F.lit(0.0))
+
+
 def quality_score(c: ColumnOrName, toks: "Column | None" = None) -> Column:
     """Deterministic heuristic quality score in [0,1]:
     0.3*alpha_ratio + 0.3*stopword-signal + 0.2*length-signal +

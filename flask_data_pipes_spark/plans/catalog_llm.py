@@ -1587,6 +1587,53 @@ def llm_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ddb_char_entropy() -> str:
+    """DuckDB twin of functions.text.char_entropy: same alphabet, same
+    term order (alphabet then other-bucket) so the floating-point fold
+    is evaluated in the same sequence; both engines round to 6dp to
+    absorb libm last-ulp differences in log2."""
+    from ..functions.text import _ENTROPY_ALPHABET
+
+    counts = [
+        f"(length(s) - length(translate(s, '{ch.replace(chr(39), chr(39) * 2)}', '')))"
+        for ch in _ENTROPY_ALPHABET
+    ]
+    total = " + ".join(counts)
+    terms = []
+    for cnt in counts + [f"(length(s) - ({total}))"]:
+        p = f"({cnt}::DOUBLE / length(s))"
+        terms.append(
+            f"CASE WHEN {cnt} > 0 THEN -{p} * log2({p}) ELSE 0.0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "llm_char_entropy",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(s) > 0
+                THEN round({_ddb_char_entropy()}, 6)
+                ELSE 0.0::DOUBLE END AS entropy
+    FROM t
+    """,
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    Gopher/CCNet gibberish signal (base64 blobs, key-mash, and
+    repeated-char junk sit far from prose's ~4.1 bits).
+
+    Scale: zero shuffle, zero explode — 38 translate() counts + an
+    arithmetic fold, all whole-stage codegen (functions/text.py::
+    char_entropy). Rounded to 6dp on both engines to absorb libm
+    last-ulp differences in log2."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(T.char_entropy("text"), 6).alias("entropy")
+    )
+
+
 _SEMDECON_T = 0.30  # cosine threshold for semantic contamination
 
 

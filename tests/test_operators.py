@@ -150,6 +150,22 @@ def test_semdedup_keep_drops_bucket_neighbors(spark):
     assert kept == [1, 3]
 
 
+def test_char_entropy_known_values(spark):
+    from flask_data_pipes_spark.functions.text import char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, "ZZzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["e"]
+        for r in df.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    assert abs(out[1] - 0.0) < 1e-12  # single symbol
+    assert abs(out[2] - 1.0) < 1e-12  # two equiprobable symbols
+    assert abs(out[3] - 2.0) < 1e-12  # four equiprobable symbols
+    assert out[4] == 0.0  # empty
+    assert abs(out[5] - 0.0) < 1e-12  # case-folds to one symbol
+
+
 def test_repeated_ngram_dedup_token_granular_coverage(spark):
     """Lee-et-al-style overlapping-span removal: a 6-token phrase
     shared by two docs is excised from BOTH with token granularity

@@ -265,6 +265,64 @@ def foreach_batch_stage(
     return sink
 
 
+def foreach_batch_incremental_dedup(
+    history_path: str,
+    fp_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    out_path: Optional[str] = None,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage for CROSS-BATCH streaming dedup against an
+    unbounded history — the streaming face of
+    `operators/dedup.py::bloom_incremental_dedup`, for the corpus-build
+    pattern "append only documents never seen in ANY earlier batch".
+    `dedup_stream` can't do this: its watermark deliberately bounds
+    state to a time horizon, while here the history is the full corpus.
+
+    Per micro-batch: the parquet history collapses to a broadcast bloom
+    bitmap, the batch probes it, bloom survivors are exactly verified
+    (semi-join that streams the history — the historical fingerprint
+    set never shuffles), and only genuinely-new rows append to the
+    history (and to `out_path` if given), partitioned by batch id.
+
+    Exactly-once: a replayed batch re-probes the updated history, finds
+    all its rows already present, and appends nothing — at-least-once
+    foreachBatch upgrades to effectively-once because the dedup
+    predicate itself is the idempotence guard. (Concurrent writers need
+    a transactional table format; the parquet layout here assumes the
+    single sequential foreachBatch caller Spark guarantees.)
+
+    Scale: the bitmap is m_bits/64 rows regardless of history size; the
+    only history-sized work is one streamed scan per batch.
+    """
+    from ..operators.dedup import bloom_incremental_dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, fp_col).dropDuplicates([fp_col])
+        try:
+            hist = spark.read.parquet(history_path).select(id_col, fp_col)
+            have_history = True
+        except Exception:  # first batch: no history yet
+            have_history = False
+        if have_history:
+            dupes = bloom_incremental_dedup(
+                batch, hist, fp_col, id_col, m_bits=m_bits, k=k
+            ).select(fp_col)
+            fresh = batch.join(dupes, fp_col, "left_anti")
+        else:
+            fresh = batch
+        fresh = fresh.withColumn("batch_id", F.lit(batch_id))
+        fresh.write.mode("append").parquet(history_path)
+        if out_path is not None:
+            fresh.write.mode("append").parquet(out_path)
+
+    return sink
+
+
 def foreach_batch_upsert(
     connection_factory,
     merge_row,

@@ -416,3 +416,54 @@ def test_foreach_batch_upsert_materialized_view(spark, landing, tmp_path):
     for k in expected:
         assert got[k][0] == expected[k][0], k
         assert abs(got[k][1] - expected[k][1]) < 1e-6, k
+
+
+def test_foreach_batch_incremental_dedup_cross_batch(spark, tmp_path):
+    """Cross-batch streaming dedup against an unbounded history: each
+    micro-batch appends ONLY fingerprints never seen in any earlier
+    batch, and replaying a batch appends nothing (effectively-once via
+    the dedup predicate itself)."""
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_incremental_dedup,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    # batch files arrive one per trigger; fp overlap across batches
+    batches = [
+        [(1, "fa"), (2, "fb")],
+        [(3, "fb"), (4, "fc")],  # fb already seen -> only fc lands
+        [(5, "fa"), (6, "fd"), (7, "fd")],  # fa dup, fd in-batch dup
+    ]
+    for i, rows in enumerate(batches):
+        (land / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "fingerprint": fp}) for d, fp in rows
+            )
+        )
+
+    hist = str(tmp_path / "hist")
+    stream = read_jsonl_stream(
+        spark,
+        str(land),
+        "doc_id long, fingerprint string",
+        max_files_per_trigger=1,
+    )
+    sink = foreach_batch_incremental_dedup(hist, m_bits=256, k=3)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(hist)
+    fps = sorted(r["fingerprint"] for r in out.collect())
+    assert fps == ["fa", "fb", "fc", "fd"]  # one row per distinct fp ever
+    # replay batch 1 verbatim: nothing new appends
+    replay = spark.createDataFrame(
+        [(3, "fb"), (4, "fc")], "doc_id long, fingerprint string"
+    )
+    sink(replay, 1)
+    assert spark.read.parquet(hist).count() == 4

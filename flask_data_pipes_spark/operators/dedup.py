@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as T
@@ -483,27 +485,60 @@ def _simhash_total(
     return total.cast("long")
 
 
+def _simhash_vote_vectorized(bits: int):
+    """Arrow-vectorized majority-bit vote over a token-hash array —
+    integer-exact twin of `_simhash_total` (no float involved, so the
+    SQL oracle matches bit-for-bit). The expression form interprets
+    `bits` higher-order array scans per ROW (~160 µs/row at 16 bits ×
+    full-doc tokens); this is one numpy bit-matrix per row (~5 µs),
+    the difference that matters when the signature pass IS the job at
+    corpus scale. The md5 token hashing stays JVM-side — only the vote
+    crosses to Python, as (hash array, count) → long."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def vote(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            n = a.shape[0]
+            if n:
+                bitm = (a[:, None] >> shifts) & 1  # n × bits
+                maj = (2 * bitm.sum(axis=0)) >= n
+                out[i] = int((maj.astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return pandas_udf(vote, "long")
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, simhash): bit b set when ≥half the distinct-token hashes
     have bit b set. Near-dups land at small Hamming distance; bucket by
-    simhash prefix for the scale path."""
+    simhash prefix for the scale path.
+
+    `vectorized=True` (default) runs the majority vote as an Arrow
+    batch (`_simhash_vote_vectorized`, integer-exact); False keeps the
+    pure-expression fold (`_simhash_total`) for plans that must stay
+    entirely JVM-side."""
     toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
     hs = F.transform(toks, lambda x: T.md5_long(x, 7))
     # cheap scan-stage pre-filter (⟺ size(tokens) > 0, null-rejecting);
     # see minhash_bands for why the filter must not be expression-heavy.
-    return (
-        spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
-        .select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
-        .select(
-            id_col,
-            _simhash_total(F.col("__hs"), F.col("__n"), bits).alias("simhash"),
-        )
-    )
+    staged = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(id_col, hs.alias("__hs"), F.size(toks).alias("__n"))
+    if vectorized:
+        sh = _simhash_vote_vectorized(bits)(F.col("__hs"))
+    else:
+        sh = _simhash_total(F.col("__hs"), F.col("__n"), bits)
+    return staged.select(id_col, sh.alias("simhash"))
 
 
 def with_simhash(

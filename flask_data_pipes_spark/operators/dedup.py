@@ -237,9 +237,13 @@ def repeated_ngram_dedup(
     base = spread_for_cpu(
         df.filter(F.trim(F.col(text_col)) != ""), id_col
     ).select(F.col(id_col), toks.alias("__t"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("__t") - F.lit(k - 1), F.lit(0))
-    )
+    # Guard docs shorter than k tokens: sequence(1, 0) would step
+    # DOWN to [1, 0] (Spark sequences step -1 when start > stop) and
+    # position 0 crashes F.slice with INVALID_PARAMETER_VALUE.START.
+    starts = F.when(
+        F.size("__t") >= k,
+        F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     gram = F.array_join(F.slice(F.col("__t"), F.col("__p"), k), " ")
     posts = (
         # explode_outer + notNull: the catalog-wide pushdown-trap rule
@@ -379,8 +383,11 @@ def candidate_pairs(
     """Distinct (a < b) pairs sharing ≥1 band bucket. Output columns:
     `<id>_a`, `<id>_b`. Precondition: `bands` rows are unique per
     (band_key, id) — true for every in-repo producer (minhash_bands,
-    simhash band expansion); duplicate rows would only duplicate pair
-    instances, which the final distinct removes anyway.
+    simhash band expansion). Without it a duplicated id inside a
+    bucket's sorted list would pair with its own copy and emit a
+    self-pair (a, a) that the final distinct keeps; a one-comparison
+    id_a != id_b guard before the distinct makes the a < b contract
+    hold unconditionally anyway.
 
     Shape: groupBy(band_key) → sorted id set → posexplode to (bucket,
     anchor-index, anchor-id) rows → round-robin repartition → each
@@ -413,6 +420,18 @@ def candidate_pairs(
     unspread), while a hot bucket's k anchors hash across the cluster
     at scale because the key includes the anchor index. Only pass
     False when the caller guarantees near-uniform tiny buckets.
+
+    Shuffle-volume note: each anchor row carries the FULL sorted
+    `__ids` array of its bucket through the spread repartition, so a
+    bucket of k ids moves O(k²) id copies (k rows × k-element array)
+    across that exchange. Bounded by `max_bucket`: at the production
+    cap of 1000 that is ≤10⁶ 64-bit ids ≈ 8 MB per degenerate bucket —
+    acceptable against the k²/2 pairs the same bucket emits anyway. A
+    slice-before-shuffle variant (each anchor carries only its
+    tail-slice) would halve the copies on average but forces the slice
+    to evaluate before the exchange, serializing the hot bucket's
+    O(k²) work into the single pre-shuffle task — the opposite of the
+    skew defense; rejected.
     """
     # collect_LIST: (band_key, id) rows are unique by construction —
     # band_key embeds the band index, and minhash_bands emits one row
@@ -438,6 +457,10 @@ def candidate_pairs(
                 )
             ).alias(f"{id_col}_b"),
         )
+        # defensive: a (band_key, id)-duplicate upstream would emit a
+        # self-pair that distinct keeps; one comparison per candidate
+        # makes the a < b contract unconditional
+        .filter(F.col(f"{id_col}_a") != F.col(f"{id_col}_b"))
         .distinct()
     )
 
@@ -792,6 +815,18 @@ def semdedup_planes_for(n_rows: int) -> int:
     return max(1, min(30, round(math.log2(n_rows) / 2)))
 
 
+def _plan_row_count(df: DataFrame) -> Optional[int]:
+    """Row count from Catalyst's optimized-plan statistics — METADATA
+    ONLY, never triggers a job. Defined when the source carries CBO /
+    catalog stats (ANALYZE TABLE, Delta, cached relations); plain
+    file scans usually expose only sizeInBytes, in which case None."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(opt.get()) if opt.isDefined() else None
+    except Exception:
+        return None
+
+
 def semdedup_keep(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -802,6 +837,7 @@ def semdedup_keep(
     threshold: float = 0.9,
     max_bucket: Optional[int] = None,
     strategy: str = "greedy",
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
     embedding space, drop all-but-one of each high-cosine group inside
@@ -809,12 +845,18 @@ def semdedup_keep(
     buckets (data-oblivious, no fitting pass) and pairs come from the
     bucket equi-join.
 
-    `n_planes=None` (default) sizes the bucket count to the corpus:
-    one count() job, then 2^p ≈ √N buckets (`semdedup_planes_for`) so
-    within-bucket pairing stays ~N^1.5 — a fixed small p is quadratic
-    at corpus scale. Pass an explicit `n_planes` to skip the count job
-    (e.g. when table row counts are already known, or to pin a test
-    fixture). `max_bucket` drops degenerate buckets before pairing
+    Bucket sizing — 2^p ≈ √N (`semdedup_planes_for`) keeps within-
+    bucket pairing ~N^1.5 (a fixed small p is quadratic at corpus
+    scale). Resolution order:
+    1. explicit `n_planes` — no sizing work at all; **the production
+       contract: 100 TB callers pass `n_planes` (or `n_rows`)**;
+    2. explicit `n_rows` — corpus size the caller already knows
+       (catalog stats, ingest manifest); no Spark job;
+    3. Catalyst optimized-plan rowCount stats — metadata only, no job
+       (defined for ANALYZEd / Delta / cached sources);
+    4. LAST RESORT: one count() job — an extra full pass over the
+       corpus; acceptable in tests, not in a 100 TB pipeline.
+    `max_bucket` drops degenerate buckets before pairing
     (see `embedding_neardup_pairs`) — production belt-and-braces on
     top of the √N sizing; None = exact oracle parity.
 
@@ -842,7 +884,11 @@ def semdedup_keep(
     if strategy not in ("greedy", "component"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if n_planes is None:
-        n_planes = semdedup_planes_for(df.count())
+        if n_rows is None:
+            n_rows = _plan_row_count(df)
+        if n_rows is None:
+            n_rows = df.count()  # last resort, see docstring
+        n_planes = semdedup_planes_for(n_rows)
     planes = hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     pairs = embedding_neardup_pairs(
@@ -1041,7 +1087,10 @@ def connected_components(
       (near-dup clusters are dense, so diameters are tiny; n=8 covers
       any realistic corpus, and an undersized n degrades to splitting
       one component into adjacent labels, never to wrong membership
-      merges).
+      merges). **`fixed_rounds=8` is the documented production
+      default for 100 TB runs** — the probe mode (default here only
+      for oracle parity) costs one driver round-trip per iteration
+      and serializes the rounds on driver latency.
     """
     edges = pairs.select(
         F.col(col_a).cast("long").alias("s"), F.col(col_b).cast("long").alias("t")

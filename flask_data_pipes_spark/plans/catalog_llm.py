@@ -2671,6 +2671,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: iterative min-label propagation, one equi-join + groupBy
     per round, lineage truncated per round (operators/dedup.py::
     connected_components); rounds ≈ cluster diameter, not corpus size.
+    The 100 TB path is `fixed_rounds=8` (probe-free: no per-round
+    driver count); the convergence-probe default is used here only so
+    the oracle comparison is iteration-count-independent.
     """
     from ..operators import dedup
 

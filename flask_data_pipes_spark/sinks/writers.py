@@ -138,7 +138,10 @@ def write_jdbc(
     partition opens its own DBAPI connection and appends its rows with
     parameterized `executemany` batches of `batch_size`, committing per
     batch — the same shape the JDBC writer uses, runnable without a
-    driver jar (proven against sqlite in tests; VERDICT r2 #7).
+    driver jar (proven against sqlite in tests; VERDICT r2 #7). The
+    live JVM `.save()` leg is proven against embedded Derby
+    (tests/test_sources_sinks.py::test_jdbc_live_jvm_roundtrip_derby:
+    overwrite idempotence, append accumulation, read-back parity).
     Append-only by contract (truncate/overwrite is a driver-side DDL
     decision, not a per-partition one)."""
     if connection_factory is not None:

@@ -289,9 +289,22 @@ def foreach_batch_incremental_dedup(
     Exactly-once: a replayed batch re-probes the updated history, finds
     all its rows already present, and appends nothing — at-least-once
     foreachBatch upgrades to effectively-once because the dedup
-    predicate itself is the idempotence guard. (Concurrent writers need
-    a transactional table format; the parquet layout here assumes the
-    single sequential foreachBatch caller Spark guarantees.)
+    predicate itself is the idempotence guard. The output sink is
+    written BEFORE the history: a crash between the two writes means
+    the rows are in `out_path` but not yet in history, so the replay
+    re-emits them (at-least-once into `out_path`, recoverable by a
+    downstream dedup on `fp_col`) instead of silently losing them
+    (the history-first order would make replays emit nothing).
+    (Concurrent writers need a transactional table format; the parquet
+    layout here assumes the single sequential foreachBatch caller
+    Spark guarantees.)
+
+    Missing-history detection goes through the Hadoop FileSystem API,
+    not a blanket except around the read: a transient FS error or a
+    corrupt part file must FAIL the micro-batch (so Spark retries)
+    rather than masquerade as "first batch" and append already-seen
+    fingerprints, which would permanently break the one-row-per-
+    distinct-fingerprint history invariant.
 
     Scale: the bitmap is m_bits/64 rows regardless of history size; the
     only history-sized work is one streamed scan per batch.
@@ -303,12 +316,14 @@ def foreach_batch_incremental_dedup(
             return
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, fp_col).dropDuplicates([fp_col])
-        try:
+        # Existence probe via Hadoop FS — only a genuinely-absent path
+        # means "first batch"; any error from the actual read below
+        # (transient FS fault, corrupt part file) propagates and fails
+        # the micro-batch so Spark retries it.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(history_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             hist = spark.read.parquet(history_path).select(id_col, fp_col)
-            have_history = True
-        except Exception:  # first batch: no history yet
-            have_history = False
-        if have_history:
             dupes = bloom_incremental_dedup(
                 batch, hist, fp_col, id_col, m_bits=m_bits, k=k
             ).select(fp_col)
@@ -316,9 +331,12 @@ def foreach_batch_incremental_dedup(
         else:
             fresh = batch
         fresh = fresh.withColumn("batch_id", F.lit(batch_id))
-        fresh.write.mode("append").parquet(history_path)
+        # out_path first: see the effectively-once note in the
+        # docstring — a crash here replays into at-least-once output,
+        # never silent loss.
         if out_path is not None:
             fresh.write.mode("append").parquet(out_path)
+        fresh.write.mode("append").parquet(history_path)
 
     return sink
 

@@ -151,9 +151,11 @@ def test_jdbc_scan_options_partitioned():
         num_partitions=16,
         fetchsize=5000,
     )
+    # partitioned scans must use dbtable (Spark rejects
+    # query+partitionColumn together — proven live against Derby)
     assert opts == {
         "url": "jdbc:postgresql://db/wh",
-        "query": "SELECT * FROM t",
+        "dbtable": "(SELECT * FROM t) AS sparkq",
         "partitionColumn": "id",
         "lowerBound": "0",
         "upperBound": "1000000",

@@ -175,6 +175,11 @@ def test_repeated_ngram_dedup_token_granular_coverage(spark):
         (1, "a b c d e f g h tail one"),
         (2, "x y a b c d e f z zz"),
         (3, "totally unique text with no repeats at all"),
+        # shorter than k=4 tokens: no gram window starts here —
+        # regression guard for sequence(1, 0) -> [1, 0] crashing
+        # F.slice at position 0
+        (4, "too short"),
+        (5, "a b c"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
@@ -188,6 +193,9 @@ def test_repeated_ngram_dedup_token_granular_coverage(spark):
     assert out[2]["clean_text"] == "x y z zz"
     assert out[2]["n_removed"] == 6
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+    # <k-token docs survive untouched (and don't crash the plan)
+    assert out[4]["clean_text"] == "too short" and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "a b c" and out[5]["n_tokens"] == 3
 
 
 def test_decontaminate_gram_df_cap(spark):
@@ -220,6 +228,28 @@ def test_decontaminate_gram_df_cap(spark):
     # the boilerplate gram (df=6 > 3) is dropped; doc 1 no longer flags
     assert set(capped) == {2}
     assert capped[2]["n_test_docs"] == 1
+
+
+def test_semdedup_sizing_triggers_no_spark_job(spark):
+    """Supplying either n_planes or n_rows must keep semdedup_keep
+    fully lazy — zero Spark jobs during plan construction (the
+    count()-based auto-sizing is a documented last resort only).
+    Job-group tagging counts any job launched inside the call."""
+    rows = [(i, [float(i % 3) + 1.0] * 8, "x") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("semdedup-nojob", "sizing must not run jobs")
+    try:
+        out_planes = dedup.semdedup_keep(df, n_planes=3, dim=8)
+        out_rows = dedup.semdedup_keep(df, n_rows=6, dim=8)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("semdedup-nojob")
+    assert list(jobs) == []
+    # the returned plans are real (executing them works)
+    assert out_planes.count() >= 1 and out_rows.count() >= 1
 
 
 def test_semdedup_planes_scale_with_corpus():

@@ -44,6 +44,179 @@ HEADLINE = [
 ]
 
 
+# --- sf1 data-proportional stage (VERDICT r3 #3/#4/#6) ----------------------
+#
+# Driver testdata stops at sf0.1, where per-stage fixed overhead
+# (~0.3-0.5 s/exchange on local[32]) dominates. This stage synthesizes
+# a 10× corpus (the BASELINE.md round-3 recipe, now scripted and
+# repeatable): 10 document copies with per-copy vowel rotation (so
+# cross-copy shingle overlap collapses and pair counts scale honestly)
+# and 10 embedding copies with per-copy array rotation (so copies are
+# not trivially identical vectors). It times the heaviest queries plus
+# the heavy operators absent from the headline set, at BOTH scales,
+# and records the ratios — the scripted check that plans stay
+# data-proportional (e.g. corpus_clean's shared-tokenization claim).
+
+SF1_SHARED = [  # also in HEADLINE — sf0.1 numbers reused from the main stage
+    "llm_minhash_pairs",
+    "llm_ngram_jaccard_pairs",
+    "llm_corpus_clean",
+    "llm_lsh_topk",
+    "llm_decontaminate",
+]
+SF1_EXTRA = [  # heavy operators not in the headline set
+    "llm_substring_dedup",
+    "llm_semdedup_keep",
+    "llm_bloom_dedup",
+]
+
+
+def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
+    import functools
+
+    from pyspark.sql import functions as F
+
+    meta_path = os.path.join(dst_dir, "_META.json")
+    meta = {"src": os.path.abspath(src_dir), "copies": copies}
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                if json.load(fh) == meta:
+                    return  # cached synth is current
+        except Exception:
+            pass
+    import shutil
+
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    os.makedirs(dst_dir, exist_ok=True)
+
+    vows = "aeiou"
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    doc_copies = []
+    for c in range(copies):
+        rot = vows[c % 5 :] + vows[: c % 5]
+        doc_copies.append(
+            docs.withColumn("text", F.translate(F.col("text"), vows, rot))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+        )
+    functools.reduce(lambda a, b: a.unionByName(b), doc_copies).write.mode(
+        "overwrite"
+    ).parquet(f"{dst_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    emb_copies = []
+    for c in range(copies):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
+        if c:  # rotate the vector so copies aren't identical points
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), c + 1, dim - c),
+                    F.slice(F.col("embedding"), 1, c),
+                ),
+            )
+        emb_copies.append(e)
+    functools.reduce(lambda a, b: a.unionByName(b), emb_copies).write.mode(
+        "overwrite"
+    ).parquet(f"{dst_dir}/embeddings.parquet")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
+def _sf1_direct_queries():
+    """Production-shaped variants not in the catalog (the catalog pins
+    oracle-parity parameters; production adds skew caps / probe-free
+    modes). Timed at both scales alongside the catalog entries."""
+    from flask_data_pipes_spark.operators import dedup
+    from flask_data_pipes_spark.plans import catalog_llm as cl
+    from flask_data_pipes_spark.plans.catalog import load
+
+    def minhash_production(spark, d):
+        bands = cl.llm_minhash_bands(spark, d)
+        return dedup.candidate_pairs(bands, "doc_id", max_bucket=1000)
+
+    def dedup_clusters_fixed8(spark, d):
+        pairs = dedup.candidate_pairs(
+            cl.llm_minhash_bands(spark, d), "doc_id", max_bucket=1000
+        )
+        return dedup.connected_components(
+            pairs, "doc_id_a", "doc_id_b", fixed_rounds=8
+        )
+
+    def semdedup_production(spark, d):
+        e = load(spark, d, "embeddings")
+        # √N sizing WITHOUT a count job: row count from parquet metadata
+        import pyarrow.parquet as pq
+
+        path = f"{d}/embeddings.parquet"
+        if os.path.isdir(path):
+            n = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.ParquetFile(path).metadata.num_rows
+        return dedup.semdedup_keep(
+            e, n_rows=n, threshold=0.35, max_bucket=1000
+        )
+
+    return {
+        "minhash_production": minhash_production,
+        "dedup_clusters_fixed8": dedup_clusters_fixed8,
+        "semdedup_production": semdedup_production,
+    }
+
+
+def _run_sf1_stage(spark, qs, sf_dir: str, headline_timings: dict) -> dict:
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_sf1"),
+    )
+    _synth_sf1(spark, sf_dir, sf1_dir)
+
+    direct = _sf1_direct_queries()
+    entries = {name: qs[name] for name in SF1_SHARED + SF1_EXTRA}
+    entries.update(direct)
+
+    def time_one(fn, d):
+        t0 = time.perf_counter()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # warm codegen for entries the headline warm-up didn't touch
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in SF1_EXTRA + list(direct):
+        try:
+            entries[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass
+
+    base: dict[str, float] = {}
+    big: dict[str, float] = {}
+    for name, fn in entries.items():
+        base[name] = (
+            headline_timings[name]
+            if name in headline_timings
+            else time_one(fn, sf_dir)
+        )
+        big[name] = time_one(fn, sf1_dir)
+    ratios = {
+        n: round(big[n] / base[n], 2) if base[n] > 0 else None for n in entries
+    }
+    return {
+        "copies": 10,
+        "base_sf_dir": sf_dir,
+        "queries_sf1": big,
+        "queries_base": base,
+        "ratio": ratios,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -116,6 +289,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # sf1 data-proportional stage (default on; SPARK_GRAFT_BENCH_SF1=0
+    # to skip). Failures must not lose the headline number.
+    sf1_section = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            sf1_section = _run_sf1_stage(spark, qs, sf_dir, timings)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            sf1_section = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -123,6 +306,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sf1": sf1_section,
                 "sf": sf,
                 # machine-load context so the recorded number can be
                 # argued against its environment (1/5/15-min loadavg

@@ -33,6 +33,7 @@ __all__ = [
     "quality_score",
     "detect_language",
     "chunk_clean",
+    "encoding_noise",
     "STOPWORDS",
 ]
 
@@ -355,3 +356,64 @@ def detect_language(
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(better, hits).otherwise(best_hits)
     return best_lang
+
+
+# Characters that almost never occur in clean text but are the
+# signature of CP1252-decoded-as-UTF8 mojibake ("â€™", "Ã©", ...) or
+# failed decodes (U+FFFD). Counted per CHARACTER via translate — the
+# same zero-regex table-lookup trick as char_entropy, so the whole
+# signal stays inside whole-stage codegen and has an exact SQL twin.
+_MOJIBAKE_CHARS = "�ÃÂâ€™œ¿½"
+_CTRL_CHARS = "".join(
+    chr(i) for i in range(0x00, 0x20) if chr(i) not in "\t\n\r"
+)
+_ASCII_CHARS = "".join(chr(i) for i in range(0x20, 0x7F)) + "\t\n\r"
+
+
+def encoding_noise(c: ColumnOrName) -> Column:
+    """Encoding-noise signal → struct(n_replacement, n_mojibake,
+    n_ctrl, nonascii_ratio, noise_ratio): the cheap pre-filter that
+    catches the three classic corpus poisons — U+FFFD from lossy
+    decodes, CP1252/UTF-8 double-decode mojibake, and stray control
+    bytes — before they reach tokenization (where they inflate vocab
+    and hapax counts; see operators/corpus.py::vocab_stats).
+
+    noise_ratio = (replacement + mojibake + ctrl chars) / length; the
+    usual production gate drops docs above ~0.01. Zero shuffle, zero
+    regex: every count is `length(s) - length(translate(s, set, ''))`.
+    Empty/NULL text → all-zero struct."""
+    s = _col(c)
+    n = F.length(s)
+
+    def count_of(chars: str) -> Column:
+        return n - F.length(F.translate(s, chars, ""))
+
+    n_repl = count_of("�")
+    n_moji = count_of(_MOJIBAKE_CHARS) - n_repl
+    n_ctrl = count_of(_CTRL_CHARS)
+    # translate drops the ASCII set, so nonascii = remaining length
+    n_nonascii = F.length(F.translate(s, _ASCII_CHARS, ""))
+    denom = F.greatest(n, F.lit(1))
+    zero = F.lit(0).cast("long")
+    return F.when(
+        s.isNull() | (n == 0),
+        F.struct(
+            zero.alias("n_replacement"),
+            zero.alias("n_mojibake"),
+            zero.alias("n_ctrl"),
+            F.lit(0.0).alias("nonascii_ratio"),
+            F.lit(0.0).alias("noise_ratio"),
+        ),
+    ).otherwise(
+        F.struct(
+            n_repl.cast("long").alias("n_replacement"),
+            n_moji.cast("long").alias("n_mojibake"),
+            n_ctrl.cast("long").alias("n_ctrl"),
+            F.round(n_nonascii.cast("double") / denom, 6).alias(
+                "nonascii_ratio"
+            ),
+            F.round(
+                (n_repl + n_moji + n_ctrl).cast("double") / denom, 6
+            ).alias("noise_ratio"),
+        )
+    )

@@ -32,7 +32,13 @@ from typing import Optional
 from ..functions import text as T
 from .dedup import spread_for_cpu
 
-__all__ = ["unigram_logprob", "shuffle_shards", "decontaminate"]
+__all__ = [
+    "unigram_logprob",
+    "shuffle_shards",
+    "decontaminate",
+    "bm25_topk",
+    "vocab_stats",
+]
 
 
 def decontaminate(
@@ -198,5 +204,186 @@ def unigram_logprob(
             n.alias("n_tok"),
             F.round(avg, round_out).alias("avg_logp"),
             F.round(-avg / F.log(F.lit(2.0)), round_out).alias("bits_per_token"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_term: int = 6,
+    round_out: int = 6,
+) -> DataFrame:
+    """BM25 full-text retrieval: for each query, the top-k documents by
+    Okapi BM25 (Robertson-Sparck Jones; the Lucene non-negative idf
+    variant ln(1 + (N - df + 0.5)/(df + 0.5))) — the classic sparse
+    retrieval baseline every corpus search / RAG pipeline needs next
+    to the dense `similarity` operators.
+
+    Output: (qid, doc_id, score, rnk), rnk 1..k per query, ties broken
+    by ascending doc id (deterministic).
+
+    Cross-engine determinism: each matched term's contribution is
+    rounded to `round_term` decimals and summed EXACTLY as
+    DECIMAL(38,9) (float addition order differs across partitions and
+    engines); idf is rounded to 9 decimals first so the libm `ln` ulp
+    never reaches the term rounding boundary. avgdl is an exact
+    integer-sum / count division — bit-identical everywhere.
+
+    Scale shape (one corpus scan, queries broadcast):
+    - postings (doc, term, tf, dl) come from one explode + groupBy —
+      the shuffle carries one row per DISTINCT (doc, term), not the
+      token stream.
+    - N and avgdl are a 1-row aggregate → broadcast; per-term df is a
+      groupBy on the postings' term (vocabulary-sized) → joined back
+      on term, also vocabulary-keyed.
+    - query terms BROADCAST onto the postings (query sets are tiny
+      next to the corpus), so the corpus-sized side shuffles exactly
+      once more: the (qid, doc) score aggregation, whose cardinality
+      is bounded by matched postings, with partial aggregation
+      map-side.
+    - top-k is a per-qid window over the scored rows — number of
+      queries × matched docs, far below corpus size. No crossJoin,
+      no driver-side state.
+    """
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        docs.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+    posts = (
+        base.select("__doc", F.size("__t").alias("__dl"), F.explode_outer("__t").alias("__term"))
+        .where(F.col("__term").isNotNull())
+        .groupBy("__doc", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.size("__t")).alias("__tok_total"),
+    )
+    dfreq = posts.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.explode_outer(
+                F.array_distinct(T.whitespace_tokens(F.lower(F.col(qtext_col))))
+            ).alias("__term"),
+        )
+        .where(F.col("__term").isNotNull())
+        .distinct()
+    )
+    n = F.col("__n_docs").cast("double")
+    avgdl = F.col("__tok_total").cast("double") / n
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+        ),
+        9,
+    )
+    tf = F.col("__tf").cast("double")
+    term_score = F.round(
+        idf
+        * tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)),
+        round_term,
+    )
+    scored = (
+        posts.join(F.broadcast(qterms), "__term")
+        .join(F.broadcast(dfreq.join(F.broadcast(stats))), "__term")
+        .groupBy("__qid", "__doc")
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(38,9)")).cast("double"),
+                round_out,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("score").desc(), F.col("__doc").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            F.col("__qid").alias(qid_col),
+            F.col("__doc").alias(id_col),
+            "score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group vocabulary health: token volume, distinct vocabulary,
+    hapax legomena (tokens seen exactly once), type-token ratio and
+    hapax share — the Heaps/Zipf-style fingerprint that surfaces
+    template spam (vocab collapses), encoding junk (vocab explodes,
+    hapax share → 1), and dataset drift between ingest batches.
+
+    Output: (by, n_docs, n_tokens, vocab_size, n_hapax, type_token_ratio,
+    hapax_ratio).
+
+    Scale shape: one explode, one (group, token) aggregation (the
+    shuffle carries the per-group VOCABULARY after map-side partial
+    aggregation — Heaps' law keeps that ≪ token volume), then one
+    group-level rollup. Doc counts ride a distinct-doc aggregate on
+    the same shuffled rows; no window, no second scan of text.
+    """
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    posts = (
+        spread_for_cpu(df.filter(F.trim(F.col(text_col)) != ""), id_col)
+        .select(
+            F.col(by).alias("__g"),
+            F.col(id_col).alias("__rid"),
+            toks.alias("__t"),
+        )
+        .select("__g", "__rid", F.explode_outer("__t").alias("__term"))
+        .where(F.col("__term").isNotNull())
+    )
+    per_term = posts.groupBy("__g", "__term").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    docs_per_group = (
+        posts.select("__g", "__rid")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    agg = per_term.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return (
+        agg.join(docs_per_group, "__g")
+        .select(
+            F.col("__g").alias(by),
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            "n_hapax",
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("vocab_size"), 6
+            ).alias("hapax_ratio"),
         )
     )

@@ -1076,9 +1076,12 @@ def connected_components(
     - Each round is one equi-join + one groupBy on the node id —
       all shuffle-partitioned by id, no crossJoin, no driver-side
       graph.
-    - `localCheckpoint(eager=True)` each round truncates lineage —
-      without it the plan doubles per iteration and Catalyst analysis
-      time explodes long before data does.
+    - `localCheckpoint(eager=True, DISK_ONLY)` each round truncates
+      lineage — without it the plan doubles per iteration and Catalyst
+      analysis time explodes long before data does. DISK_ONLY because
+      superseded round snapshots linger until ContextCleaner GC;
+      memory-level blocks from many rounds starve broadcast builds
+      (observed at 10× scale), disk blocks don't.
     - The convergence probe (`changed == 0`) costs one small action
       per round. `fixed_rounds=n` is the at-scale mode: exactly n
       propagation rounds with NO driver-side action per round — the
@@ -1092,20 +1095,39 @@ def connected_components(
       for oracle parity) costs one driver round-trip per iteration
       and serializes the rounds on driver latency.
     """
+    # DISK_ONLY checkpoints: every round pins a new snapshot and the
+    # superseded ones are only freed by the JVM ContextCleaner after
+    # GC, so memory-level checkpoint blocks from 8+ rounds accumulate
+    # until they starve broadcast builds (observed as a driver
+    # broadcast OOM on a 10x corpus). Disk blocks cost one local write
+    # per round and never compete with execution/broadcast memory.
+    from pyspark import StorageLevel
+
+    ckpt = dict(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     edges = pairs.select(
         F.col(col_a).cast("long").alias("s"), F.col(col_b).cast("long").alias("t")
     )
     edges = edges.union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(**ckpt)
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(**ckpt)
     )
     for _ in range(fixed_rounds if fixed_rounds is not None else max_iter):
-        prop = edges.join(labels, edges.t == labels.id).select(
+        # SHUFFLE_HASH, not broadcast: Catalyst's cardinality estimate
+        # for the pair-generating explode upstream is wildly LOW, so
+        # the static planner may elect to broadcast the EDGE LIST
+        # (observed at 10x scale: a ~100M-row edge side picked as the
+        # 64 MB-threshold broadcast build → driver OOM). Pinning the
+        # labels side as a shuffled-hash build is also the right 100 TB
+        # shape: both sides hash-partition on the node id and the
+        # per-round exchange reuses that partitioning.
+        prop = edges.join(
+            labels.hint("shuffle_hash"), edges.t == labels.id
+        ).select(
             F.col("s").alias("id"), "label", F.lit(False).alias("own")
         )
         # The convergence probe rides the same groupBy: min(label) is the
@@ -1120,7 +1142,7 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(**ckpt)
         )
         if fixed_rounds is None:
             changed = new.where(F.col("label") != F.col("__old")).count()

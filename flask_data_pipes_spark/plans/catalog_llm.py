@@ -2683,3 +2683,263 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     ).select("doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size"))
+
+
+# --- round-4 additions: retrieval + corpus-health signals -------------------
+
+_DDB_TOKS_LOWER = r"string_split_regex(trim(lower(text)), '\s+')"
+_BM25_QIDS = (7, 23, 41, 57, 73)
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    posts AS (
+      SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl FROM (
+        SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM base
+      ) GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS tok_total FROM base
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM posts GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS qid, unnest(list_distinct(toks[1:4])) AS term
+      FROM base WHERE doc_id IN {_BM25_QIDS}
+    ),
+    scored AS (
+      SELECT qt.qid, p.doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(
+               ROUND(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 9)
+               * CAST(p.tf AS DOUBLE) * {_BM25_K1 + 1.0}
+               / (CAST(p.tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B}
+                  + {_BM25_B} * p.dl
+                    / (CAST(s.tok_total AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))),
+             6) AS DECIMAL(38,9))) AS DOUBLE), 6) AS score
+      FROM posts p
+      JOIN qt ON p.term = qt.term
+      JOIN dfreq d ON p.term = d.term
+      CROSS JOIN stats s
+      GROUP BY qt.qid, p.doc_id
+    )
+    SELECT qid, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY score DESC, doc_id
+      ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (operators/corpus.py::bm25_topk): top-5
+    documents per query under Okapi BM25 with the Lucene non-negative
+    idf. Queries are the first 4 tokens of 5 fixed documents — the
+    "find the source and its near-verbatim quotes" retrieval shape.
+    Complements the dense `llm_cosine_topk`/`llm_lsh_topk` pair: a
+    training-data pipeline needs sparse retrieval for attribution,
+    targeted decontamination, and RAG-style corpus search.
+
+    Scale: one corpus scan → (doc, term) postings (shuffle carries
+    distinct doc-term pairs, not the token stream); corpus stats and
+    document frequencies are vocabulary-sized broadcasts; query terms
+    broadcast onto the postings; final (qid, doc) score aggregation is
+    bounded by matched postings. No crossJoin; per-term contributions
+    summed as DECIMAL(38,9) for engine-exact totals.
+    """
+    from ..operators.corpus import bm25_topk
+
+    d = load(spark, sf_dir, "documents")
+    qtext = F.array_join(
+        F.slice(T.whitespace_tokens(F.lower(F.col("text"))), 1, 4), " "
+    )
+    queries = d.filter(F.col("doc_id").isin(*_BM25_QIDS)).select(
+        F.col("doc_id").alias("qid"), qtext.alias("qtext")
+    )
+    return bm25_topk(d, queries, k=5, k1=_BM25_K1, b=_BM25_B).select(
+        "qid", "doc_id", "score", "rnk"
+    )
+
+
+@register(
+    "llm_vocab_stats",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT source, doc_id, unnest({_DDB_TOKS_LOWER}) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    per_term AS (
+      SELECT source, term, COUNT(*) AS c FROM posts GROUP BY source, term
+    ),
+    dpg AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+      FROM posts GROUP BY source
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM per_term GROUP BY source
+    )
+    SELECT agg.source, dpg.n_docs, n_tokens, vocab_size, n_hapax,
+           ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           ROUND(CAST(n_hapax AS DOUBLE) / vocab_size, 6) AS hapax_ratio
+    FROM agg JOIN dpg ON agg.source = dpg.source
+    """,
+)
+def llm_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary health (operators/corpus.py::vocab_stats):
+    token volume, distinct vocabulary, hapax legomena, type-token and
+    hapax ratios — the Heaps/Zipf fingerprint that flags template spam
+    (vocab collapses), encoding junk (hapax share → 1), and drift
+    between ingest batches.
+
+    Scale: the (source, term) shuffle carries the per-source VOCABULARY
+    after map-side partial aggregation (Heaps' law keeps that ≪ token
+    volume); one group-level rollup after. No windows, one text scan.
+    """
+    from ..operators.corpus import vocab_stats
+
+    return vocab_stats(load(spark, sf_dir, "documents"), by="source")
+
+
+def _sql_chr_concat(s: str) -> str:
+    """A SQL expression producing exactly the python string `s`, built
+    from chr() calls so control/non-ASCII characters never appear as
+    raw bytes inside the oracle text."""
+    return " || ".join(f"chr({ord(ch)})" for ch in s) if s else "''"
+
+
+# deterministic noise payloads injected by llm_encoding_noise (escapes
+# only — keeps this source file pure ASCII):
+#   _NOISE7  = " <U+FFFD><A-tilde><euro>"   — replacement + mojibake marks
+#   _NOISE11 = "<SOH><STX>"                 — control bytes
+#   _NOISE13 = "A-tilde,copyright twice"    — the classic "Ã©"
+#                                             CP1252-decoded "e-acute"
+_NOISE7 = " �Ã€"
+_NOISE11 = ""
+_NOISE13 = "Ã©cafÃ©"
+
+
+def _encoding_noise_oracle() -> str:
+    from ..functions.text import _ASCII_CHARS, _CTRL_CHARS, _MOJIBAKE_CHARS
+
+    noise7 = _sql_chr_concat(_NOISE7)
+    noise11 = _sql_chr_concat(_NOISE11)
+    noise13 = _sql_chr_concat(_NOISE13)
+    repl = _sql_chr_concat("�")
+    moji = _sql_chr_concat(_MOJIBAKE_CHARS)
+    ctrl = _sql_chr_concat(_CTRL_CHARS)
+    ascii_ = _sql_chr_concat(_ASCII_CHARS)
+    return rf"""
+    WITH noisy AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN {noise7} ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN {noise11} ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN {noise13} ELSE '' END AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             length(t) AS n,
+             length(t) - length(translate(t, {repl}, '')) AS n_repl,
+             (length(t) - length(translate(t, {moji}, '')))
+               - (length(t) - length(translate(t, {repl}, ''))) AS n_moji,
+             length(t) - length(translate(t, {ctrl}, '')) AS n_ctrl,
+             length(translate(t, {ascii_}, '')) AS n_nonascii
+      FROM noisy
+    )
+    SELECT doc_id,
+           CAST(n_repl AS BIGINT) AS n_replacement,
+           CAST(n_moji AS BIGINT) AS n_mojibake,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           ROUND(CAST(n_nonascii AS DOUBLE) / greatest(n, 1), 6)
+             AS nonascii_ratio,
+           ROUND(CAST(n_repl + n_moji + n_ctrl AS DOUBLE) / greatest(n, 1), 6)
+             AS noise_ratio
+    FROM counted
+    """
+
+
+@register("llm_encoding_noise", oracle=_encoding_noise_oracle())
+def llm_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-noise signal (functions/text.py::encoding_noise) over a
+    corpus with DETERMINISTICALLY INJECTED noise: the testdata is
+    clean, so the entry appends U+FFFD / mojibake / control-char runs
+    to a doc_id-keyed subset before measuring — exercising every
+    counter instead of hash-checking an all-zero column. Production
+    runs the signal on raw text straight off ingest.
+
+    Scale: pure per-row translate() table lookups, zero shuffle, zero
+    regex — cost is the scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_NOISE7)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_NOISE11)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(_NOISE13)).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select(
+        "doc_id", T.encoding_noise(noisy).alias("__e")
+    ).select("doc_id", "__e.*")
+
+
+@register(
+    "llm_ngram_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, {_DDB_TOKS_LOWER} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT source, unnest(list_transform(
+        range(1, greatest(len(t) - 1, 0) + 1),
+        i -> array_to_string(t[i:i+1], ' ')
+      )) AS gram
+      FROM toks
+    ),
+    counts AS (
+      SELECT source, gram, COUNT(*) AS n FROM grams GROUP BY source, gram
+    )
+    SELECT source, gram, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY n DESC, gram
+      ) AS rnk FROM counts
+    ) WHERE rnk <= 5
+    """,
+)
+def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per source — the corpus-analysis staple that
+    surfaces boilerplate phrases and template fragments BEFORE choosing
+    dedup/prune thresholds (the degenerate LSH buckets `max_bucket`
+    drops usually announce themselves here first).
+
+    Scale: shingle explode → (source, gram) count with map-side
+    partial aggregation (shuffle carries distinct grams per source,
+    Heaps-bounded), then a per-source top-k window over the counts —
+    group count × vocabulary rows, not corpus rows.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    grams = d.select(
+        "source",
+        F.explode_outer(T.word_shingles("text", 2)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    counts = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("source", "gram", "n", F.col("rnk").cast("int").alias("rnk"))
+    )

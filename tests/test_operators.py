@@ -810,3 +810,93 @@ def test_quantize_int8_roundtrip(spark):
                 assert abs(x - c * r["scale"]) <= r["scale"] / 2 + 1e-12
     # extreme components hit the rails exactly
     assert by_id[3]["qv"][0] == 127 and by_id[3]["qv"][1] == -127
+
+
+def test_bm25_topk_ranks_exact_match_first(spark):
+    """A query matching doc 1 verbatim must rank doc 1 over a doc that
+    shares only one common term; a term present in every doc carries
+    ~zero idf and cannot outrank a rare-term match."""
+    from flask_data_pipes_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (1, "zephyr quasar nebula common"),
+        (2, "common words only here padding padding padding"),
+        (3, "another doc common filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame(
+        [(100, "zephyr quasar"), (200, "common")], ["qid", "qtext"]
+    )
+    out = bm25_topk(docs, queries, k=3)
+    got = {
+        (r["qid"], r["rnk"]): (r["doc_id"], r["score"])
+        for r in out.collect()
+    }
+    # rare-term query: only doc 1 matches at all
+    assert got[(100, 1)][0] == 1
+    assert (100, 2) not in got
+    # ubiquitous term: every doc matches with near-zero idf scores,
+    # ranked deterministically; the shortest doc gets the tf boost
+    assert {got[(200, r)][0] for r in (1, 2, 3)} == {1, 2, 3}
+    assert got[(200, 1)][0] == 1  # shortest doc -> highest length norm
+    assert all(got[(200, r)][1] >= 0 for r in (1, 2, 3))
+
+
+def test_bm25_topk_k_and_tiebreak(spark):
+    from flask_data_pipes_spark.operators.corpus import bm25_topk
+
+    # 4 identical docs: scores tie exactly -> rnk follows ascending id
+    rows = [(i, "same text here") for i in (4, 2, 9, 7)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame([(1, "same")], ["qid", "qtext"])
+    out = bm25_topk(docs, queries, k=3).orderBy("rnk").collect()
+    assert [r["doc_id"] for r in out] == [2, 4, 7]  # k=3 of 4, id order
+    assert len({r["score"] for r in out}) == 1
+
+
+def test_vocab_stats_known_counts(spark):
+    from flask_data_pipes_spark.operators.corpus import vocab_stats
+
+    rows = [
+        (1, "a b b", "s1"),
+        (2, "a c", "s1"),
+        (3, "x x x x", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in vocab_stats(df, by="source").collect()}
+    # s1: tokens a,b,b,a,c -> n=5, vocab {a,b,c}=3, hapax {c}=1
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_tokens"] == 5
+    assert out["s1"]["vocab_size"] == 3
+    assert out["s1"]["n_hapax"] == 1
+    assert abs(out["s1"]["type_token_ratio"] - 0.6) < 1e-9
+    # s2: one doc, one type repeated 4x -> no hapax
+    assert out["s2"]["vocab_size"] == 1 and out["s2"]["n_hapax"] == 0
+
+
+def test_encoding_noise_known_values(spark):
+    from flask_data_pipes_spark.functions.text import encoding_noise
+
+    repl, atilde, soh, stx = chr(0xFFFD), chr(0xC3), chr(1), chr(2)
+    rows = [
+        (1, "clean ascii text"),
+        (2, f"bad {repl}{repl} decode"),
+        (3, f"caf{atilde}{chr(0xA9)} mojibake"),  # the classic "A-tilde"
+        (4, f"ctrl{soh}{stx}here"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", encoding_noise("text").alias("e")
+        ).select("doc_id", "e.*").collect()
+    }
+    assert out[1]["noise_ratio"] == 0.0 and out[1]["nonascii_ratio"] == 0.0
+    assert out[2]["n_replacement"] == 2 and out[2]["noise_ratio"] > 0
+    assert out[3]["n_mojibake"] >= 1 and out[3]["n_replacement"] == 0
+    assert out[4]["n_ctrl"] == 2
+    for blank in (5, 6):
+        assert out[blank]["n_replacement"] == 0
+        assert out[blank]["noise_ratio"] == 0.0

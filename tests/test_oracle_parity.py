@@ -242,6 +242,115 @@ def test_quality_oracles_survive_capitalized_stopwords(
     )
 
 
+# --- golden pins for the non-SQL-expressible queries ------------------------
+#
+# The driver gate records only a rows-check for queries without an
+# oracle_sql entry (kmeans / ML-LSH / Python-side media codecs). These
+# pins close that gap (VERDICT r3 #2): every output is deterministic —
+# synthetic payloads and stdlib codecs derive purely from doc_id, the
+# ML MinHashLSH and kmeans seeds are fixed — so the full value set can
+# be pinned as a sha256 over normalized sorted rows. Floats are
+# rounded to 9 significant digits before hashing, which absorbs
+# agg-order ulp wiggle (digests verified identical across local[8]/
+# shuffle=8 and local[*]/shuffle=32).
+
+GOLDEN_SF_DIR = "/root/testdata/sf0.001"
+
+GOLDEN_DIGESTS = {
+    "llm_multimodal_decode": (
+        500,
+        "148c9a25daeb4c2c571c60492375d21deaa41fccb1202681f77e5b6a28613764",
+    ),
+    "llm_multimodal_features": (
+        500,
+        "ade8698e7b410d201b4b993f88ca08c05e16db226c1fa87ee96cdaa350c76692",
+    ),
+    "llm_multimodal_resize": (
+        500,
+        "a0c65acf7a1064ea33f544cd64efa57db6dfc4b3ff18a85353d236132180a412",
+    ),
+    "llm_multimodal_audio": (
+        500,
+        "1fd378ba3aee4b208b2cb57a2f99f062c5684b76f6b1d4ef82561f51a8c75fcd",
+    ),
+    "llm_frame_sample": (
+        2477,
+        "4b26148f443707227771c460d4b8fc1e2adb40533edfcc615c486cb3ce183f32",
+    ),
+    "llm_ivf_topk": (
+        40,
+        "84364b598b1941733f50d747fa6cb54fffdee2aae3a4b54f2c16a9c272559c43",
+    ),
+}
+
+
+def _golden_digest(df):
+    import hashlib
+
+    def norm(v):
+        if v is None:
+            return "N"
+        if isinstance(v, float):
+            return "N" if math.isnan(v) else f"{v:.9g}"
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        if isinstance(v, list):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return repr(v)
+
+    cols = sorted(df.columns)
+    rows = sorted("|".join(norm(r[c]) for c in cols) for r in df.collect())
+    return len(rows), hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_DIGESTS))
+def test_golden_pin_rows_only_queries(spark, sf_dir, name):
+    if sf_dir != GOLDEN_SF_DIR:
+        pytest.skip("golden digests pinned at sf0.001")
+    import __spark_entry__ as entry
+
+    n, digest = _golden_digest(entry.queries()[name](spark, sf_dir))
+    assert (n, digest) == GOLDEN_DIGESTS[name], (
+        f"{name}: output drifted from pinned golden "
+        f"(got {n} rows, digest {digest})"
+    )
+
+
+def test_golden_pin_minhash_lsh_ml_pair_count(spark, sf_dir):
+    """pyspark.ml MinHashLSH under its fixed seed: exact candidate-pair
+    count pinned (the pair SET is seed-stable; pinning the count keeps
+    the check cheap — 85k pairs at sf0.001, threshold 0.5)."""
+    if sf_dir != GOLDEN_SF_DIR:
+        pytest.skip("pinned at sf0.001")
+    import __spark_entry__ as entry
+
+    assert entry.queries()["llm_minhash_lsh_ml"](spark, sf_dir).count() == 85363
+
+
+def test_golden_pin_ann_recall_values(spark, sf_dir):
+    """The recall gauge itself is deterministic (seeded kmeans, seeded
+    hyperplanes, exact brute-force truth): pin the reported recalls.
+    The ORDERING ivf > multiprobe > single-probe is the load-bearing
+    claim (data-adaptive cells beat oblivious planes on
+    near-orthogonal synthetic embeddings; probing recovers loss)."""
+    if sf_dir != GOLDEN_SF_DIR:
+        pytest.skip("pinned at sf0.001")
+    import __spark_entry__ as entry
+
+    r = {
+        row["index"]: row["recall_at_5"]
+        for row in entry.queries()["llm_ann_recall"](spark, sf_dir).collect()
+    }
+    assert abs(r["ivf"] - 0.625) < 1e-9
+    assert abs(r["lsh"] - 0.125) < 1e-9
+    assert abs(r["lsh_mp4"] - 0.4) < 1e-9
+    assert r["ivf"] > r["lsh_mp4"] > r["lsh"]
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry
 

@@ -34,6 +34,7 @@ __all__ = [
     "detect_language",
     "chunk_clean",
     "encoding_noise",
+    "script_profile",
     "STOPWORDS",
 ]
 
@@ -416,4 +417,44 @@ def encoding_noise(c: ColumnOrName) -> Column:
                 (n_repl + n_moji + n_ctrl).cast("double") / denom, 6
             ).alias("noise_ratio"),
         )
+    )
+
+
+# Unicode scripts profiled by script_profile. Alphabetical — the order
+# is the deterministic dominance tiebreak, mirrored in the SQL twin.
+_SCRIPTS = ("arabic", "cyrillic", "greek", "han", "hangul", "latin")
+
+
+def script_profile(c: ColumnOrName) -> Column:
+    """Writing-system profile → struct(n_arabic, n_cyrillic, n_greek,
+    n_han, n_hangul, n_latin, dominant): per-script character counts
+    plus the dominant script (most characters; ties break alphabetically,
+    'none' when no profiled script appears). The router signal a
+    multilingual corpus pipeline needs BEFORE language-ID — langid
+    vocabularies are per-script, and mixed-script docs (spam, embedded
+    code, mojibake) deserve their own lane.
+
+    JVM regexp_count with Java script classes (\\p{IsCyrillic} ...);
+    the SQL twin uses RE2's \\p{Cyrillic} — verified to agree on all
+    six scripts. Per-row, zero shuffle."""
+    s = _col(c)
+    counts = {
+        name: F.coalesce(
+            F.regexp_count(s, F.lit(r"\p{Is%s}" % name.capitalize())),
+            F.lit(0),
+        )
+        for name in _SCRIPTS
+    }
+    top = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    # build the when-chain in REVERSE alphabetical order so the
+    # earliest alphabetical script wins ties (last when() applied
+    # first in the fold below)
+    for name in reversed(_SCRIPTS):
+        dominant = F.when((top > 0) & (counts[name] == top), name).otherwise(
+            dominant
+        )
+    return F.struct(
+        *[counts[n].cast("long").alias(f"n_{n}") for n in _SCRIPTS],
+        dominant.alias("dominant"),
     )

@@ -38,6 +38,7 @@ __all__ = [
     "decontaminate",
     "bm25_topk",
     "vocab_stats",
+    "length_histogram",
 ]
 
 
@@ -263,9 +264,14 @@ def bm25_topk(
         .groupBy("__doc", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.sum(F.size("__t")).alias("__tok_total"),
+    # stats and df both DERIVE FROM the postings aggregate, not from a
+    # fresh corpus scan: Σtf = token total, distinct __doc = doc count.
+    # All three consumers then share the (doc, term) groupBy's exchange
+    # via ReuseExchange — the corpus text is scanned and tokenized
+    # exactly ONCE (plan-asserted in tests/test_plans.py).
+    stats = posts.agg(
+        F.count_distinct(F.col("__doc")).alias("__n_docs"),
+        F.sum("__tf").alias("__tok_total"),
     )
     dfreq = posts.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     qterms = (
@@ -385,5 +391,47 @@ def vocab_stats(
             F.round(
                 F.col("n_hapax").cast("double") / F.col("vocab_size"), 6
             ).alias("hapax_ratio"),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-length distribution in power-of-two buckets:
+    (by, bucket_lo, bucket_hi, n_docs, total_tokens) where a doc of n
+    tokens lands in [2^b, 2^(b+1)) with b = floor(log2 n) — the
+    sequence-length histogram that drives packing efficiency estimates
+    (llm_pack_sequences), context-window truncation budgets, and
+    short-doc ingest alarms. Blank docs land in a (0, 0) bucket.
+
+    Engine-exact bucketing: b = length(bin(n)) - 1 — pure integer/
+    string ops, no libm log2 whose last-ulp could flip a boundary
+    (2^k) into the wrong bucket on one engine.
+
+    Scale: one narrow map (tokenize + bucket) then one groupBy on
+    (group, bucket) — the shuffle carries #groups × ~60 bucket rows
+    after map-side partial aggregation.
+    """
+    n_tok = F.size(T.whitespace_tokens(F.lower(F.col(text_col))))
+    b = (F.length(F.bin(n_tok)) - F.lit(1)).cast("double")
+    # pow(2, b) is IEEE-exact for b <= 52 (token counts are < 2^31),
+    # and shiftleft() only takes a literal bit count
+    p2 = F.pow(F.lit(2.0), b).cast("long")
+    lo = F.when(n_tok > 0, p2).otherwise(F.lit(0))
+    hi = F.when(n_tok > 0, p2 * 2 - 1).otherwise(F.lit(0))
+    return (
+        df.select(
+            F.col(by),
+            n_tok.cast("long").alias("__n"),
+            lo.cast("long").alias("bucket_lo"),
+            hi.cast("long").alias("bucket_hi"),
+        )
+        .groupBy(by, "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
         )
     )

@@ -44,6 +44,7 @@ __all__ = [
     "connected_components",
     "bloom_bitmap",
     "bloom_incremental_dedup",
+    "cdc_chunks",
 ]
 
 
@@ -1152,3 +1153,75 @@ def connected_components(
         else:
             labels = new.select("id", "label")
     return labels
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 4,
+    seed: int = 17,
+) -> DataFrame:
+    """Content-defined chunking at token granularity: a chunk boundary
+    falls AFTER token t whenever h(t) % 2^mask_bits == 0 (expected
+    chunk length 2^mask_bits tokens), so boundaries depend only on
+    LOCAL content — insert a paragraph and every chunk outside it
+    keeps its identity, where fixed-size chunking (boilerplate_prune's
+    C4 windows) shifts every subsequent boundary. The classic
+    rsync/LBFS trick, the right key for sub-document dedup of
+    templated corpora with local edits.
+
+    Output: (id, chunk_idx, n_tokens, chunk_hash) — one row per chunk,
+    chunk_hash a 60-bit md5 of the space-joined tokens. Join
+    chunk_hash against itself (or a historical chunk table) for
+    shared-fragment detection; `boilerplate_prune` semantics at
+    content-defined boundaries fall out of a groupBy(chunk_hash).
+
+    Scale: ONE hash per token (not per sliding window — token-level
+    gearing), all expression-level: flags → boundary positions →
+    adjacent-pair slices, then one explode. No shuffle at all in this
+    operator; downstream groupBys key on the 64-bit chunk hash.
+    """
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__t")
+    )
+    n = F.size("__t")
+    is_cut = lambda t: T.md5_long(t, seed) % F.lit(1 << mask_bits) == 0  # noqa: E731
+    # cut positions: 0, every boundary token index, and n (dedup'd via
+    # array_distinct in case the last token is itself a boundary)
+    cuts = F.array_distinct(
+        F.concat(
+            F.array(F.lit(0)),
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: is_cut(F.element_at("__t", i)),
+            ),
+            F.array(n),
+        )
+    )
+    # adjacent cut pairs -> chunks; chunk i spans tokens (cuts[i], cuts[i+1]]
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda i: F.array_join(
+            F.slice(
+                "__t",
+                F.element_at(cuts, i) + 1,
+                F.element_at(cuts, i + 1) - F.element_at(cuts, i),
+            ),
+            " ",
+        ),
+    )
+    return (
+        base.select(
+            id_col, F.posexplode(chunks).alias("chunk_idx", "__chunk")
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(T.whitespace_tokens(F.col("__chunk")))
+            .cast("long")
+            .alias("n_tokens"),
+            T.md5_long(F.col("__chunk"), 23).alias("chunk_hash"),
+        )
+    )

@@ -328,6 +328,39 @@ def _bucket_vectorized(planes: list[list[float]]):
     return pandas_udf(bucket, "long")
 
 
+def _buckets_multi_vectorized(tables: list[list[list[float]]]):
+    """Arrow-vectorized bucket ids for SEVERAL independent hyperplane
+    tables in ONE matmul per batch: all tables' planes stack into one
+    dim × (T·H) matrix; per-table sign-weight folds slice the result.
+    Returns array<long> of length T per row — the multi-table analog
+    of `_bucket_vectorized` (same float caveat)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(
+        [h for planes in tables for h in planes], dtype=np.float64
+    ).T  # dim × (T·H)
+    H = len(tables[0])
+    weights = (1 << np.arange(H, dtype=np.int64)).astype(np.int64)
+
+    def buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        S = (M @ P) >= 0  # rows × (T·H)
+        out = [
+            S[:, t * H : (t + 1) * H] @ weights for t in range(len(tables))
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return pandas_udf(buckets, "array<long>")
+
+
+def _tag_with_table(t: int):
+    """1-arg HOF lambda closing over the table index (a 2-arg lambda
+    with a default would bind as (element, index) in Spark HOFs)."""
+    return lambda b: F.struct(F.lit(t).alias("t"), b.alias("b"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -340,6 +373,7 @@ def lsh_topk(
     seed: int = 42,
     round_to: Optional[int] = 6,
     n_probe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signs, exact-rerank
     within the query's probed buckets.
@@ -350,38 +384,88 @@ def lsh_topk(
     volume grows ~linearly in n_probe while recall climbs steeply,
     because most missed neighbors sit just across the nearest
     hyperplane. The probe fan-out happens on the (small, broadcast)
-    QUERY side — the corpus is bucketed once and never re-hashed."""
-    planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
-        _bucket_vectorized(planes)(F.col(vec_col)).alias("__bucket"),
-    )
+    QUERY side — the corpus is bucketed once and never re-hashed.
+
+    `n_tables>1` is OR-amplification — T independent hyperplane tables
+    (seeds seed, seed+1, ...), a candidate qualifies by colliding in
+    ANY table: the standard recall lever when a single sign-pattern
+    table misses neighbors that sit across some hyperplane (miss rate
+    decays as miss_1^T). Cost: the corpus-side projection computes all
+    T buckets in ONE Arrow matmul and the join key gains a table index
+    (corpus rows fan out T-ways into the equi-join — still linear);
+    duplicate (query, candidate) collisions across tables are deduped
+    BEFORE ranking. Composes with `n_probe` (probing applies per
+    table)."""
+    tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     n_probe = min(n_probe, n_planes + 1)
+    if n_tables == 1:
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+            _bucket_vectorized(tables[0])(F.col(vec_col)).alias("__bucket"),
+            F.lit(0).alias("__t"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+            F.posexplode(
+                _buckets_multi_vectorized(tables)(F.col(vec_col))
+            ).alias("__t", "__bucket"),
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
         F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
         F.explode(
-            lsh_probe_buckets_expr(F.col(vec_col), planes, n_probe)
-        ).alias("__qbucket"),
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            lsh_probe_buckets_expr(
+                                F.col(vec_col), tables[t], n_probe
+                            ),
+                            # helper, NOT `lambda b, t=t`: a 2-arg
+                            # lambda is read as (element, index) by
+                            # Spark's HOF binding
+                            _tag_with_table(t),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+        ).alias("__qtb"),
+    ).select(
+        query_id_col,
+        "__qv",
+        "__qinv",
+        F.col("__qtb.t").alias("__qt"),
+        F.col("__qtb.b").alias("__qbucket"),
     )
     # 1/norm precomputed per row under the join barrier: per-candidate
-    # cost is one dot product, not dot + two norms. A candidate matches
-    # at most ONE probe bucket (it lives in exactly one bucket), so the
-    # probe explode never duplicates candidates.
+    # cost is one dot product, not dot + two norms. Within one table a
+    # candidate matches at most ONE probe bucket; ACROSS tables the
+    # same pair can collide repeatedly — hence the dropDuplicates on
+    # (query, candidate) before ranking (sim is identical per pair, so
+    # the kept row is deterministic).
     sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
+    pairs = (
         c.join(
             F.broadcast(q),
             (F.col("__bucket") == F.col("__qbucket"))
+            & (F.col("__t") == F.col("__qt"))
             & (F.col(query_id_col) != F.col(id_col)),
         )
         .select(query_id_col, id_col, sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
+    )
+    if n_tables > 1:
+        pairs = pairs.dropDuplicates([query_id_col, id_col])
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

@@ -2943,3 +2943,335 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("source", "gram", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# Multiscript payloads injected by llm_script_profile (escape-only —
+# source stays ASCII): Cyrillic "mir", Han "zhong wen", Greek
+# "alpha-beta-gamma", Arabic "al", Hangul "gana".
+_SCRIPT_CYR = "мир"
+_SCRIPT_HAN = "中文"
+_SCRIPT_GRE = "αβγ"
+_SCRIPT_ARA = "ال"
+_SCRIPT_HAN_KO = "가나"
+
+
+def _script_profile_oracle() -> str:
+    inj = {
+        3: _SCRIPT_CYR,
+        5: _SCRIPT_HAN,
+        7: _SCRIPT_GRE,
+        11: _SCRIPT_ARA,
+        13: _SCRIPT_HAN_KO,
+    }
+    cases = " ".join(
+        f"|| CASE WHEN doc_id % {m} = 0 THEN ' ' || {_sql_chr_concat(s)} "
+        "ELSE '' END"
+        for m, s in inj.items()
+    )
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(t, '\\p{{{n.capitalize()}}}')) AS n_{n}"
+        for n in ("arabic", "cyrillic", "greek", "han", "hangul", "latin")
+    )
+    dom_chain = " ".join(
+        f"WHEN n_{n} = top THEN '{n}'"
+        for n in ("arabic", "cyrillic", "greek", "han", "hangul", "latin")
+    )
+    return rf"""
+    WITH noisy AS (
+      SELECT doc_id, text {cases} AS t FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             {counts}
+      FROM noisy
+    ),
+    ranked AS (
+      SELECT *, greatest(n_arabic, n_cyrillic, n_greek, n_han, n_hangul,
+                         n_latin) AS top
+      FROM counted
+    )
+    SELECT doc_id,
+           CAST(n_arabic AS BIGINT) AS n_arabic,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_greek AS BIGINT) AS n_greek,
+           CAST(n_han AS BIGINT) AS n_han,
+           CAST(n_hangul AS BIGINT) AS n_hangul,
+           CAST(n_latin AS BIGINT) AS n_latin,
+           CASE WHEN top = 0 THEN 'none' {dom_chain} END AS dominant
+    FROM ranked
+    """
+
+
+@register("llm_script_profile", oracle=_script_profile_oracle())
+def llm_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system profile (functions/text.py::script_profile) over
+    a corpus with DETERMINISTICALLY INJECTED multiscript runs (the
+    testdata is pure ASCII, so doc_id-keyed Cyrillic/Han/Greek/Arabic/
+    Hangul snippets are appended first — every counter and the
+    dominance tiebreak get exercised). The pre-language-ID router
+    signal: langid vocabularies are per-script, and mixed-script docs
+    deserve their own lane.
+
+    Scale: per-row JVM regexp_count, zero shuffle; Java \\p{IsX} and
+    RE2 \\p{X} script classes verified to agree.
+    """
+    d = load(spark, sf_dir, "documents")
+    noisy = F.col("text")
+    for m, s in (
+        (3, _SCRIPT_CYR),
+        (5, _SCRIPT_HAN),
+        (7, _SCRIPT_GRE),
+        (11, _SCRIPT_ARA),
+        (13, _SCRIPT_HAN_KO),
+    ):
+        noisy = F.concat(
+            noisy,
+            F.when(F.col("doc_id") % m == 0, F.lit(" " + s)).otherwise(
+                F.lit("")
+            ),
+        )
+    return d.select(
+        "doc_id", T.script_profile(noisy).alias("__s")
+    ).select("doc_id", "__s.*")
+
+
+@register(
+    "llm_length_histogram",
+    oracle=rf"""
+    WITH base AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+             END AS n
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT source, n,
+             CASE WHEN n > 0 THEN length(bin(n)) - 1 ELSE 0 END AS b
+      FROM base
+    )
+    SELECT source,
+           CAST(CASE WHEN n > 0 THEN 1 << b ELSE 0 END AS BIGINT)
+             AS bucket_lo,
+           CAST(CASE WHEN n > 0 THEN (1 << (b + 1)) - 1 ELSE 0 END AS BIGINT)
+             AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM bucketed
+    GROUP BY source, bucket_lo, bucket_hi
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets per source
+    (operators/corpus.py::length_histogram) — the sequence-length
+    distribution behind packing efficiency, truncation budgets, and
+    short-doc ingest alarms. Bucketing is pure integer work
+    (length(bin(n)) - 1), immune to libm log2 boundary ulps.
+
+    Scale: narrow map + one (source, bucket) groupBy; shuffle carries
+    #sources x ~60 bucket rows after partial aggregation.
+    """
+    from ..operators.corpus import length_histogram
+
+    return length_histogram(load(spark, sf_dir, "documents"), by="source")
+
+
+def _ddb_lsh_multitable_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
+    """Oracle for OR-amplified multi-table LSH: per-table bucket join
+    with that table's plane literals, UNION (distinct) across tables —
+    sim is identical for a pair wherever it collides, so the UNION is
+    exactly the cross-table (qid, vec_id) dedup — then one rank."""
+    from ..operators.similarity import hyperplanes
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    def bucket_terms(col: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lst(h)}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, h in enumerate(planes)
+        )
+
+    table_selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(64, n_planes, 42 + t)
+        table_selects.append(
+            f"""
+      SELECT q.qid, c2.vec_id,
+             round(list_dot_product(q.qv, c2.v) * q.qinv * c2.inv, 6) AS sim
+      FROM (SELECT qid, qv, qinv, ({bucket_terms('qv', planes)})::BIGINT AS b
+            FROM q0) q
+      JOIN (SELECT vec_id, v, inv, ({bucket_terms('v', planes)})::BIGINT AS b
+            FROM c) c2
+        ON q.b = c2.b AND q.qid <> c2.vec_id"""
+        )
+    union = "\n      UNION\n".join(table_selects)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+      FROM embeddings
+    ),
+    q0 AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    pairs AS ({union}
+    )
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 5
+    """
+
+
+@register("llm_lsh_topk_multitable", oracle=_ddb_lsh_multitable_oracle())
+def llm_lsh_topk_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH top-k: 4 independent hyperplane tables (seeds
+    42..45), a candidate qualifies by colliding in ANY table, exact
+    rerank after cross-table dedup (operators/similarity.py::lsh_topk
+    n_tables=4). The recall lever the `llm_ann_recall` gauge motivates:
+    single-table sign-pattern LSH recalls ~0.125 on these
+    near-orthogonal embeddings because a miss only needs ONE separating
+    hyperplane; with T tables the miss rate decays ~miss_1^T.
+
+    Scale: corpus hashed once (all tables in ONE Arrow matmul), rows
+    fan T-ways into a (table, bucket) equi-join — linear in corpus ×
+    T, never quadratic; the dedup is on the (small) candidate set.
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.lsh_topk(
+        e, q, k=5, n_planes=8, dim=64, seed=42, n_tables=4
+    ).select("qid", "vec_id", "sim", "rnk")
+
+
+@register(
+    "llm_cdc_chunks",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cutlists AS (
+      SELECT doc_id, t,
+             -- list_sort: DuckDB's list_distinct does NOT preserve
+             -- order (Spark's array_distinct keeps the ascending
+             -- input order); the cut list must be increasing
+             list_sort(list_distinct(
+               [0]
+               || list_filter(range(1, len(t) + 1),
+                              i -> {_ddb_md5_long("t[i]", 17)} % 16 = 0)
+               || [len(t)]
+             )) AS cuts
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(cuts)), i -> struct_pack(
+               idx := i - 1,
+               ch := array_to_string(list_slice(t, cuts[i] + 1, cuts[i + 1]), ' ')
+             ))) AS s
+      FROM cutlists
+    )
+    SELECT doc_id,
+           CAST(s.idx AS INT) AS chunk_idx,
+           CAST(len(string_split_regex(s.ch, '\s+')) AS BIGINT) AS n_tokens,
+           {_ddb_md5_long("s.ch", 23)} AS chunk_hash
+    FROM chunks
+    """,
+)
+def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py::cdc_chunks):
+    token-level gear boundaries (h(token) % 16 == 0, expected chunk
+    ~16 tokens) so chunk identity survives local edits — the
+    sub-document dedup key fixed-window chunking can't provide (an
+    inserted sentence shifts every later fixed window; CDC chunks
+    outside the edit keep their hash).
+
+    Scale: one hash per token, all expression-level, ZERO shuffles in
+    the operator itself; downstream dedup groups on the 60-bit chunk
+    hash.
+    """
+    from ..operators.dedup import cdc_chunks
+
+    return cdc_chunks(load(spark, sf_dir, "documents"), mask_bits=4, seed=17)
+
+
+# the CDC chunk projection as a reusable oracle CTE body (kept in sync
+# with llm_cdc_chunks' oracle — same cuts, same hashes)
+_DDB_CDC_CHUNKS = rf"""
+    base AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cutlists AS (
+      SELECT doc_id, t,
+             list_sort(list_distinct(
+               [0]
+               || list_filter(range(1, len(t) + 1),
+                              i -> {_ddb_md5_long("t[i]", 17)} % 16 = 0)
+               || [len(t)]
+             )) AS cuts
+      FROM base
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(cuts)), i -> struct_pack(
+               idx := i - 1,
+               ch := array_to_string(list_slice(t, cuts[i] + 1, cuts[i + 1]), ' ')
+             ))) AS s
+      FROM cutlists
+    )
+"""
+
+
+@register(
+    "llm_cdc_shared_chunks",
+    oracle=rf"""
+    WITH {_DDB_CDC_CHUNKS},
+    hashed AS (
+      SELECT doc_id, {_ddb_md5_long("s.ch", 23)} AS chunk_hash,
+             len(string_split_regex(s.ch, '\s+')) AS n_tok
+      FROM chunks
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(n_tok) AS BIGINT) AS n_tokens
+    FROM hashed
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def llm_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION of content-defined chunking: chunks whose
+    hash appears in >= 2 distinct documents — shared fragments robust
+    to local edits (a copied paragraph with one inserted sentence
+    still collides on every chunk outside the edit, where
+    boilerplate_prune's fixed windows all shift). Feed the hash set
+    back as a removal predicate or a provenance report.
+
+    Scale: the zero-shuffle chunk projection followed by ONE groupBy
+    on the uniform 60-bit chunk hash (map-side partial aggregation;
+    count-distinct over doc ids per hash is bounded by the duplicated
+    set, which is the small side by construction).
+    """
+    from ..operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(load(spark, sf_dir, "documents"), mask_bits=4, seed=17)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

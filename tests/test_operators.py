@@ -900,3 +900,129 @@ def test_encoding_noise_known_values(spark):
     for blank in (5, 6):
         assert out[blank]["n_replacement"] == 0
         assert out[blank]["noise_ratio"] == 0.0
+
+
+def test_lsh_multitable_recall_dominates_single_table(spark):
+    """OR-amplification: on CLUSTERED embeddings (where sign-pattern
+    LSH is meaningful — the near-orthogonal driver fixture defeats any
+    hyperplane scheme, which is the llm_ann_recall gauge's documented
+    lesson), 4 independent tables must (a) produce a candidate
+    SUPERSET per query — so recall never drops — and (b) materially
+    beat one table's recall."""
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters = 16, 8
+    centers = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(400):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.cosine_topk(e, q, k=5, round_to=6).collect()
+    }
+
+    def recall(df):
+        got = {(r["qid"], r["vec_id"]) for r in df.collect()}
+        return len(truth & got) / len(truth)
+
+    r1 = recall(
+        similarity.lsh_topk(e, q, k=5, n_planes=6, dim=dim, seed=11)
+    )
+    r4 = recall(
+        similarity.lsh_topk(
+            e, q, k=5, n_planes=6, dim=dim, seed=11, n_tables=4
+        )
+    )
+    assert r4 >= r1  # superset candidates can never lose recall
+    assert r4 >= 0.8  # clustered data: 4 tables nearly recover truth
+    assert r4 - r1 >= 0.1  # and the amplification is material
+
+
+def test_cdc_chunks_edit_locality(spark):
+    """The CDC selling point: inserting tokens into the middle of a
+    document must leave every chunk OUTSIDE the edited chunk with an
+    identical hash (fixed-window chunking would shift all later
+    windows). Also: chunk boundaries are deterministic, chunks tile
+    the doc exactly, and every chunk has >= 1 token."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = " ".join(words[:200] + ["INSERTED", "NOVEL", "SPAN"] + words[200:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], ["doc_id", "text"]
+    )
+    out = dedup.cdc_chunks(df, mask_bits=4, seed=17).collect()
+    by_doc = {1: [], 2: []}
+    for r in out:
+        by_doc[r["doc_id"]].append(r)
+    for d in (1, 2):
+        by_doc[d].sort(key=lambda r: r["chunk_idx"])
+        assert all(r["n_tokens"] >= 1 for r in by_doc[d])
+    # chunks tile the doc: token counts sum to doc length
+    assert sum(r["n_tokens"] for r in by_doc[1]) == 400
+    assert sum(r["n_tokens"] for r in by_doc[2]) == 403
+    h1 = [r["chunk_hash"] for r in by_doc[1]]
+    h2 = [r["chunk_hash"] for r in by_doc[2]]
+    shared = set(h1) & set(h2)
+    # every chunk except the edited one (and at most its neighbor if
+    # the insert spans a boundary) survives with identical hash
+    assert len(shared) >= len(h1) - 2
+    # and the two docs are NOT identical chunk-wise
+    assert set(h1) != set(h2)
+
+
+def test_script_profile_dominance_and_ties(spark):
+    from flask_data_pipes_spark.functions.text import script_profile
+
+    cyr = chr(0x0416) * 3  # Cyrillic
+    han = chr(0x4E2D) * 3  # Han
+    rows = [
+        (1, "plain latin text"),
+        (2, f"zz {cyr}{cyr} {han}"),  # cyrillic 6 > han 3 > latin 2
+        (3, f"{cyr[0] * 2}{han[0] * 2}"),  # tie 2-2 -> alphabetical: cyrillic
+        (4, "12345 !!!"),  # no profiled script
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", script_profile("text").alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1]["dominant"] == "latin" and out[1]["n_latin"] == 14
+    assert out[2]["dominant"] == "cyrillic" and out[2]["n_cyrillic"] == 6
+    assert out[3]["dominant"] == "cyrillic"  # tie breaks alphabetically
+    assert out[4]["dominant"] == "none"
+    assert out[5]["dominant"] == "none"
+
+
+def test_length_histogram_buckets(spark):
+    from flask_data_pipes_spark.operators.corpus import length_histogram
+
+    rows = [
+        (1, "a", "s"),              # 1 token  -> [1,1]
+        (2, "a b c", "s"),          # 3 tokens -> [2,3]
+        (3, "a b c d e f g h", "s"),  # 8 -> [8,15]
+        (4, "", "s"),               # blank -> (0,0)
+        (5, " ".join(["t"] * 9), "s"),  # 9 -> [8,15]
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["bucket_lo"], r["bucket_hi"]): r
+        for r in length_histogram(df, by="source").collect()
+    }
+    assert out[(1, 1)]["n_docs"] == 1 and out[(1, 1)]["total_tokens"] == 1
+    assert out[(2, 3)]["n_docs"] == 1
+    assert out[(8, 15)]["n_docs"] == 2 and out[(8, 15)]["total_tokens"] == 17
+    assert out[(0, 0)]["n_docs"] == 1 and out[(0, 0)]["total_tokens"] == 0

@@ -370,3 +370,35 @@ def test_domain_blocklist_broadcast_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_domain_blocklist_filter")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_postings_exchange_reused(spark, sf_dir):
+    """BM25's stats and document frequencies derive from the SAME
+    (doc, term) postings aggregate as the scoring join; at runtime AQE
+    must reuse that exchange so the corpus text is scanned+tokenized
+    once, not three times. (The static plan prints the subtree thrice;
+    the reuse only materializes in the adaptive executed plan.)"""
+    df = entry.queries()["llm_bm25_topk"](spark, sf_dir)
+    df.collect()  # reuse is an AQE runtime decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_zero_shuffle(spark, sf_dir):
+    """Content-defined chunking is a pure narrow map: boundaries,
+    slices, hashes, explode — no Exchange of any kind."""
+    plan = _plan(spark, sf_dir, "llm_cdc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_lsh_multitable_corpus_hashed_once(spark, sf_dir):
+    """The multi-table corpus projection computes all T buckets in one
+    Arrow matmul + posexplode — one corpus scan, one ArrowEvalPython,
+    and the query side broadcasts."""
+    plan = _plan(spark, sf_dir, "llm_lsh_topk_multitable")
+    import re
+
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -35,6 +35,8 @@ __all__ = [
     "chunk_clean",
     "encoding_noise",
     "script_profile",
+    "pseudo_weights",
+    "hashed_linear_score",
     "STOPWORDS",
 ]
 
@@ -457,4 +459,59 @@ def script_profile(c: ColumnOrName) -> Column:
     return F.struct(
         *[counts[n].cast("long").alias(f"n_{n}") for n in _SCRIPTS],
         dominant.alias("dominant"),
+    )
+
+
+def pseudo_weights(n_features: int, seed: int = 0) -> list:
+    """Deterministic pseudo-random weight table for
+    `hashed_linear_score`, as EXACT BINARY FRACTIONS k/1024 in [-1, 1]:
+    every weight is a multiple of 2^-10, so double-precision sums of
+    (corpus-realistic) thousands of terms never round — the fold is
+    order-independent and bit-identical cross-engine WITHOUT the
+    decimal-summation dance. Stand-in for trained classifier weights;
+    production swaps in the real vector, same plan."""
+    import hashlib
+
+    out = []
+    for j in range(n_features):
+        h = int(
+            hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:15], 16
+        )
+        out.append(((h % 2049) - 1024) / 1024.0)
+    return out
+
+
+def hashed_linear_score(
+    c: ColumnOrName,
+    weights: list,
+    seed: int = 29,
+    bias: float = 0.0,
+    toks: "Column | None" = None,
+) -> Column:
+    """fastText-style linear text classifier score as ONE codegen
+    expression: p = sigmoid(bias + mean of w[h(token) % D]) over
+    whitespace tokens — the hashed bag-of-words scoring used by
+    DCLM/fastText-quality-filter pipelines, with the weight table
+    embedded as a literal array. No explode, no shuffle, no UDF: the
+    per-document fold runs inside whole-stage codegen, so scoring
+    100 TB costs exactly one scan.
+
+    Weights from `pseudo_weights` (or any list of exact binary
+    fractions) keep the double fold order-independent; the sigmoid is
+    rounded to 6 decimals to absorb libm exp() ulps. NULL for
+    blank/empty docs (no tokens to score)."""
+    if toks is None:
+        toks = whitespace_tokens(F.lower(_col(c)))
+    D = len(weights)
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    term = lambda t: F.element_at(  # noqa: E731
+        wlit, (md5_long(t, seed) % F.lit(D) + 1).cast("int")
+    )
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + term(t)
+    )
+    n = F.size(toks)
+    z = F.lit(bias) + total / n
+    return F.when(
+        n > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     )

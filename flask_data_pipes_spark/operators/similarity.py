@@ -34,6 +34,7 @@ __all__ = [
     "ivf_fit",
     "ivf_search",
     "ivf_topk",
+    "random_projection",
 ]
 
 
@@ -469,3 +470,31 @@ def lsh_topk(
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def random_projection(
+    vec_col,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    round_to: Optional[int] = 6,
+):
+    """Johnson-Lindenstrauss random projection to `out_dim` dims as a
+    pure Column expression: v' = round(P v / sqrt(out_dim)) with the
+    (seeded, literal) Gaussian plane matrix embedded in the plan —
+    the cheap dimensionality-reduction step before ANN indexing or
+    embedding storage (JL: pairwise cosines survive within
+    ~sqrt(ln N / out_dim) distortion, data-obliviously, no fitting
+    pass). Per-component rounding makes the projected vectors — and
+    everything derived from them — bit-identical cross-engine.
+
+    Scale: per-row codegen fold (out_dim dot products), zero shuffle;
+    at 100 TB this is scan-bound map work like every other projection.
+    """
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / float(np.sqrt(out_dim))
+    comps = []
+    for p in planes:
+        d = V.dot(vec_col, F.array(*[F.lit(x) for x in p])) * F.lit(scale)
+        comps.append(F.round(d, round_to) if round_to is not None else d)
+    return F.array(*comps)

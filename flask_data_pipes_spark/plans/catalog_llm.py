@@ -3275,3 +3275,141 @@ def llm_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _hashed_quality_oracle(n_features: int = 64, seed: int = 29) -> str:
+    from ..functions.text import pseudo_weights
+
+    w = pseudo_weights(n_features, 5)
+    wlit = "[" + ",".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id, len(toks) AS n,
+             list_sum(list_transform(
+               toks, t -> ({wlit})[({_ddb_md5_long("t", seed)} % {n_features})::INT + 1]
+             )) AS total
+      FROM base
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(total / n))), 6) AS score
+    FROM scored
+    """
+
+
+@register("llm_hashed_quality", oracle=_hashed_quality_oracle())
+def llm_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier score (functions/
+    text.py::hashed_linear_score): p = sigmoid(mean of
+    w[h(token) % 64]) with the weight table embedded as a literal
+    array — model scoring as ONE codegen expression, the DCLM-style
+    quality-filter shape (production swaps the pseudo-weights for a
+    trained vector; the plan is identical). Weights are exact binary
+    fractions so the double fold is order-independent cross-engine.
+
+    Scale: no explode, no shuffle, no UDF — scoring cost IS the scan.
+    """
+    from ..functions.text import hashed_linear_score, pseudo_weights
+
+    w = pseudo_weights(64, 5)
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return d.select(
+        "doc_id", hashed_linear_score("text", w, seed=29).alias("score")
+    )
+
+
+def _random_projection_oracle(
+    out_dim: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    import math
+
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = repr(1.0 / math.sqrt(out_dim))
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    proj_comps = ", ".join(
+        f"round(list_dot_product(v, {lst(p)}) * {scale}, 6)" for p in planes
+    )
+    return rf"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 30
+    ),
+    proj AS (
+      SELECT vec_id, v, [{proj_comps}] AS p FROM base
+    ),
+    normed AS (
+      SELECT vec_id, v, p,
+             1.0 / sqrt(list_dot_product(v, v)) AS inv,
+             1.0 / sqrt(list_dot_product(p, p)) AS pinv
+      FROM proj
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) AS cos_orig,
+           round(list_dot_product(a.p, b.p) * a.pinv * b.pinv, 6) AS cos_proj,
+           round(abs(
+             round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6)
+             - round(list_dot_product(a.p, b.p) * a.pinv * b.pinv, 6)
+           ), 6) AS abs_err
+    FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+    """
+
+
+@register("llm_random_projection", oracle=_random_projection_oracle())
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims
+    (operators/similarity.py::random_projection) REPORTED AS ITS OWN
+    QUALITY GAUGE: for every pair in a 30-vector sample, the original
+    cosine vs the projected cosine and the absolute distortion —
+    "measure, don't guess" applied to the dim-reduction step itself
+    (the same discipline as llm_ann_recall). Output:
+    (vec_a, vec_b, cos_orig, cos_proj, abs_err).
+
+    Scale: the projection is per-row codegen (zero shuffle); the
+    pair gauge runs on a SAMPLE (30 rows broadcast — the distortion
+    statistic needs pairs, never the full corpus).
+    """
+    from ..operators.similarity import random_projection
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    v = F.col("embedding").cast("array<double>")
+    base = e.select(
+        "vec_id",
+        v.alias("__v"),
+        random_projection(v, 8, 64, seed=7).alias("__p"),
+    ).select(
+        "vec_id",
+        "__v",
+        "__p",
+        F.try_divide(F.lit(1.0), V.norm("__v")).alias("__inv"),
+        F.try_divide(F.lit(1.0), V.norm("__p")).alias("__pinv"),
+    )
+    a, b = [
+        base.select(
+            *[F.col(c).alias(f"{c}_{s}") for c in base.columns]
+        )
+        for s in ("a", "b")
+    ]
+    cos_orig = F.round(
+        V.dot("__v_a", "__v_b") * F.col("__inv_a") * F.col("__inv_b"), 6
+    )
+    cos_proj = F.round(
+        V.dot("__p_a", "__p_b") * F.col("__pinv_a") * F.col("__pinv_b"), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            cos_orig.alias("cos_orig"),
+            cos_proj.alias("cos_proj"),
+            F.round(F.abs(cos_orig - cos_proj), 6).alias("abs_err"),
+        )
+    )

@@ -1026,3 +1026,79 @@ def test_length_histogram_buckets(spark):
     assert out[(2, 3)]["n_docs"] == 1
     assert out[(8, 15)]["n_docs"] == 2 and out[(8, 15)]["total_tokens"] == 17
     assert out[(0, 0)]["n_docs"] == 1 and out[(0, 0)]["total_tokens"] == 0
+
+
+def test_hashed_linear_score_properties(spark):
+    from flask_data_pipes_spark.functions.text import (
+        hashed_linear_score,
+        pseudo_weights,
+    )
+
+    w = pseudo_weights(64, 5)
+    # find a clearly positive-weight and negative-weight token
+    import hashlib
+
+    def wof(tok):
+        h = int(hashlib.md5(f"29|{tok}".encode()).hexdigest()[:15], 16)
+        return w[h % 64]
+
+    pos = max((f"tok{i}" for i in range(200)), key=wof)
+    neg = min((f"tok{i}" for i in range(200)), key=wof)
+    rows = [(1, f"{pos} {pos} {pos}"), (2, f"{neg} {neg} {neg}"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hashed_linear_score("text", w).alias("s")
+        ).collect()
+    }
+    import math
+
+    assert out[1] > 0.5 > out[2]  # sign of weights drives the score
+    assert out[3] is None  # blank doc -> NULL
+    # exact sigmoid of the mean weight (weights are exact binary
+    # fractions, so the fold is bit-exact)
+    assert out[1] == round(1.0 / (1.0 + math.exp(-wof(pos))), 6)
+
+
+def test_random_projection_jl_distortion(spark):
+    """JL property on a sample: projecting 64 -> 16 dims keeps most
+    pairwise cosines within modest distortion, and the projection is
+    deterministic (same seed -> identical arrays)."""
+    from flask_data_pipes_spark.operators.similarity import random_projection
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p1 = df.select(
+        "vec_id",
+        random_projection(F.col("embedding"), 16, 64, seed=7).alias("p"),
+    ).collect()
+    p2 = df.select(
+        "vec_id",
+        random_projection(F.col("embedding"), 16, 64, seed=7).alias("p"),
+    ).collect()
+    assert sorted((r["vec_id"], tuple(r["p"])) for r in p1) == sorted(
+        (r["vec_id"], tuple(r["p"])) for r in p2
+    )
+    # distortion gauge: mean |cos_orig - cos_proj| small on gaussians
+    import math
+
+    vecs = {r[0]: r[1] for r in rows}
+    projs = {r["vec_id"]: r["p"] for r in p1}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    errs = [
+        abs(cos(vecs[i], vecs[j]) - cos(projs[i], projs[j]))
+        for i in range(40)
+        for j in range(i + 1, 40)
+    ]
+    assert sum(errs) / len(errs) < 0.2  # JL at 16 dims: modest distortion

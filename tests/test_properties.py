@@ -436,3 +436,28 @@ def test_chunking_covers_every_token_with_exact_overlap(spark, token_counts):
         assert covered == set(range(1, n + 1)), (n, starts)
         # consecutive chunk starts differ by exactly the stride
         assert all(b - a == stride for a, b in zip(starts, starts[1:]))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_cdc_chunks_tile_exactly(spark, words, mask_bits):
+    """Property: CDC chunks TILE the document — chunk token counts sum
+    to the doc's token count, chunk indexes are 0..n-1 dense, and
+    every chunk is non-empty, for arbitrary token streams and mask
+    widths."""
+    from flask_data_pipes_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = cdc_chunks(df, mask_bits=mask_bits).collect()
+    idxs = sorted(r["chunk_idx"] for r in rows)
+    assert idxs == list(range(len(rows)))
+    assert all(r["n_tokens"] >= 1 for r in rows)
+    assert sum(r["n_tokens"] for r in rows) == len(text.split())

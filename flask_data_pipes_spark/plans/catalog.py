@@ -374,6 +374,15 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # llm_dedup_clusters end-to-end), llm_simhash (llm_simhash_pairs),
 # llm_fingerprint / llm_langid (both fused and checked in
 # llm_corpus_clean), llm_shuffle_shards (sampling — llm_weighted_sample).
+# Round 4 swapped six redundant relational entries out (q_mktsegment_stats
+# / q_set_ops — aggregation covered by q1/q5/rollup; q_string_funcs —
+# scalar funcs covered by the etl_* rows; q_scalar_subquery /
+# q18_large_orders — join+agg covered by q3/q5/argmin; q_json_props —
+# JSON path extraction covered by etl_lenient_flatten's variant parsing)
+# for six new operator families: BM25 retrieval, CDC chunking, vocab
+# stats, encoding noise, script detection, multi-table LSH. The
+# swapped-out entries remain fully value-checked by the
+# test_oracle_parity sweep.
 CHECKED_PREFIX = [
     # Relational core
     "q1_pricing_summary",
@@ -381,18 +390,12 @@ CHECKED_PREFIX = [
     "q5_nation_revenue",
     "q_top3_orders_per_customer",
     "q_events_hourly",
-    "q_mktsegment_stats",
-    "q_set_ops",
     "q_order_priority_rollup",
     "q_sessionize",
     "q_semi_anti_join",
-    "q_string_funcs",
     "q_salted_agg",
     "q_percentiles",
-    "q_scalar_subquery",
-    "q18_large_orders",
     "q_argmin_join",
-    "q_json_props",
     "q_pivot_events",
     # Temporal joins
     "q_asof_join",
@@ -421,6 +424,7 @@ CHECKED_PREFIX = [
     # Similarity search
     "llm_cosine_topk",
     "llm_lsh_topk",
+    "llm_lsh_topk_multitable",
     # Corpus pipeline
     "llm_corpus_clean",
     "llm_weighted_sample",
@@ -430,6 +434,13 @@ CHECKED_PREFIX = [
     "llm_pack_sequences",
     "llm_boilerplate_prune",
     "llm_token_budget",
+    # Round-4 families: sparse retrieval, CDC dedup, corpus health,
+    # encoding/script signals
+    "llm_bm25_topk",
+    "llm_cdc_chunks",
+    "llm_vocab_stats",
+    "llm_encoding_noise",
+    "llm_script_profile",
     # Multimodal
     "llm_multimodal_meta",
     "llm_media_header",

@@ -273,6 +273,12 @@ def test_checked_prefix_curated():
         "ann": ["llm_cosine_topk", "llm_lsh_topk"],
         "corpus": ["llm_boilerplate_prune", "llm_token_budget"],
         "multimodal": ["llm_multimodal_meta", "llm_media_header"],
+        "sparse-retrieval": ["llm_bm25_topk"],
+        "cdc": ["llm_cdc_chunks"],
+        "corpus-health": ["llm_vocab_stats"],
+        "encoding": ["llm_encoding_noise"],
+        "script": ["llm_script_profile"],
+        "or-amplified-lsh": ["llm_lsh_topk_multitable"],
     }
     for fam, members in families.items():
         assert any(m in CHECKED_PREFIX[:50] for m in members), fam

@@ -39,6 +39,7 @@ __all__ = [
     "bm25_topk",
     "vocab_stats",
     "length_histogram",
+    "temperature_sample",
 ]
 
 
@@ -434,4 +435,63 @@ def length_histogram(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__n").cast("long").alias("total_tokens"),
         )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    target_frac: float = 0.5,
+    seed: int = 31,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual /
+    multi-source mixing rule of mT5/XLM-R: sample source s with
+    probability ∝ n_s^alpha, alpha < 1, so small sources are
+    up-weighted relative to their share): deterministically keep a
+    hash-selected subset whose EXPECTED per-source mix follows the
+    temperature weights while the total stays ≈ `target_frac` of the
+    corpus.
+
+    alpha is fixed at 0.5 because sqrt is CORRECTLY ROUNDED in IEEE
+    754 (pow is not), which makes every per-source weight — and
+    therefore every keep threshold — bit-identical across engines:
+    the per-source sqrt is rounded to 9 decimals and summed as
+    DECIMAL(38,9) (order-independent), and the final keep test is an
+    integer comparison `h % 2^20 < floor(p_s * 2^20)` on doubles both
+    engines computed identically. For other alphas, precompute the
+    thresholds driver-side and pass them as literals.
+
+    Output: the kept rows (id, by) plus the per-source keep
+    probability `p_keep` (rounded) for auditability.
+
+    Scale: one vocabulary-sized aggregation (per-source counts →
+    broadcast), then a per-row hash test — no shuffle of the corpus
+    itself, no sort, no window. Changing `seed` draws an independent
+    sample; changing `target_frac` rescales every source's quota.
+    """
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.round(F.sqrt(F.col("__n").cast("double")), 9)
+    tw = counts.select(F.col(by), "__n", w.alias("__w"))
+    tot = tw.agg(
+        F.sum(F.col("__w").cast("decimal(38,9)")).cast("double").alias("__sw"),
+        F.sum("__n").cast("long").alias("__ntot"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_frac)) * F.col("__ntot"))
+        * (F.col("__w") / F.col("__sw"))
+        / F.col("__n"),
+    )
+    probs = tw.join(F.broadcast(tot)).select(
+        F.col(by), p.alias("__p")
+    )
+    thresh = F.floor(F.col("__p") * F.lit(1 << 20)).cast("long")
+    return (
+        df.join(F.broadcast(probs), by)
+        .where(
+            T.md5_long(F.col(id_col).cast("string"), seed) % F.lit(1 << 20)
+            < thresh
+        )
+        .select(id_col, by, F.round("__p", 9).alias("p_keep"))
     )

@@ -3413,3 +3413,48 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(cos_orig - cos_proj), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "llm_temperature_mix",
+    oracle=r"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tw AS (
+      SELECT source, n, round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM tw
+    ),
+    probs AS (
+      SELECT source,
+             least(1.0, (0.5 * ntot) * (w / sw) / n) AS p
+      FROM tw CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, round(p.p, 9) AS p_keep
+    FROM documents d JOIN probs p ON d.source = p.source
+    WHERE ('0x' || substr(md5('31|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1048576
+          < floor(p.p * 1048576)
+    """,
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (operators/corpus.py::
+    temperature_sample): keep a hash-selected subset whose per-source
+    mix follows n_s^0.5 temperature weights (the mT5/XLM-R up-weight-
+    the-tail mixing rule) at ~50% of the corpus. alpha=0.5 because
+    IEEE sqrt is correctly rounded — the whole threshold computation
+    is bit-identical cross-engine (see the operator docstring for the
+    other-alpha recipe).
+
+    Scale: per-source counts broadcast; the keep test is a per-row
+    hash compare — the corpus itself never shuffles or sorts.
+    """
+    from ..operators.corpus import temperature_sample
+
+    return temperature_sample(
+        load(spark, sf_dir, "documents"), by="source", target_frac=0.5
+    )

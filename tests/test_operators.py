@@ -1102,3 +1102,40 @@ def test_random_projection_jl_distortion(spark):
         for j in range(i + 1, 40)
     ]
     assert sum(errs) / len(errs) < 0.2  # JL at 16 dims: modest distortion
+
+
+def test_temperature_sample_upweights_tail_sources(spark):
+    """Temperature mixing at alpha=0.5: a source 100x larger than
+    another must NOT be 100x larger in the sample — keep rates scale
+    as sqrt(n_s)/n_s, so the small source's keep PROBABILITY is ~10x
+    the big one's; totals land near target_frac; and the draw is
+    deterministic per seed."""
+    from flask_data_pipes_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + i, "small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_sample(
+        df, by="source", id_col="doc_id", target_frac=0.5, seed=31
+    )
+    probs = {
+        r["source"]: r["p_keep"]
+        for r in out.select("source", "p_keep").distinct().collect()
+    }
+    # sqrt weighting: p_small / p_big == sqrt(2000/20) == 10 (both
+    # below the min(1, .) cap or small capped at 1.0)
+    assert probs["small"] == 1.0 or probs["small"] / probs["big"] == (
+        pytest.approx(10.0, rel=1e-6)
+    )
+    assert probs["small"] > probs["big"]
+    # total lands near target_frac of the corpus
+    n = out.count()
+    assert 0.35 * 2020 < n < 0.65 * 2020
+    # deterministic: identical draw for identical seed
+    again = temperature_sample(
+        df, by="source", id_col="doc_id", target_frac=0.5, seed=31
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

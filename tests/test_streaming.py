@@ -467,3 +467,51 @@ def test_foreach_batch_incremental_dedup_cross_batch(spark, tmp_path):
     )
     sink(replay, 1)
     assert spark.read.parquet(hist).count() == 4
+
+
+def test_foreach_batch_incremental_dedup_output_before_history(spark, tmp_path):
+    """Crash-window ordering (round-4 advice): the OUTPUT sink is
+    written before the history, so a failure between the two writes
+    leaves the rows present in out_path (replay duplicates, recoverable
+    by downstream fp-dedup) rather than silently absent forever (the
+    history-first order made replays emit nothing). Simulated by
+    pointing history at an unwritable path: the sink must raise, and
+    out_path must already contain the batch. Also: a transient
+    history-READ failure must fail the batch loudly, never masquerade
+    as 'first batch'."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_incremental_dedup,
+    )
+
+    out = str(tmp_path / "out")
+    # history path whose PARENT is a file -> mkdir fails on write
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a dir")
+    bad_hist = str(blocker / "hist")
+
+    sink = foreach_batch_incremental_dedup(
+        bad_hist, out_path=out, m_bits=256, k=3
+    )
+    batch = spark.createDataFrame(
+        [(1, "fa"), (2, "fb")], "doc_id long, fingerprint string"
+    )
+    with _pytest.raises(Exception):
+        sink(batch, 0)
+    # out_path committed BEFORE the failing history write
+    got = sorted(
+        r["fingerprint"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == ["fa", "fb"]
+
+    # corrupt existing history (a dir with a junk part file) must raise
+    # out of the read, not silently disable dedup
+    hist2 = tmp_path / "hist2"
+    hist2.mkdir()
+    (hist2 / "part-00000.parquet").write_text("garbage, not parquet")
+    sink2 = foreach_batch_incremental_dedup(
+        str(hist2), out_path=str(tmp_path / "out2"), m_bits=256, k=3
+    )
+    with _pytest.raises(Exception):
+        sink2(batch, 0)

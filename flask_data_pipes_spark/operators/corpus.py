@@ -40,6 +40,7 @@ __all__ = [
     "vocab_stats",
     "length_histogram",
     "temperature_sample",
+    "bigram_logprob",
 ]
 
 
@@ -494,4 +495,101 @@ def temperature_sample(
             < thresh
         )
         .select(id_col, by, F.round("__p", 9).alias("p_keep"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    round_term: int = 9,
+    round_out: int = 6,
+) -> DataFrame:
+    """Interpolated bigram LM score per document: mean over positions
+    i>=2 of log(lam * c(prev,cur)/c_ctx(prev) + (1-lam) * c(cur)/T) —
+    one modeling notch above `unigram_logprob` (token ORDER now
+    matters: scrambled or templated-stitched text scores worse than
+    natural sequences with the same vocabulary), while staying exactly
+    SQL-expressible (the classic Jelinek-Mercer interpolation; lam is
+    an exact binary fraction so the mixture arithmetic is
+    engine-identical on identical count ratios).
+
+    Output: (id, n_bigrams, avg_logp, bits_per_bigram) for docs with
+    >= 2 tokens.
+
+    Cross-engine determinism: counts are integers, the two ratios and
+    the mixture are computed in the same operation order on both
+    engines, log is rounded to `round_term` decimals, and per-doc
+    sums run as DECIMAL(38,9) (order-independent).
+
+    Scale shape:
+    - the pair stream (id, prev, cur) is one transform+explode —
+      never materialized wider than the token stream;
+    - bigram counts shuffle keyed by the pair (Heaps-bounded far
+      below the pair stream); CONTEXT counts derive from the bigram
+      table (sum over cur), not a second corpus pass;
+    - the scoring join is one shuffle join of the pair stream against
+      the bigram table on (prev, cur) — context count and unigram
+      probability ride along via a vocabulary-keyed join and a
+      broadcast 1-row total;
+    - final per-doc aggregation shuffles once keyed by id.
+    """
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(F.col(id_col), toks.alias("__t"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(2), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 1).alias("p"),
+            F.element_at("__t", i).alias("c"),
+        ),
+    )
+    pairs = (
+        base.filter(F.size("__t") >= 2)
+        .select(id_col, F.explode_outer(pair_arr).alias("__pc"))
+        .where(F.col("__pc").isNotNull())
+        .select(id_col, F.col("__pc.p").alias("__p"), F.col("__pc.c").alias("__c"))
+    )
+    uni = (
+        base.select(F.explode_outer("__t").alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    total = uni.agg(F.sum("__cu").alias("__T"))
+    big = pairs.groupBy("__p", "__c").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = big.groupBy("__p").agg(F.sum("__cb").alias("__cp"))
+    prob = (
+        big.join(ctx, "__p")
+        .join(F.broadcast(uni.withColumnRenamed("__tok", "__c")), "__c")
+        .join(F.broadcast(total))
+        .select(
+            "__p",
+            "__c",
+            F.round(
+                F.log(
+                    F.lit(lam)
+                    * (F.col("__cb").cast("double") / F.col("__cp").cast("double"))
+                    + F.lit(1.0 - lam)
+                    * (F.col("__cu").cast("double") / F.col("__T").cast("double"))
+                ),
+                round_term,
+            ).alias("__logp"),
+        )
+    )
+    sum_dec = F.sum(F.col("__logp").cast("decimal(38,9)"))
+    n = F.count(F.lit(1))
+    avg = sum_dec.cast("double") / n
+    return (
+        pairs.join(prob, ["__p", "__c"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_bigrams"),
+            F.round(avg, round_out).alias("avg_logp"),
+            F.round(-avg / F.log(F.lit(2.0)), round_out).alias(
+                "bits_per_bigram"
+            ),
+        )
     )

@@ -3458,3 +3458,68 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(
         load(spark, sf_dir, "documents"), by="source", target_frac=0.5
     )
+
+
+@register(
+    "llm_bigram_logprob",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(t) + 1), i ->
+                 struct_pack(p := t[i - 1], c := t[i]))) AS pc
+        FROM base WHERE len(t) >= 2
+      )
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS cu FROM (
+        SELECT unnest(t) AS tok FROM base
+      ) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS T FROM uni),
+    big AS (
+      SELECT p, c, COUNT(*) AS cb FROM pairs GROUP BY p, c
+    ),
+    ctx AS (
+      SELECT p, CAST(SUM(cb) AS BIGINT) AS cp FROM big GROUP BY p
+    ),
+    prob AS (
+      SELECT big.p, big.c,
+             round(ln(
+               0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+               + 0.25 * (CAST(cu AS DOUBLE) / CAST(T AS DOUBLE))
+             ), 9) AS logp
+      FROM big
+      JOIN ctx ON big.p = ctx.p
+      JOIN uni ON big.c = uni.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logp,
+           round(-(CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE)
+                   / COUNT(*)) / ln(2.0), 6) AS bits_per_bigram
+    FROM pairs JOIN prob ON pairs.p = prob.p AND pairs.c = prob.c
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score (operators/corpus.py::
+    bigram_logprob): Jelinek-Mercer mixture of the corpus's own bigram
+    and unigram MLEs — the order-sensitive perplexity notch above
+    `llm_unigram_logprob` (scrambled or template-stitched text now
+    scores worse than natural sequences over the same vocabulary).
+
+    Scale: bigram counts shuffle keyed by the (prev, cur) pair
+    (Heaps-bounded), context counts derive from the bigram table (no
+    second corpus pass), unigram table broadcasts, one id-keyed final
+    aggregation.
+    """
+    from ..operators.corpus import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))

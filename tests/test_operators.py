@@ -1139,3 +1139,37 @@ def test_temperature_sample_upweights_tail_sources(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The bigram LM must distinguish token ORDER where the unigram LM
+    cannot: a document that repeats a fixed phrase has predictable
+    transitions (high avg logp); a scrambled permutation of the SAME
+    tokens has unseen/rare transitions (lower avg logp). Unigram
+    scores for both are identical by construction."""
+    from flask_data_pipes_spark.operators.corpus import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    phrase = "alpha beta gamma delta"
+    natural = " ".join([phrase] * 6)
+    toks = natural.split()
+    scrambled = " ".join(
+        toks[i] for i in [7, 2, 21, 14, 0, 9, 23, 4, 17, 12, 1, 19, 6,
+                          11, 3, 22, 8, 15, 20, 5, 13, 18, 10, 16]
+    )
+    df = spark.createDataFrame(
+        [(1, natural), (2, scrambled)], "doc_id long, text string"
+    )
+    uni = {r["doc_id"]: r["avg_logp"] for r in unigram_logprob(df).collect()}
+    big = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert uni[1] == uni[2]  # unigram blind to order
+    assert big[1]["avg_logp"] > big[2]["avg_logp"]  # bigram is not
+    assert big[1]["n_bigrams"] == 23
+    # bits_per_bigram is the negated avg in log2
+    import math
+
+    assert big[1]["bits_per_bigram"] == pytest.approx(
+        -big[1]["avg_logp"] / math.log(2), abs=1e-5
+    )

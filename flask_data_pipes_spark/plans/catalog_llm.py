@@ -3523,3 +3523,93 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bigram_logprob
 
     return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+_CMS_D, _CMS_W, _CMS_SEED = 4, 1024, 41
+
+
+@register(
+    "llm_cms_heavy_hitters",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_DDB_TOKS_LOWER}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, true_cnt FROM (
+        SELECT tok, true_cnt,
+               ROW_NUMBER() OVER (ORDER BY true_cnt DESC, tok) AS rn
+        FROM exact
+      ) WHERE rn <= 20
+    ),
+    cells AS (
+      SELECT r.i AS row, tok
+      FROM toks CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS i) r
+    ),
+    sketch AS (
+      SELECT row,
+             ('0x' || substr(md5((41 + row)::VARCHAR || '|' || tok), 1, 15))::BIGINT
+               % {_CMS_W} AS bucket,
+             COUNT(*) AS cnt
+      FROM cells GROUP BY row, bucket
+    ),
+    est AS (
+      SELECT t.tok, t.true_cnt,
+             MIN(COALESCE(s.cnt, 0)) AS est
+      FROM top t
+      CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS row) r
+      LEFT JOIN sketch s
+        ON s.row = r.row
+       AND s.bucket = ('0x' || substr(md5((41 + r.row)::VARCHAR || '|' || t.tok), 1, 15))::BIGINT % {_CMS_W}
+      GROUP BY t.tok, t.true_cnt
+    )
+    SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est AS BIGINT) AS est,
+           CAST(est - true_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report (operators/sketches.py): build
+    a 4x1024 CMS over the token stream, then point-query the top-20
+    TRUE heavy hitters and report estimate vs truth — the sketch's own
+    quality gauge (overestimate >= 0 always; bounded by ~N/w per the
+    CMS guarantee). The at-scale path for frequency queries where the
+    exact vocabulary (llm_ngram_topk's groupBy) is too wide to keep:
+    the sketch is O(d*w) regardless of corpus size and merges
+    cell-wise across shards and streaming micro-batches.
+
+    Scale: the d-way fan-out is map-side; the only corpus-sized
+    shuffle is the (row, bucket) groupBy with <= d*w distinct keys —
+    partial aggregation collapses it almost entirely before the
+    exchange. The estimate join touches only the 20-row query set
+    against the broadcast sketch.
+    """
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("tok")
+    ).where(F.col("tok").isNotNull())
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    w_top = Window.orderBy(F.col("true_cnt").desc(), F.col("tok"))
+    top = (
+        exact.withColumn("__rn", F.row_number().over(w_top))
+        .where(F.col("__rn") <= 20)
+        .select("tok", "true_cnt")
+    )
+    sketch = cms_build(toks, "tok", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED)
+    est = cms_estimate(
+        sketch, top, "tok", d=_CMS_D, w=_CMS_W, seed=_CMS_SEED
+    )
+    return est.select(
+        "tok",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        "est",
+        (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
+    )

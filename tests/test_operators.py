@@ -1173,3 +1173,54 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert big[1]["bits_per_bigram"] == pytest.approx(
         -big[1]["avg_logp"] / math.log(2), abs=1e-5
     )
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS guarantees: estimates are >= true counts for every seen
+    item; a tiny width forces collisions (some overestimate > 0, since
+    vocabulary >> w) while min-over-rows keeps estimates sane; and two
+    shard sketches merged by cell-wise addition equal the sketch of
+    the union — the property that makes CMS map-side combinable and
+    cross-shard addable."""
+    from flask_data_pipes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vals = [f"v{rng.randrange(200)}" for _ in range(3000)]
+    truth = {}
+    for v in vals:
+        truth[v] = truth.get(v, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], ["tok"])
+    d, w, seed = 4, 64, 41  # w=64 << 200 distinct values -> collisions
+    sketch = cms_build(df, "tok", d=d, w=w, seed=seed)
+    qdf = spark.createDataFrame([(v,) for v in truth], ["tok"])
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(sketch, qdf, "tok", d=d, w=w, seed=seed).collect()
+    }
+    assert all(est[v] >= c for v, c in truth.items())  # never under
+    assert any(est[v] > c for v, c in truth.items())  # collisions real
+    assert sum(r["cnt"] for r in sketch.collect()) == d * len(vals)
+
+    # merge property: shard sketches sum cell-wise to the union sketch
+    half = len(vals) // 2
+    s1 = cms_build(
+        spark.createDataFrame([(v,) for v in vals[:half]], ["tok"]),
+        "tok", d=d, w=w, seed=seed,
+    )
+    s2 = cms_build(
+        spark.createDataFrame([(v,) for v in vals[half:]], ["tok"]),
+        "tok", d=d, w=w, seed=seed,
+    )
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, sketch.collect()))
+    assert a == b

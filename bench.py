@@ -68,6 +68,10 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "llm_substring_dedup",
     "llm_semdedup_keep",
     "llm_bloom_dedup",
+    # round-4 operators whose scale claims the ratios check:
+    "llm_bm25_topk",  # postings build + reused exchange
+    "llm_bigram_logprob",  # pair-keyed bigram shuffle
+    "llm_cdc_chunks",  # zero-shuffle chunk projection
 ]
 
 

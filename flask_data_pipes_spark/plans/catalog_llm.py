@@ -2324,13 +2324,17 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins two tiny (Q×k) result sets — negligible next to the searches
     themselves. Run it on a sampled query set in production.
 
-    On the synthetic near-orthogonal embeddings this reports IVF ≈ 0.7,
-    single-probe hyperplane-LSH ≈ 0.18, and 4-probe multi-probe LSH
-    ≈ 0.5 at sf0.01 — exactly the kind of finding the gauge exists to
-    surface (data-oblivious hyperplanes hash near-orthogonal vectors
-    almost randomly; probing across the lowest-margin hyperplanes
-    recovers most of the loss at ~4× candidate volume; IVF adapts its
-    cells to the data)."""
+    On the synthetic near-orthogonal embeddings this reports (sf0.01)
+    IVF ≈ 0.7, single-probe LSH ≈ 0.175, 4-probe multi-probe ≈ 0.5,
+    and 4-table OR-amplified LSH ≈ 0.425 — exactly the kind of finding
+    the gauge exists to surface: data-oblivious hyperplanes hash
+    near-orthogonal vectors almost randomly; probing across the
+    lowest-margin hyperplanes recovers most of the loss at ~4×
+    candidate volume; OR-amplification lifts the single-table number
+    ~2.5× at 4× index cost (on CLUSTERED data, where sign-pattern LSH
+    is actually meaningful, it reaches ≥0.8 — test_operators.py::
+    test_lsh_multitable_recall_dominates_single_table); IVF adapts its
+    cells to the data."""
     from ..operators import similarity
 
     e = load(spark, sf_dir, "embeddings")
@@ -2347,6 +2351,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "lsh_mp4": similarity.lsh_topk(
             e, q, k=5, n_planes=4, seed=42, n_probe=4
+        ).select("qid", "vec_id"),
+        "lsh_mt4": similarity.lsh_topk(
+            e, q, k=5, n_planes=4, seed=42, n_tables=4
         ).select("qid", "vec_id"),
     }
     parts = []

@@ -39,6 +39,8 @@ __all__ = [
     "sessionize_batch",
     "foreach_batch_stage",
     "foreach_batch_upsert",
+    "foreach_batch_cms",
+    "cms_read_merged",
 ]
 
 EVENTS_SCHEMA = (
@@ -368,3 +370,61 @@ def foreach_batch_upsert(
         write_upsert(batch_df, connection_factory, merge_row, batch_size)
 
     return sink
+
+
+def foreach_batch_cms(
+    sketch_path: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 41,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a CROSS-BATCH count-min sketch
+    (operators/sketches.py) — streaming heavy-hitter / frequency
+    tracking over an unbounded stream in O(d·w) state per batch.
+
+    Layout: each micro-batch's sketch lands in its own
+    `batch_id=<N>` partition via DYNAMIC partition overwrite, which is
+    the exactly-once guard — a replayed batch overwrites ITS OWN
+    partition with identical content instead of double-counting
+    (counting sinks are not naturally idempotent; partition-per-batch
+    makes them so without driver-side bookkeeping). Query-time merge
+    is `cms_read_merged`: cell-wise sum across partitions — valid
+    because CMS merges by addition. Compact old partitions into one by
+    rewriting their summed cells under a single batch id when the
+    partition count grows (a metadata-size concern, not a correctness
+    one).
+
+    Scale: per batch the only shuffle is the ≤d·w-key groupBy inside
+    cms_build; the sketch written per batch is ≤d·w rows regardless
+    of stream volume.
+    """
+    from ..operators.sketches import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = cms_build(batch_df, value_col, d=d, w=w, seed=seed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            sk.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    return sink
+
+
+def cms_read_merged(spark, sketch_path: str) -> DataFrame:
+    """Merge every per-batch CMS partition written by
+    `foreach_batch_cms` into one sketch: cell-wise sum over
+    (row, bucket). Feed the result to `operators.sketches.cms_estimate`
+    for point queries."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

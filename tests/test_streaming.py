@@ -515,3 +515,43 @@ def test_foreach_batch_incremental_dedup_output_before_history(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         sink2(batch, 0)
+
+
+def test_foreach_batch_cms_cross_batch_and_replay_idempotent(spark, tmp_path):
+    """Streaming CMS: per-batch sketches land in batch_id partitions,
+    the merged sketch equals the sketch of the full stream, and
+    REPLAYING a batch (Spark's at-least-once foreachBatch) overwrites
+    its own partition instead of double-counting — the idempotence
+    guard a counting sink needs."""
+    from flask_data_pipes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        cms_read_merged,
+        foreach_batch_cms,
+    )
+
+    path = str(tmp_path / "sketch")
+    sink = foreach_batch_cms(path, "tok", d=4, w=64, seed=41)
+    b0 = [("a",), ("b",), ("a",)]
+    b1 = [("b",), ("c",), ("c",), ("c",)]
+    sink(spark.createDataFrame(b0, ["tok"]), 0)
+    sink(spark.createDataFrame(b1, ["tok"]), 1)
+    sink(spark.createDataFrame(b0, ["tok"]), 0)  # replay of batch 0
+
+    merged = cms_read_merged(spark, path)
+    want = cms_build(
+        spark.createDataFrame(b0 + b1, ["tok"]), "tok", d=4, w=64, seed=41
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    qdf = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], ["tok"])
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(merged, qdf, "tok", d=4, w=64, seed=41).collect()
+    }
+    # exact at this tiny scale (few collisions); z unseen -> small/0
+    assert est["a"] >= 2 and est["b"] >= 2 and est["c"] >= 3
+    assert est["z"] <= 1  # width-64 collision noise at most

@@ -72,7 +72,56 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "llm_bm25_topk",  # postings build + reused exchange
     "llm_bigram_logprob",  # pair-keyed bigram shuffle
     "llm_cdc_chunks",  # zero-shuffle chunk projection
+    # round-5: the driver-gated production SemDeDup (√N + max_bucket),
+    # now a catalog entry (was the direct `semdedup_production` twin)
+    "llm_semdedup_production",
 ]
+
+# --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------
+#
+# Each sf1 entry carries a wall-clock ratio budget at 10× data. The
+# bench emits ok=true/false per query so a plan regression (e.g. a
+# dropped anchor spread turning a linear stage quadratic) trips the
+# record rather than silently fattening a number nobody re-reads.
+# Production-shaped variants budget ≤3×; entries whose cost is
+# output-proportional by construction on the rotated-copy synth corpus
+# (pair emitters) or that pin oracle-fidelity parameters get a named
+# exemption with a wider budget instead of a free pass.
+SF1_DEFAULT_BUDGET = 3.0
+SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
+    # (budget, exemption reason or None)
+    "llm_minhash_pairs": (
+        15.0,
+        "exact-pair gate pin: emits every duplicate pair; the synth "
+        "corpus's 10 rotated copies grow pair output superlinearly by "
+        "design; capped production twin is minhash_production",
+    ),
+    "llm_semdedup_keep": (
+        6.0,
+        "n_planes=4 oracle-fidelity pin (fixed 16 buckets => quadratic "
+        "pairing); scale-safe sqrt-N twin is semdedup_production",
+    ),
+    "llm_ngram_jaccard_pairs": (
+        4.5,
+        "pair emitter: candidate-pair output grows faster than rows on "
+        "the rotated-copy corpus even with simhash-prefix blocking",
+    ),
+}
+
+
+def _sf1_verdicts(ratios: dict) -> dict:
+    out = {}
+    for name, r in ratios.items():
+        budget, reason = SF1_BUDGETS.get(name, (SF1_DEFAULT_BUDGET, None))
+        entry = {
+            "ratio": r,
+            "budget": budget,
+            "ok": (r is not None) and (r <= budget),
+        }
+        if reason:
+            entry["exemption"] = reason
+        out[name] = entry
+    return out
 
 
 def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
@@ -134,7 +183,6 @@ def _sf1_direct_queries():
     modes). Timed at both scales alongside the catalog entries."""
     from flask_data_pipes_spark.operators import dedup
     from flask_data_pipes_spark.plans import catalog_llm as cl
-    from flask_data_pipes_spark.plans.catalog import load
 
     def minhash_production(spark, d):
         bands = cl.llm_minhash_bands(spark, d)
@@ -148,28 +196,11 @@ def _sf1_direct_queries():
             pairs, "doc_id_a", "doc_id_b", fixed_rounds=8
         )
 
-    def semdedup_production(spark, d):
-        e = load(spark, d, "embeddings")
-        # √N sizing WITHOUT a count job: row count from parquet metadata
-        import pyarrow.parquet as pq
-
-        path = f"{d}/embeddings.parquet"
-        if os.path.isdir(path):
-            n = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-        else:
-            n = pq.ParquetFile(path).metadata.num_rows
-        return dedup.semdedup_keep(
-            e, n_rows=n, threshold=0.35, max_bucket=1000
-        )
-
+    # semdedup_production graduated to the catalog as
+    # llm_semdedup_production (driver-gated, oracled) in round 5.
     return {
         "minhash_production": minhash_production,
         "dedup_clusters_fixed8": dedup_clusters_fixed8,
-        "semdedup_production": semdedup_production,
     }
 
 
@@ -212,12 +243,15 @@ def _run_sf1_stage(spark, qs, sf_dir: str, headline_timings: dict) -> dict:
     ratios = {
         n: round(big[n] / base[n], 2) if base[n] > 0 else None for n in entries
     }
+    verdicts = _sf1_verdicts(ratios)
     return {
         "copies": 10,
         "base_sf_dir": sf_dir,
         "queries_sf1": big,
         "queries_base": base,
         "ratio": ratios,
+        "verdicts": verdicts,
+        "ok": all(v["ok"] for v in verdicts.values()),
     }
 
 
@@ -303,23 +337,44 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, don't die
             sf1_section = {"error": f"{type(e).__name__}: {e}"}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf1": sf1_section,
-                "sf": sf,
-                # machine-load context so the recorded number can be
-                # argued against its environment (1/5/15-min loadavg
-                # sampled before and after the timed section).
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
+    # Two-line output contract (VERDICT r4 #1): the driver captures only
+    # the last ~2000 chars of stdout, and round 4's single fat line
+    # (headline + sf1 + loadavg) outgrew that window, leaving
+    # BENCH_r04.json with parsed: null. So the rich detail (sf1 ratios,
+    # budget verdicts, loadavg) goes on an EARLIER stdout line and into
+    # a sidecar file, and the FINAL line is the compact headline object
+    # (~0.9 KB for 23 queries) the driver parses.
+    detail = {
+        "sf1": sf1_section,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+    }
+    detail_line = json.dumps(detail)
+    print(detail_line)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"
         )
-    )
+        with open(sidecar, "w") as fh:
+            fh.write(detail_line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; stdout already has the detail
+
+    headline = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if isinstance(sf1_section, dict) and "ok" in sf1_section:
+        # one boolean of sf1 signal rides in the compact line; the
+        # per-query verdicts live in the detail line / sidecar
+        headline["sf1_ok"] = sf1_section["ok"]
+    final_line = json.dumps(headline)
+    # hard guarantee: the driver's tail window must hold the whole line
+    assert len(final_line) < 1900, f"final bench line {len(final_line)}B"
+    print(final_line)
 
 
 if __name__ == "__main__":

@@ -808,12 +808,19 @@ def semdedup_planes_for(n_rows: int) -> int:
     SemDeDup paper's cluster-count scaling (k-means with k ≈ √N keeps
     expected bucket size AND bucket count both at √N, so the within-
     bucket O(Σ k²) pair join stays ~N^1.5 total instead of quadratic).
+
+    Rounding is floor(x + 0.5) — half-up — NOT Python's banker round:
+    the DuckDB oracle for the driver-gated production entry
+    (`llm_semdedup_production`) recomputes p as
+    `floor(log2(count(*))/2 + 0.5)` inside SQL, and half-up is the one
+    rule both engines evaluate identically for every n (ties occur only
+    at n = 2^odd, where log2 is float-exact in both).
     """
     import math
 
     if n_rows < 4:
         return 1
-    return max(1, min(30, round(math.log2(n_rows) / 2)))
+    return max(1, min(30, int(math.floor(math.log2(n_rows) / 2 + 0.5))))
 
 
 def _plan_row_count(df: DataFrame) -> Optional[int]:

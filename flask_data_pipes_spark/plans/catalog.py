@@ -75,6 +75,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, table: str) -> int:
+    """Exact row count from parquet FOOTER METADATA — no Spark job, no
+    data read. This is how production callers satisfy the "pass
+    n_rows" contract of size-adaptive operators (semdedup_keep): at
+    100 TB the count comes from the catalog/manifest, never a COUNT(*)
+    pass; locally the parquet footer is that manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def dsum(c, alias: str):
     """Deterministic double sum: exact decimal accumulate, then double."""
     return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
@@ -419,7 +439,10 @@ CHECKED_PREFIX = [
     "llm_simhash_pairs",
     "llm_ngram_jaccard_pairs",
     "llm_dedup_clusters",
-    "llm_semdedup_keep",
+    # round 5: production √N+max_bucket shape replaces the quadratic
+    # n_planes=4 oracle pin in the gate (the pin stays oracled behind
+    # the prefix — VERDICT r4 #2)
+    "llm_semdedup_production",
     "llm_embedding_neardup",
     # Similarity search
     "llm_cosine_topk",

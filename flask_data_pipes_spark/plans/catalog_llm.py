@@ -807,6 +807,90 @@ def _ddb_semdedup_oracle(n_planes: int = 4, threshold: float = 0.35) -> str:
     """
 
 
+def _ddb_semdedup_production_oracle(
+    p_max: int = 16, threshold: float = 0.35, max_bucket: int = 1000
+) -> str:
+    """Scale-adaptive twin of `_ddb_semdedup_oracle`: the plane count is
+    not pinned — the SQL recomputes p = floor(log2(count(*))/2 + 0.5)
+    (clamped), exactly `semdedup_planes_for`, and uses the first p of
+    `p_max` inlined hyperplanes. Valid for any corpus where p ≤ p_max
+    (p_max=16 covers n < 2^31 rows; `hyperplanes` is prefix-stable in
+    n_planes, so plane j is identical for every p ≥ j). `max_bucket`
+    mirrors the Spark-side block-census drop: buckets larger than
+    `max_bucket` never reach pairing."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, p_max, 42)
+
+    def lst(h):
+        return "[" + ",".join(repr(x) for x in h) + "]::DOUBLE[]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {j} < p AND list_dot_product(v, {lst(h)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH pp AS (
+      SELECT CASE WHEN count(*) < 4 THEN 1
+                  ELSE greatest(1, least(30,
+                       CAST(floor(log2(count(*)) / 2.0 + 0.5) AS BIGINT)))
+             END AS p
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id, label, v, inv, ({bucket_terms})::BIGINT AS bucket
+           FROM c, pp),
+    cf AS (SELECT * FROM cb
+           QUALIFY count(*) OVER (PARTITION BY bucket) <= {max_bucket}),
+    dupes AS (
+      SELECT DISTINCT b.vec_id
+      FROM cf a JOIN cf b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) * a.inv * b.inv, 6) >= {threshold}
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dupes)
+    """
+
+
+@register("llm_semdedup_production", oracle=_ddb_semdedup_production_oracle())
+def llm_semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, PRODUCTION SHAPE — the driver-gated entry (VERDICT r4
+    #2). Differences from the `llm_semdedup_keep` fixture pin:
+
+    - √N bucket sizing: n_planes = `semdedup_planes_for(n_rows)` with
+      n_rows from parquet footer metadata (`table_row_count` — the
+      local stand-in for a catalog/manifest count; NO Spark job), so
+      within-bucket pairing stays ~N^1.5 instead of the fixed-16-bucket
+      quadratic.
+    - `max_bucket=1000`: degenerate buckets (embedding-space modes)
+      are dropped before pairing — the skew defense a 100 TB corpus
+      needs.
+
+    The DuckDB oracle recomputes the SAME plane count from count(*)
+    inside SQL (planes are deterministic given n_rows), so the gate
+    value-checks the scale-safe shape itself, not a fixture twin.
+    """
+    from ..operators import dedup
+    from .catalog import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    return dedup.semdedup_keep(
+        load(spark, sf_dir, "embeddings"),
+        vec_col="embedding",
+        id_col="vec_id",
+        n_rows=n,
+        dim=64,
+        seed=42,
+        threshold=0.35,
+        max_bucket=1000,
+    ).select("vec_id", "label")
+
+
 @register("llm_semdedup_keep", oracle=_ddb_semdedup_oracle())
 def llm_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py::semdedup_keep): embedding-space
@@ -816,10 +900,11 @@ def llm_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.9 because these synthetic embeddings are near-orthogonal; at 0.9
     the gate would pass vacuously empty).
 
-    `n_planes=4` is an explicit gate-fixture pin (the oracle hard-codes
-    the same 16 buckets). Production default is `n_planes=None`, which
-    sizes 2^p ≈ √N so within-bucket pairing stays ~N^1.5 instead of
-    quadratic, plus `max_bucket` to drop degenerate buckets.
+    `n_planes=4` is an explicit oracle-fidelity pin (the oracle
+    hard-codes the same 16 buckets) — quadratic at scale, so since
+    round 5 the driver gate checks `llm_semdedup_production` (√N
+    sizing + max_bucket) instead; this pin stays value-checked behind
+    the prefix by the test_oracle_parity sweep.
 
     Scale: data-oblivious bucketing needs no fitting pass over the
     corpus; everything downstream is the block equi-join + left_anti.

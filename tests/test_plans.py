@@ -269,7 +269,7 @@ def test_checked_prefix_curated():
         "minhash": ["llm_minhash_pairs"],
         "simhash": ["llm_simhash_pairs"],
         "clusters": ["llm_dedup_clusters"],
-        "semantic-dedup": ["llm_semdedup_keep", "llm_embedding_neardup"],
+        "semantic-dedup": ["llm_semdedup_production", "llm_embedding_neardup"],
         "ann": ["llm_cosine_topk", "llm_lsh_topk"],
         "corpus": ["llm_boilerplate_prune", "llm_token_budget"],
         "multimodal": ["llm_multimodal_meta", "llm_media_header"],

@@ -188,19 +188,24 @@ def _sf1_direct_queries():
         bands = cl.llm_minhash_bands(spark, d)
         return dedup.candidate_pairs(bands, "doc_id", max_bucket=1000)
 
-    def dedup_clusters_fixed8(spark, d):
+    def dedup_clusters_production(spark, d):
+        # Round 5 (VERDICT r4 #3): was fixed_rounds=8 plain propagation
+        # (reach 8, 8 checkpoints — the repo's costliest op at 12.87 s
+        # sf0.1). Production is now 4 compressed rounds — reach 30
+        # (strictly dominates the old guarantee) at half the
+        # groupBy/checkpoint floor.
         pairs = dedup.candidate_pairs(
             cl.llm_minhash_bands(spark, d), "doc_id", max_bucket=1000
         )
         return dedup.connected_components(
-            pairs, "doc_id_a", "doc_id_b", fixed_rounds=8
+            pairs, "doc_id_a", "doc_id_b", fixed_rounds=4
         )
 
     # semdedup_production graduated to the catalog as
     # llm_semdedup_production (driver-gated, oracled) in round 5.
     return {
         "minhash_production": minhash_production,
-        "dedup_clusters_fixed8": dedup_clusters_fixed8,
+        "dedup_clusters_production": dedup_clusters_production,
     }
 
 

@@ -1067,6 +1067,8 @@ def connected_components(
     col_b: str,
     max_iter: int = 25,
     fixed_rounds: Optional[int] = None,
+    compress: bool = True,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list → columns
     `(id, label)` where label is the component's minimum member id.
@@ -1092,16 +1094,32 @@ def connected_components(
       (observed at 10× scale), disk blocks don't.
     - The convergence probe (`changed == 0`) costs one small action
       per round. `fixed_rounds=n` is the at-scale mode: exactly n
-      propagation rounds with NO driver-side action per round — the
-      whole computation is one lazy plan chain (checkpointed per
-      round), correct whenever n ≥ the largest component diameter
-      (near-dup clusters are dense, so diameters are tiny; n=8 covers
-      any realistic corpus, and an undersized n degrades to splitting
-      one component into adjacent labels, never to wrong membership
-      merges). **`fixed_rounds=8` is the documented production
-      default for 100 TB runs** — the probe mode (default here only
-      for oracle parity) costs one driver round-trip per iteration
-      and serializes the rounds on driver latency.
+      rounds with NO driver-side action per round — correct whenever
+      the round count's REACH covers the largest component diameter
+      (an undersized n degrades to splitting one component into
+      adjacent labels, never to wrong membership merges). The probe
+      mode (default here only for oracle parity) costs one driver
+      round-trip per iteration and serializes rounds on driver
+      latency.
+    - `compress=True` (default) appends a pointer-compression step to
+      each round — after adopting the neighborhood min, every node
+      also adopts its (post-propagation) label's label — one
+      self-join on the V-sized label table. Reach then grows as
+      d ← 2(d+1) per round instead of d ← d+1, i.e. 2^(r+1)−2:
+      rounds 1..4 cover diameters 2, 6, 14, 30 (chain-graph worst
+      case, verified in tests), so **`fixed_rounds=4` with
+      compression is the documented production default for 100 TB
+      runs** — it strictly dominates the old 8 plain rounds (reach 30
+      vs 8) at half the checkpoint/groupBy floor. Near-dup clusters
+      are dense (diameters ≤ ~4 in practice); genuinely chain-shaped
+      data can raise `fixed_rounds` logarithmically (6 rounds ⇒ 126).
+    - `checkpoint_every` (fixed-rounds mode): checkpoint every k-th
+      round instead of every round. The per-round DISK_ONLY
+      checkpoint was ~40% of the op's wall-clock at sf0.1 (BASELINE
+      r4); lineage between checkpoints grows only k rounds deep, so
+      k=2 halves the floor without the plan-analysis blowup that
+      unbounded lineage causes. Probe mode always checkpoints per
+      round — the count materializes each round anyway.
     """
     # DISK_ONLY checkpoints: every round pins a new snapshot and the
     # superseded ones are only freed by the JVM ContextCleaner after
@@ -1124,7 +1142,8 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(**ckpt)
     )
-    for _ in range(fixed_rounds if fixed_rounds is not None else max_iter):
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
+    for r in range(n_rounds):
         # SHUFFLE_HASH, not broadcast: Catalyst's cardinality estimate
         # for the pair-generating explode upstream is wildly LOW, so
         # the static planner may elect to broadcast the EDGE LIST
@@ -1150,14 +1169,41 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own"), F.col("label"))).alias("__old"),
             )
-            .localCheckpoint(**ckpt)
         )
+        if compress:
+            # Pointer compression: adopt label(label(id)) as well —
+            # labels are min-monotone so least() keeps correctness
+            # (labels always name a node in the same component; a
+            # smaller label is always a better one). V-sized self-join,
+            # same shuffle_hash discipline as the edge join.
+            ptr = new.select(
+                F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+            )
+            new = (
+                new.join(
+                    ptr.hint("shuffle_hash"),
+                    new.label == F.col("__pid"),
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__plabel"), F.col("label")),
+                    ).alias("label"),
+                    "__old",
+                )
+            )
+        last = r == n_rounds - 1
         if fixed_rounds is None:
+            new = new.localCheckpoint(**ckpt)
             changed = new.where(F.col("label") != F.col("__old")).count()
             labels = new.select("id", "label")
             if changed == 0:
                 break
         else:
+            if not last and (r + 1) % max(1, checkpoint_every) == 0:
+                new = new.localCheckpoint(**ckpt)
             labels = new.select("id", "label")
     return labels
 

@@ -2760,12 +2760,14 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a recursive-CTE reachability fixpoint — exact transitive
     closure.
 
-    Scale: iterative min-label propagation, one equi-join + groupBy
-    per round, lineage truncated per round (operators/dedup.py::
-    connected_components); rounds ≈ cluster diameter, not corpus size.
-    The 100 TB path is `fixed_rounds=8` (probe-free: no per-round
-    driver count); the convergence-probe default is used here only so
-    the oracle comparison is iteration-count-independent.
+    Scale: iterative min-label propagation with pointer compression,
+    one edge-join + groupBy + V-sized compress-join per round, lineage
+    truncated on a `checkpoint_every` cadence (operators/dedup.py::
+    connected_components); reach doubles per round (2(d+1)), so rounds ≈
+    log2(cluster diameter), not corpus size. The 100 TB path is
+    `fixed_rounds=4` (probe-free, reach 30); the convergence-probe
+    default is used here only so the oracle comparison is
+    iteration-count-independent.
     """
     from ..operators import dedup
 

@@ -721,6 +721,52 @@ def test_connected_components_fixed_rounds_matches_probe_mode(spark):
     assert fixed[5] == 1  # the length-4 chain fully collapsed
 
 
+def test_connected_components_compressed_reach(spark):
+    """Pointer compression doubles reach per round — d_r = 2^(r+1)-2
+    exactly on a chain — so 4 rounds collapse a 30-hop chain but leave
+    a 31-hop endpoint one label short (components SPLIT when rounds are
+    undersized, never wrongly merge). Plain propagation reaches only
+    distance r."""
+    from flask_data_pipes_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "a long, b long"
+    )  # chain 0-1-...-31
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            pairs, "a", "b", fixed_rounds=4
+        ).collect()
+    }
+    assert got[30] == 0  # distance 30 = exactly the 4-round reach
+    assert got[31] != 0  # distance 31: one short — split, not merged
+    plain = {
+        r["id"]: r["label"]
+        for r in connected_components(
+            pairs, "a", "b", fixed_rounds=4, compress=False
+        ).collect()
+    }
+    assert plain[4] == 0 and plain[5] != 0  # plain reach = r
+
+
+def test_connected_components_checkpoint_cadence_invariant(spark):
+    """checkpoint_every only changes lineage truncation, never labels."""
+    from flask_data_pipes_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for ck in (1, 2, 5):
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components(
+                pairs, "a", "b", fixed_rounds=3, checkpoint_every=ck
+            ).collect()
+        }
+        assert got == want, ck
+
+
 def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """Multi-probe candidates are a superset of the single-probe bucket
     (own bucket always probed first), so recall@k vs brute force can

@@ -1,4 +1,4 @@
-"""Mergeable frequency sketches for corpus-scale counting.
+"""Mergeable sketches for corpus-scale counting.
 
 Count-min sketch (Cormode & Muthukrishnan 2005): a d x w integer
 matrix where every item increments one counter per row (hash_i(v) mod
@@ -10,17 +10,38 @@ the vocabulary, merges by cell-wise addition (map-side combinable,
 cross-shard addable), and answers point queries without keeping the
 long tail.
 
-Everything is md5-hashed (functions/text.md5_long) so builds and
-estimates are deterministic and DuckDB-oracle-checkable.
+HyperLogLog (Flajolet et al. 2007): the "how many DISTINCT" complement
+to the CMS's "how often" — m = 2^b registers each holding the maximum
+leading-zero rank of the hash suffixes routed to it; cardinality is
+estimated from the harmonic mean of the register values. O(m) state
+for any cardinality, merges by register-wise MAX (idempotent — shard
+unions and stream replays are both safe), standard error ≈ 1.04/√m.
+At 100 TB this answers vocabulary growth, per-shard dedup-rate and
+join-key cardinality questions without an exact distinct groupBy.
+
+Everything is md5-hashed (functions/text.md5_long) so builds,
+estimates, and register tables are deterministic and
+DuckDB-oracle-checkable; the raw HLL estimate is additionally
+arranged to be bit-identical cross-engine (integer-scaled harmonic
+sum — see `hll_estimate`).
 """
 
 from __future__ import annotations
+
+from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as T
 
-__all__ = ["cms_build", "cms_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_estimate",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+    "HLL_HASH_BITS",
+]
 
 
 def cms_build(
@@ -104,4 +125,109 @@ def cms_estimate(
             .cast("long")
             .alias("est")
         )
+    )
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+HLL_HASH_BITS = 60  # md5_long width; register index takes the TOP b bits
+
+
+def _hll_width(b: int) -> int:
+    """Suffix width W = hash bits - register bits; rho ranges [1, W+1]."""
+    if not 2 <= b <= 16:
+        raise ValueError(f"b must be in [2, 16], got {b}")
+    return HLL_HASH_BITS - b
+
+
+def hll_build(
+    df: DataFrame, value_col: str, b: int = 6, seed: int = 43
+) -> DataFrame:
+    """Build an HLL register table over `value_col` → (register, rho)
+    with at most m = 2^b rows.
+
+    register = top b bits of the 60-bit md5 hash; rho = 1 + the number
+    of leading zeros of the remaining W = 60-b bits (W+1 when the
+    suffix is all zeros). The aggregate keeps MAX(rho) per register —
+    registers no value hashed into are simply absent (they are the
+    "zero registers"; `hll_estimate` counts them as m - rows).
+
+    Scale shape: one narrow map (hash + shifts, pure codegen — the
+    leading-zero count is `W+1 - length(bin(suffix))`, an integer
+    expression, no UDF) and one groupBy with ≤ 2^b distinct keys, so
+    partial aggregation collapses everything map-side and the shuffle
+    moves ≤ m rows per input partition. The result is tiny,
+    broadcastable, and merges across shards / micro-batches by
+    register-wise max (`hll_merge`).
+    """
+    w = _hll_width(b)
+    h = T.md5_long(F.col(value_col), seed)
+    reg = F.shiftright(h, w)
+    suffix = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(suffix))
+    )
+    return (
+        df.select(reg.alias("register"), rho.cast("int").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Merge register tables from shards/batches: register-wise MAX.
+    Max is idempotent, so merging overlapping or replayed sketches is
+    harmless — the union of shard sketches equals the whole-corpus
+    build exactly (asserted in tests)."""
+    import functools
+
+    merged = functools.reduce(lambda a, c: a.unionByName(c), sketches)
+    return merged.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def _hll_alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, b: int = 6, corrected: bool = False
+) -> DataFrame:
+    """One-row estimate from a register table → (m, n_zero,
+    est_distinct).
+
+    The raw HLL estimator is alpha_m * m^2 / Σ_j 2^-M_j. Computed
+    naively that sum is an order-dependent float reduction; here it is
+    an INTEGER sum instead — Σ 2^(S - rho) with S = W+1 ≥ max(rho)
+    scaled back in one literal constant C = alpha_m * m^2 * 2^S — so
+    every engine computes bit-identical results regardless of
+    aggregation order (the catalog oracle replays the same arithmetic
+    in DuckDB). Zero registers (absent rows) contribute 2^S each.
+
+    `corrected=True` additionally applies the standard small-range
+    linear-counting correction (est ≤ 2.5m and zero registers exist →
+    m·ln(m/V)); it uses libm log, so the oracle-checked catalog entry
+    keeps the raw estimator and the correction stays a caller-side
+    refinement (documented contract: at corpus scale — cardinality
+    ≫ m — the raw estimator is the operative regime anyway).
+    """
+    w = _hll_width(b)
+    m = 1 << b
+    s_bits = w + 1  # scale exponent; rho <= w+1 so terms are >= 2^0
+    c_lit = _hll_alpha(m) * m * m * float(1 << s_bits)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(F.expr(f"shiftleft(1L, {s_bits} - rho)")).alias("__sp"),
+    )
+    n_zero = (F.lit(m) - F.col("__present")).cast("long")
+    total = F.coalesce(F.col("__sp"), F.lit(0)) + n_zero * F.lit(1 << s_bits)
+    est = F.lit(c_lit) / total.cast("double")
+    if corrected:
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+        est = F.when((est <= 2.5 * m) & (n_zero > 0), lc).otherwise(est)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        n_zero.alias("n_zero"),
+        est.alias("est_distinct"),
     )

@@ -3707,3 +3707,106 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est",
         (F.col("est") - F.col("true_cnt")).cast("long").alias("overestimate"),
     )
+
+
+# --- HyperLogLog distinct-count sketch (round 5) ---------------------------
+
+_HLL_B, _HLL_SEED = 6, 43
+_HLL_W = 60 - _HLL_B  # suffix width; rho in [1, W+1]
+_HLL_S = _HLL_W + 1  # integer scale exponent for the harmonic sum
+_HLL_M = 1 << _HLL_B
+
+
+def _hll_c_lit() -> float:
+    """The one scaled constant C = alpha_m * m^2 * 2^S, computed ONCE in
+    Python and inlined as the same literal into the Spark plan and the
+    DuckDB oracle — no cross-engine float arithmetic ever happens on
+    it (see operators/sketches.py::hll_estimate)."""
+    from ..operators.sketches import _hll_alpha
+
+    return _hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_S)
+
+
+_DDB_HLL_REGISTERS = rf"""
+    WITH toks AS (
+      SELECT unnest({_DDB_TOKS_LOWER}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT ('0x' || substr(md5('{_HLL_SEED}|' || tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    r AS (
+      SELECT (h >> {_HLL_W}) AS register,
+             CASE WHEN (h & {(1 << _HLL_W) - 1}) = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(h & {(1 << _HLL_W) - 1}))
+             END AS rho
+      FROM h
+    )
+    SELECT register, CAST(max(rho) AS INT) AS rho FROM r GROUP BY register
+"""
+
+
+@register("llm_hll_registers", oracle=_DDB_HLL_REGISTERS)
+def llm_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators/sketches.py::hll_build)
+    over the document token stream — the mergeable distinct-count
+    sketch state itself, value-checked register by register against a
+    SQL replay of the same hash/shift/leading-zero arithmetic.
+
+    Scale: one narrow codegen map (md5 → shift/mask → leading-zero
+    rank via length(bin)) and one groupBy with ≤ 2^b = 64 distinct
+    keys — partial aggregation collapses everything map-side; the
+    shuffle moves ≤ 64 rows per input partition regardless of corpus
+    size. Shards/micro-batches merge by register-wise max
+    (streaming/stream.py::foreach_batch_hll).
+    """
+    from ..operators.sketches import hll_build
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("tok")
+    ).where(F.col("tok").isNotNull())
+    return hll_build(toks, "tok", b=_HLL_B, seed=_HLL_SEED)
+
+
+def _ddb_hll_distinct_oracle() -> str:
+    two_s = 1 << _HLL_S
+    return rf"""
+    WITH regs AS ({_DDB_HLL_REGISTERS}),
+    agg AS (
+      SELECT count(*) AS present,
+             SUM(1::BIGINT << ({_HLL_S} - rho)) AS sp
+      FROM regs
+    )
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST({_HLL_M} - present AS BIGINT) AS n_zero,
+           {_hll_c_lit()!r} /
+             CAST(COALESCE(sp, 0) + ({_HLL_M} - present) * {two_s} AS DOUBLE)
+             AS est_distinct
+    FROM agg
+    """
+
+
+@register("llm_hll_distinct", oracle=_ddb_hll_distinct_oracle())
+def llm_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate (operators/sketches.py::
+    hll_estimate) — "how many distinct" from O(2^b) state, the sketch
+    complement to llm_cms_heavy_hitters' "how often". The raw HLL
+    estimator is made bit-identical cross-engine by computing the
+    harmonic sum as an INTEGER (Σ 2^(S-rho), exact in BIGINT) and
+    folding alpha_m·m²·2^S into one Python-computed literal, so even
+    the double-valued estimate hash-matches the oracle exactly.
+
+    Scale: everything of llm_hll_registers plus one 64-row aggregate.
+    At 100 TB the register table is the ONLY state that moves: vocab
+    growth tracking, per-shard dedup-rate estimates, and join-key
+    cardinality checks all read it without an exact distinct groupBy.
+    """
+    from ..operators.sketches import hll_estimate
+
+    return hll_estimate(
+        llm_hll_registers(spark, sf_dir), b=_HLL_B
+    )

@@ -428,3 +428,53 @@ def cms_read_merged(spark, sketch_path: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def foreach_batch_hll(
+    sketch_path: str,
+    value_col: str,
+    b: int = 6,
+    seed: int = 43,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a CROSS-BATCH HyperLogLog register
+    table (operators/sketches.py::hll_build) — streaming distinct-count
+    tracking (vocabulary growth, key cardinality) in O(2^b) state.
+
+    Same partition-per-batch layout as `foreach_batch_cms` — but where
+    the CMS needed it for exactly-once (addition double-counts
+    replays), HLL's register-wise MAX is idempotent, so here the
+    per-batch partition is bookkeeping (which batches contributed,
+    cheap compaction) rather than a correctness guard: merging a
+    replayed batch twice is a no-op by algebra. Query-time merge is
+    `hll_read_merged`; per batch the only shuffle is the ≤2^b-key
+    groupBy inside hll_build and the written sketch is ≤2^b rows
+    regardless of stream volume.
+    """
+    from ..operators.sketches import hll_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = hll_build(batch_df, value_col, b=b, seed=seed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            sk.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    return sink
+
+
+def hll_read_merged(spark, sketch_path: str) -> DataFrame:
+    """Merge every per-batch HLL partition written by
+    `foreach_batch_hll`: register-wise max. Feed the result to
+    `operators.sketches.hll_estimate` for the cardinality estimate."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )

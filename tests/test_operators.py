@@ -1270,3 +1270,87 @@ def test_cms_never_underestimates_and_merges(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, sketch.collect()))
     assert a == b
+
+
+def test_hll_merge_across_shards_equals_whole_build(spark):
+    """Register-wise max over per-shard sketches is EXACTLY the
+    whole-corpus register table (the mergeability contract a 100 TB
+    shard-parallel build relies on), and merging a shard twice is a
+    no-op (idempotence)."""
+    from flask_data_pipes_spark.operators.sketches import hll_build, hll_merge
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        (F.col("id") % 3).alias("shard"),
+    )
+    whole = sorted(map(tuple, hll_build(df, "val").collect()))
+    shards = [
+        hll_build(df.where(F.col("shard") == s), "val") for s in range(3)
+    ]
+    merged = sorted(map(tuple, hll_merge(shards).collect()))
+    assert merged == whole
+    remerged = sorted(map(tuple, hll_merge(shards + [shards[0]]).collect()))
+    assert remerged == whole
+
+
+def test_hll_estimate_accuracy_and_correction(spark):
+    """Raw estimator lands within ~3 sigma (1.04/sqrt(64) = 13%) of the
+    true cardinality across 3 hash seeds; the linear-counting
+    correction fixes the small-cardinality regime where the raw
+    estimator is known-biased."""
+    from flask_data_pipes_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("tok"), F.col("id")).alias("val")
+    )
+    for seed in (43, 101, 7):
+        sk = hll_build(df, "val", b=6, seed=seed)
+        est = hll_estimate(sk, b=6).collect()[0]["est_distinct"]
+        assert abs(est / 5000.0 - 1.0) < 0.40, (seed, est)
+
+    small = spark.range(20).select(
+        F.concat(F.lit("s"), F.col("id")).alias("val")
+    )
+    sk = hll_build(small, "val", b=6, seed=43)
+    corrected = hll_estimate(sk, b=6, corrected=True).collect()[0][
+        "est_distinct"
+    ]
+    assert abs(corrected / 20.0 - 1.0) < 0.30, corrected
+
+
+def test_cms_error_guarantees_property(spark):
+    """The two CMS paper guarantees, checked per item on a seeded skewed
+    corpus (w=64 deliberately small so collisions actually occur):
+    (1) estimate >= true count for EVERY item — always;
+    (2) estimate <= true + ceil(2N/w) for at least a 1-(1/2)^d
+        fraction of items (d independent rows each fail the 2N/w
+        Markov bound with probability < 1/2)."""
+    import math
+
+    from flask_data_pipes_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d, w = 4, 64
+    vocab = 300
+    rows = [(f"item{i}",) for i in range(vocab) for _ in range(i % 17 + 1)]
+    n_total = len(rows)
+    df = spark.createDataFrame(rows, ["tok"])
+    qdf = df.select("tok").distinct()
+    bound = math.ceil(2.0 * n_total / w)
+    for seed in (41, 137, 997):
+        sketch = cms_build(df, "tok", d=d, w=w, seed=seed)
+        est = {
+            r["tok"]: r["est"]
+            for r in cms_estimate(
+                sketch, qdf, "tok", d=d, w=w, seed=seed
+            ).collect()
+        }
+        true = {f"item{i}": i % 17 + 1 for i in range(vocab)}
+        assert all(est[t] >= c for t, c in true.items()), seed
+        within = sum(1 for t, c in true.items() if est[t] <= c + bound)
+        assert within / vocab >= 1.0 - 0.5**d, (seed, within / vocab)

@@ -555,3 +555,39 @@ def test_foreach_batch_cms_cross_batch_and_replay_idempotent(spark, tmp_path):
     # exact at this tiny scale (few collisions); z unseen -> small/0
     assert est["a"] >= 2 and est["b"] >= 2 and est["c"] >= 3
     assert est["z"] <= 1  # width-64 collision noise at most
+
+
+def test_foreach_batch_hll_cross_batch_and_replay_idempotent(spark, tmp_path):
+    """Streaming HLL: per-batch register tables land in batch_id
+    partitions, the merged registers equal the whole-stream build, and
+    replaying a batch is a no-op twice over (dynamic partition
+    overwrite AND register-max idempotence). The corrected estimate on
+    the merged sketch recovers the true distinct count at this tiny
+    cardinality (linear-counting regime)."""
+    from flask_data_pipes_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_hll,
+        hll_read_merged,
+    )
+
+    path = str(tmp_path / "hll")
+    sink = foreach_batch_hll(path, "tok", b=6, seed=43)
+    b0 = [("a",), ("b",), ("a",)]
+    b1 = [("b",), ("c",), ("c",), ("d",)]
+    sink(spark.createDataFrame(b0, ["tok"]), 0)
+    sink(spark.createDataFrame(b1, ["tok"]), 1)
+    sink(spark.createDataFrame(b0, ["tok"]), 0)  # replay of batch 0
+
+    merged = hll_read_merged(spark, path)
+    want = hll_build(
+        spark.createDataFrame(b0 + b1, ["tok"]), "tok", b=6, seed=43
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    est = hll_estimate(merged, b=6, corrected=True).collect()[0]
+    assert est["m"] == 64 and est["n_zero"] >= 60
+    assert abs(est["est_distinct"] / 4.0 - 1.0) < 0.30  # 4 distinct toks

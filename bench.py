@@ -220,10 +220,21 @@ def _run_sf1_stage(spark, qs, sf_dir: str, headline_timings: dict) -> dict:
     entries = {name: qs[name] for name in SF1_SHARED + SF1_EXTRA}
     entries.update(direct)
 
+    # Min-of-N on BOTH sides of the ratio. Round 4 recorded
+    # llm_decontaminate at 3.98x because its base came from the
+    # headline stage's min-of-3 while the sf1 side was a single shot —
+    # re-measured symmetrically (min-of-2 each) the true ratio is
+    # ~1.8x. Asymmetric minima bias every ratio upward by whatever
+    # scheduler noise the single shot caught.
+    sf1_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPEATS", "2"))
+
     def time_one(fn, d):
-        t0 = time.perf_counter()
-        fn(spark, d).write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, sf1_repeats)):
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
     # warm codegen for entries the headline warm-up didn't touch
     warm_dir = "/root/testdata/sf0.001"
@@ -258,6 +269,58 @@ def _run_sf1_stage(spark, qs, sf_dir: str, headline_timings: dict) -> dict:
         "verdicts": verdicts,
         "ok": all(v["ok"] for v in verdicts.values()),
     }
+
+
+def _run_ann_stage(spark, sf_dir: str, repeats: int = 2) -> dict:
+    """ANN recall/cost frontier at the bench scale (VERDICT r4 missing
+    #3): the recall pins in tests run on the 500-vector sf0.001
+    fixture where bucket occupancy is degenerate; this records, at
+    sf0.1 (2000 vectors, ~125/bucket at 4 planes), each index's
+    recall@5 against brute-force truth NEXT TO its wall cost — the
+    frontier a deployment actually tunes on. Configs mirror the
+    llm_ann_recall catalog gauge."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators import similarity
+    from flask_data_pipes_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    builders = {
+        "brute": lambda: similarity.cosine_topk(e, q, k=5),
+        "lsh_p4": lambda: similarity.lsh_topk(e, q, k=5, n_planes=4, seed=42),
+        "lsh_mp4": lambda: similarity.lsh_topk(
+            e, q, k=5, n_planes=4, seed=42, n_probe=4
+        ),
+        "lsh_mt4": lambda: similarity.lsh_topk(
+            e, q, k=5, n_planes=4, seed=42, n_tables=4
+        ),
+        "ivf16_p4": lambda: similarity.ivf_topk(
+            e, q, k=5, n_cells=16, n_probe=4, seed=42
+        ),
+    }
+    truth = builders["brute"]().select("qid", "vec_id")
+    n_true = truth.count()
+    frontier = {}
+    for name, build in builders.items():
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = _t.perf_counter()
+            build().write.mode("overwrite").format("noop").save()
+            best = min(best, _t.perf_counter() - t0)
+        if name == "brute":
+            recall = 1.0
+        else:
+            hits = truth.join(
+                build().select("qid", "vec_id"), ["qid", "vec_id"]
+            ).count()
+            recall = round(hits / n_true, 4) if n_true else None
+        frontier[name] = {"sec": round(best, 3), "recall_at_5": recall}
+    return {"k": 5, "n_queries": 8, "sf_dir": sf_dir, "frontier": frontier}
 
 
 def main() -> None:
@@ -349,8 +412,19 @@ def main() -> None:
     # budget verdicts, loadavg) goes on an EARLIER stdout line and into
     # a sidecar file, and the FINAL line is the compact headline object
     # (~0.9 KB for 23 queries) the driver parses.
+    # ANN recall/cost frontier at the bench scale (default on;
+    # SPARK_GRAFT_BENCH_ANN=0 to skip). Failure must not lose the
+    # headline number.
+    ann_section = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN", "1") != "0":
+        try:
+            ann_section = _run_ann_stage(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            ann_section = {"error": f"{type(e).__name__}: {e}"}
+
     detail = {
         "sf1": sf1_section,
+        "ann": ann_section,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }

@@ -1354,3 +1354,97 @@ def test_cms_error_guarantees_property(spark):
         assert all(est[t] >= c for t, c in true.items()), seed
         within = sum(1 for t, c in true.items() if est[t] <= c + bound)
         assert within / vocab >= 1.0 - 0.5**d, (seed, within / vocab)
+
+
+def test_jpeg_codec_stats_exact():
+    """Baseline-JPEG codec pair (stdlib+numpy, self-describing Huffman
+    tables): the decoder's transform-domain mean is exact to the
+    per-block DC rounding bound (0.5/8 intensity units) — no IDCT
+    needed because AC bases are zero-mean."""
+    import random
+
+    from flask_data_pipes_spark.operators.multimodal import (
+        jpeg_decoder,
+        jpeg_encode,
+    )
+
+    # flat gray: mean exactly 128/255
+    d = jpeg_decoder(jpeg_encode(bytes([128] * 256), 16, 16))
+    assert (d["width"], d["height"], d["n_pixels"]) == (16, 16, 256)
+    assert abs(d["mean_intensity"] - 128 / 255) < 1e-12
+
+    # ramp: analytic mean, exact (DC of each block representable)
+    px = bytes((x * 255) // 23 for _ in range(16) for x in range(24))
+    d = jpeg_decoder(jpeg_encode(px, 24, 16))
+    true = sum((x * 255) // 23 for x in range(24)) / 24 / 255
+    assert abs(d["mean_intensity"] - true) < 1e-12
+
+    # pseudorandom content within the DC rounding bound, with and
+    # without restart markers (DRI/RSTn path)
+    rng = random.Random(7)
+    px = bytes(rng.randrange(256) for _ in range(32 * 24))
+    for dri in (None, 3):
+        d = jpeg_decoder(jpeg_encode(px, 32, 24, restart_interval=dri))
+        assert abs(d["mean_intensity"] * 255 - sum(px) / len(px)) <= 0.5 / 8
+
+    # 4:4:4 color: mean reports the LUMA plane
+    y, cb, cr = bytes([100] * 64), bytes([128] * 64), bytes([140] * 64)
+    d = jpeg_decoder(jpeg_encode([y, cb, cr], 8, 8))
+    assert abs(d["mean_intensity"] * 255 - 100) < 0.5 / 8
+
+    # non-multiple-of-8 dims: reported dims are the REAL ones
+    d = jpeg_decoder(jpeg_encode(bytes([50] * (12 * 10)), 12, 10))
+    assert (d["width"], d["height"], d["n_pixels"]) == (12, 10, 120)
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    """The documented scope boundary errors: progressive (SOF2),
+    subsampled, truncated, and non-JPEG payloads raise ValueError."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.multimodal import (
+        jpeg_decoder,
+        jpeg_encode,
+    )
+
+    good = jpeg_encode(bytes([128] * 64), 8, 8)
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decoder(b"\x89PNG1234")
+    # SOF0 -> SOF2 (progressive)
+    sof = good.find(b"\xff\xc0")
+    bad = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg_decoder(bad)
+    # patch sampling factors to 2x2
+    hv_off = sof + 4 + 6 + 1
+    bad = good[:hv_off] + b"\x22" + good[hv_off + 1 :]
+    with _pytest.raises(ValueError, match="subsampled"):
+        jpeg_decoder(bad)
+    # truncate mid-entropy-stream
+    with _pytest.raises(ValueError):
+        jpeg_decoder(good[: len(good) - 8])
+
+
+def test_decode_images_jpeg_end_to_end(spark):
+    """JPEG payloads through the real Arrow mapInPandas decode path —
+    the same plumbing as PNG, now with the third real codec."""
+    from flask_data_pipes_spark.operators.multimodal import (
+        decode_images,
+        jpeg_decoder,
+        jpeg_encode,
+    )
+
+    rows = [
+        (1, jpeg_encode(bytes([0] * 64), 8, 8)),
+        (2, jpeg_encode(bytes([255] * 256), 16, 16)),
+        (3, jpeg_encode(bytes([128] * (24 * 8)), 24, 8)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in decode_images(df, decoder=jpeg_decoder).collect()
+    }
+    assert got[1]["width"] == 8 and got[1]["mean_intensity"] < 0.01
+    assert got[2]["n_pixels"] == 256 and got[2]["mean_intensity"] > 0.99
+    assert got[3]["width"] == 24 and abs(got[3]["mean_intensity"] - 128 / 255) < 1e-9

@@ -2419,7 +2419,16 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2.5× at 4× index cost (on CLUSTERED data, where sign-pattern LSH
     is actually meaningful, it reaches ≥0.8 — test_operators.py::
     test_lsh_multitable_recall_dominates_single_table); IVF adapts its
-    cells to the data."""
+    cells to the data.
+
+    bench.py's `ann` stage additionally records the recall/COST
+    frontier at sf0.1 every round (BENCH sidecar): at 2000 vectors
+    brute force is still the FASTEST method (~0.5 s vs 1-2.3 s —
+    index overhead dominates below the crossover) with recall
+    ivf .7 > mt4 .5 > mp4 .4 > lsh .075. Expected economics:
+    approximate indexes only buy their overhead back once N×Q dot
+    products outgrow the bucketing cost — which is exactly why the
+    frontier is measured per round, not guessed."""
     from ..operators import similarity
 
     e = load(spark, sf_dir, "embeddings")

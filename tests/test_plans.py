@@ -408,3 +408,44 @@ def test_lsh_multitable_corpus_hashed_once(spark, sf_dir):
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_single_small_shuffle(spark, sf_dir):
+    """The HLL build is one narrow codegen map + one <=64-key groupBy:
+    exactly one Exchange, no Python evals, and partial aggregation
+    present so the shuffle moves <=m rows per input partition."""
+    plan = _plan(spark, sf_dir, "llm_hll_registers")
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_semdedup_production_lazy_sizing_no_job(spark, sf_dir):
+    """The driver-gated production SemDeDup sizes its planes from
+    parquet FOOTER metadata: constructing the plan must launch zero
+    Spark jobs (the count()-based sizing is a documented last resort,
+    never the gate path)."""
+    from flask_data_pipes_spark.plans.catalog import load
+
+    sc = spark.sparkContext
+    # Baseline: how many jobs does a bare table load launch? (parquet
+    # schema inference may run a tiny driver-side job; that's not the
+    # corpus pass this test polices.)
+    sc.setJobGroup("semdedup-prod-base", "load-only baseline")
+    try:
+        load(spark, sf_dir, "embeddings")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    base_jobs = len(sc.statusTracker().getJobIdsForGroup("semdedup-prod-base"))
+
+    sc.setJobGroup("semdedup-prod-nojob", "sizing must not run jobs")
+    try:
+        df = entry.queries()["llm_semdedup_production"](spark, sf_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    got = len(sc.statusTracker().getJobIdsForGroup("semdedup-prod-nojob"))
+    # no job beyond what load() itself costs — i.e. no COUNT() sizing pass
+    assert got <= base_jobs, (got, base_jobs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

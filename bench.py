@@ -75,6 +75,10 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # round-5: the driver-gated production SemDeDup (√N + max_bucket),
     # now a catalog entry (was the direct `semdedup_production` twin)
     "llm_semdedup_production",
+    # round-5: HLL distinct sketch — the scale claim is that the only
+    # shuffle carries <=2^b rows per input partition, so the ratio at
+    # 10x data should track scan bandwidth (~1-1.5x), not key volume
+    "llm_hll_registers",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

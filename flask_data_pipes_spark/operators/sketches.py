@@ -41,6 +41,9 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "HLL_HASH_BITS",
+    "bottomk_sample",
+    "bottomk_merge",
+    "sample_quantiles",
 ]
 
 
@@ -230,4 +233,91 @@ def hll_estimate(
         F.lit(m).cast("long").alias("m"),
         n_zero.alias("n_zero"),
         est.alias("est_distinct"),
+    )
+
+
+# --- bottom-k hash sample (mergeable bounded uniform sample) ---------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = 1024,
+    seed: int = 47,
+) -> DataFrame:
+    """The k rows with the SMALLEST deterministic hash of `id_col` — a
+    bounded, mergeable uniform sample without replacement (the classic
+    bottom-k sketch): because "k smallest of a union" equals "k
+    smallest of the per-shard k-smallest", per-shard/per-batch samples
+    merge by union + re-select (`bottomk_merge`), and a replayed batch
+    contributes the exact same (hash, id) rows, so merging is
+    idempotent. The complement to CMS (how often) and HLL (how many
+    distinct): a fixed-k sample answers "how DISTRIBUTED" — quantiles,
+    histograms, eyeball rows — with O(k) state at any corpus size.
+
+    Scale shape: `orderBy(hash).limit(k)` plans as
+    TakeOrderedAndProject — per-partition partial top-k, then a single
+    k-row merge on one reducer; the corpus is never globally sorted
+    and never shuffled (plan-asserted in tests). Ties cannot occur:
+    the sort key is (hash, id) and id is unique.
+    """
+    h = T.md5_long(F.col(id_col), seed)
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h"), F.col(id_col))
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def bottomk_merge(
+    samples: Sequence[DataFrame], id_col: str, k: int = 1024, seed: int = 47
+) -> DataFrame:
+    """Merge per-shard bottom-k samples: union, re-select the global
+    bottom-k under the SAME hash. Equals the whole-corpus sample
+    exactly (asserted in tests)."""
+    import functools
+
+    merged = functools.reduce(lambda a, c: a.unionByName(c), samples)
+    return bottomk_sample(merged.dropDuplicates([id_col]), id_col, k, seed)
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    id_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Deterministic quantile estimates from a (small, e.g. bottom-k)
+    sample → one row per requested q: (q, value). Selection is the
+    EXACT sample element at rank floor(q·(n−1)) (0-based, lower
+    interpolation) under the total order (value, id) — integer
+    selection, no float interpolation, so Spark and the DuckDB oracle
+    agree bit-for-bit. Rank error vs the true corpus quantile is the
+    standard bottom-k sampling bound O(1/√k).
+
+    Scale shape: the sample is k rows; one sort_array over a
+    collect_list on ≤k structs — a single tiny aggregate, no window,
+    no second pass over the corpus.
+    """
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(value_col).alias("v"), F.col(id_col)))
+    )
+    agg = sample.agg(arr.alias("__a"), F.count(F.lit(1)).alias("__n"))
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.element_at(
+                    F.col("__a"),
+                    (
+                        F.floor(F.lit(float(q)) * (F.col("__n") - 1)) + 1
+                    ).cast("int"),
+                )["v"].alias("value"),
+            )
+            for q in quantiles
+        ]
+    )
+    return agg.select(F.explode(picks).alias("__p")).select(
+        F.col("__p.q").alias("q"), F.col("__p.value").alias("value")
     )

@@ -3819,3 +3819,56 @@ def llm_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(
         llm_hll_registers(spark, sf_dir), b=_HLL_B
     )
+
+
+# --- bottom-k sample quantiles (round 5: the third mergeable sketch) -------
+
+_BK_K, _BK_SEED = 256, 47
+_BK_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+@register(
+    "llm_bottomk_quantiles",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+             END::BIGINT AS n_tok,
+             {_ddb_md5_long("doc_id::VARCHAR", _BK_SEED)} AS h
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tok FROM t ORDER BY h, doc_id LIMIT {_BK_K}),
+    arr AS (
+      SELECT list(n_tok ORDER BY n_tok, doc_id) AS a, count(*) AS n FROM s
+    )
+    SELECT CAST(q AS DOUBLE) AS q,
+           a[(floor(q * (n - 1)) + 1)::BIGINT] AS value
+    FROM arr,
+         (SELECT unnest([{", ".join(f"{float(q)!r}::DOUBLE" for q in _BK_QS)}]) AS q)
+    """,
+)
+def llm_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length quantiles from a BOTTOM-K hash sample
+    (operators/sketches.py::bottomk_sample + sample_quantiles) — the
+    third mergeable sketch beside CMS (how often) and HLL (how many
+    distinct): a bounded k-row uniform sample answers "how
+    DISTRIBUTED" with O(k) state at any corpus size, merging across
+    shards by union + re-select (k-smallest of a union = k-smallest
+    of the per-shard k-smallest) and replay-idempotently (a replayed
+    shard contributes identical (hash, id) rows).
+
+    Scale: `orderBy(hash).limit(k)` plans as TakeOrderedAndProject —
+    per-partition partial top-k then one k-row merge; the corpus never
+    globally sorts or shuffles (plan-asserted). The quantile pick is
+    integer element selection on the sorted ≤k-element array (lower
+    interpolation at rank floor(q·(n−1))) — no float interpolation,
+    bit-identical in the DuckDB oracle.
+    """
+    from ..operators.sketches import bottomk_sample, sample_quantiles
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tok")
+    )
+    s = bottomk_sample(d, "doc_id", k=_BK_K, seed=_BK_SEED)
+    return sample_quantiles(s, "n_tok", "doc_id", _BK_QS)

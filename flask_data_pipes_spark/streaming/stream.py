@@ -41,6 +41,10 @@ __all__ = [
     "foreach_batch_upsert",
     "foreach_batch_cms",
     "cms_read_merged",
+    "foreach_batch_hll",
+    "hll_read_merged",
+    "foreach_batch_bottomk",
+    "bottomk_read_merged",
 ]
 
 EVENTS_SCHEMA = (
@@ -477,4 +481,58 @@ def hll_read_merged(spark, sketch_path: str) -> DataFrame:
         spark.read.parquet(sketch_path)
         .groupBy("register")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def foreach_batch_bottomk(
+    sample_path: str,
+    id_col: str,
+    k: int = 1024,
+    seed: int = 47,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a CROSS-BATCH bottom-k hash sample
+    (operators/sketches.py::bottomk_sample) — a bounded uniform sample
+    of an unbounded stream in O(k) state per batch: quantiles,
+    distribution drift, eyeball rows, all without retaining the
+    stream. Same partition-per-batch layout as the CMS/HLL sinks;
+    like HLL the merge ("k smallest of the union") is idempotent by
+    algebra — a replayed batch contributes identical (hash, id) rows —
+    so the per-batch partition is bookkeeping, not a correctness
+    guard. Query-time merge is `bottomk_read_merged`."""
+    from ..operators.sketches import bottomk_sample
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = bottomk_sample(batch_df, id_col, k=k, seed=seed).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            s.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sample_path)
+        )
+
+    return sink
+
+
+def bottomk_read_merged(
+    spark, sample_path: str, id_col: str, k: int = 1024, seed: int = 47
+) -> DataFrame:
+    """Merge every per-batch bottom-k partition written by
+    `foreach_batch_bottomk`: union, dedup by id (batch overlap /
+    replay), re-select the global bottom-k under the same hash. Feed
+    to `operators.sketches.sample_quantiles` for distribution
+    estimates."""
+    from ..operators.sketches import bottomk_sample
+
+    return bottomk_sample(
+        spark.read.parquet(sample_path)
+        .drop("batch_id")
+        .dropDuplicates([id_col]),
+        id_col,
+        k=k,
+        seed=seed,
     )

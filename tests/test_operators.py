@@ -1448,3 +1448,61 @@ def test_decode_images_jpeg_end_to_end(spark):
     assert got[1]["width"] == 8 and got[1]["mean_intensity"] < 0.01
     assert got[2]["n_pixels"] == 256 and got[2]["mean_intensity"] > 0.99
     assert got[3]["width"] == 24 and abs(got[3]["mean_intensity"] - 128 / 255) < 1e-9
+
+
+def test_bottomk_sample_merge_equals_whole(spark):
+    """Bottom-k mergeability: k-smallest-hash of shard-wise k-smallest
+    equals the whole-corpus bottom-k EXACTLY, and re-merging a shard
+    (replay) changes nothing."""
+    from flask_data_pipes_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("shard")
+    )
+    whole = sorted(
+        r["doc_id"] for r in bottomk_sample(df, "doc_id", k=100).collect()
+    )
+    shards = [
+        bottomk_sample(df.where(F.col("shard") == s), "doc_id", k=100)
+        for s in range(7)
+    ]
+    merged = sorted(
+        r["doc_id"]
+        for r in bottomk_merge(shards, "doc_id", k=100).collect()
+    )
+    assert merged == whole
+    replayed = sorted(
+        r["doc_id"]
+        for r in bottomk_merge(shards + [shards[3]], "doc_id", k=100).collect()
+    )
+    assert replayed == whole
+
+
+def test_bottomk_quantiles_accuracy(spark):
+    """Quantile estimates from a k=1024 bottom-k sample land within the
+    O(1/sqrt(k)) rank band of the true quantiles on a 50k-row corpus
+    (uniform values 0..9999): rank error well under 5 percentile
+    points at every tested q, across 2 hash seeds."""
+    from flask_data_pipes_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10_000).alias("v")
+    )
+    for seed in (47, 131):
+        s = bottomk_sample(df, "doc_id", k=1024, seed=seed)
+        got = {
+            r["q"]: r["value"]
+            for r in sample_quantiles(
+                s, "v", "doc_id", (0.1, 0.5, 0.9)
+            ).collect()
+        }
+        for q, v in got.items():
+            true = q * 9999  # uniform: value ≈ quantile * max
+            assert abs(v - true) / 10_000 < 0.05, (seed, q, v)

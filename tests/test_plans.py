@@ -449,3 +449,14 @@ def test_semdedup_production_lazy_sizing_no_job(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bottomk_quantiles_no_global_sort(spark, sf_dir):
+    """The bottom-k sample must plan as TakeOrderedAndProject
+    (per-partition partial top-k + one k-row merge), never a global
+    Sort + Exchange over the corpus, and the quantile pick must not
+    introduce a window."""
+    plan = _plan(spark, sf_dir, "llm_bottomk_quantiles")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -591,3 +591,34 @@ def test_foreach_batch_hll_cross_batch_and_replay_idempotent(spark, tmp_path):
     est = hll_estimate(merged, b=6, corrected=True).collect()[0]
     assert est["m"] == 64 and est["n_zero"] >= 60
     assert abs(est["est_distinct"] / 4.0 - 1.0) < 0.30  # 4 distinct toks
+
+
+def test_foreach_batch_bottomk_cross_batch_and_replay(spark, tmp_path):
+    """Streaming bottom-k sample: merged per-batch samples equal the
+    whole-stream bottom-k exactly, replay included (k-smallest of the
+    union is idempotent and associative)."""
+    from flask_data_pipes_spark.operators.sketches import bottomk_sample
+    from flask_data_pipes_spark.streaming.stream import (
+        bottomk_read_merged,
+        foreach_batch_bottomk,
+    )
+
+    path = str(tmp_path / "bk")
+    sink = foreach_batch_bottomk(path, "doc_id", k=20, seed=47)
+    b0 = [(i, i * 10) for i in range(0, 60)]
+    b1 = [(i, i * 10) for i in range(60, 150)]
+    sink(spark.createDataFrame(b0, ["doc_id", "v"]), 0)
+    sink(spark.createDataFrame(b1, ["doc_id", "v"]), 1)
+    sink(spark.createDataFrame(b0, ["doc_id", "v"]), 0)  # replay
+
+    merged = sorted(
+        (r["doc_id"], r["v"])
+        for r in bottomk_read_merged(spark, path, "doc_id", k=20, seed=47).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["v"])
+        for r in bottomk_sample(
+            spark.createDataFrame(b0 + b1, ["doc_id", "v"]), "doc_id", k=20, seed=47
+        ).collect()
+    )
+    assert merged == want and len(merged) == 20

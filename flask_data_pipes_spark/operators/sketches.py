@@ -144,7 +144,11 @@ def _hll_width(b: int) -> int:
 
 
 def hll_build(
-    df: DataFrame, value_col: str, b: int = 6, seed: int = 43
+    df: DataFrame,
+    value_col: str,
+    b: int = 6,
+    seed: int = 43,
+    by: str | None = None,
 ) -> DataFrame:
     """Build an HLL register table over `value_col` → (register, rho)
     with at most m = 2^b rows.
@@ -162,6 +166,11 @@ def hll_build(
     moves ≤ m rows per input partition. The result is tiny,
     broadcastable, and merges across shards / micro-batches by
     register-wise max (`hll_merge`).
+
+    `by` builds one sketch PER GROUP (e.g. per source): the aggregate
+    key becomes (by, register), ≤ groups·2^b rows — per-group
+    cardinality (source vocab growth, per-shard dedup-rate inputs)
+    from the same single pass.
     """
     w = _hll_width(b)
     h = T.md5_long(F.col(value_col), seed)
@@ -170,11 +179,12 @@ def hll_build(
     rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(
         F.lit(w + 1) - F.length(F.bin(suffix))
     )
-    return (
-        df.select(reg.alias("register"), rho.cast("int").alias("rho"))
-        .groupBy("register")
-        .agg(F.max("rho").alias("rho"))
-    )
+    keys = ([by] if by else []) + ["register"]
+    cols = ([F.col(by)] if by else []) + [
+        reg.alias("register"),
+        rho.cast("int").alias("rho"),
+    ]
+    return df.select(*cols).groupBy(*keys).agg(F.max("rho").alias("rho"))
 
 
 def hll_merge(sketches: Sequence[DataFrame]) -> DataFrame:
@@ -195,7 +205,10 @@ def _hll_alpha(m: int) -> float:
 
 
 def hll_estimate(
-    sketch: DataFrame, b: int = 6, corrected: bool = False
+    sketch: DataFrame,
+    b: int = 6,
+    corrected: bool = False,
+    by: str | None = None,
 ) -> DataFrame:
     """One-row estimate from a register table → (m, n_zero,
     est_distinct).
@@ -219,21 +232,23 @@ def hll_estimate(
     m = 1 << b
     s_bits = w + 1  # scale exponent; rho <= w+1 so terms are >= 2^0
     c_lit = _hll_alpha(m) * m * m * float(1 << s_bits)
-    agg = sketch.agg(
+    aggs = [
         F.count(F.lit(1)).alias("__present"),
         F.sum(F.expr(f"shiftleft(1L, {s_bits} - rho)")).alias("__sp"),
-    )
+    ]
+    agg = sketch.groupBy(by).agg(*aggs) if by else sketch.agg(*aggs)
     n_zero = (F.lit(m) - F.col("__present")).cast("long")
     total = F.coalesce(F.col("__sp"), F.lit(0)) + n_zero * F.lit(1 << s_bits)
     est = F.lit(c_lit) / total.cast("double")
     if corrected:
         lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
         est = F.when((est <= 2.5 * m) & (n_zero > 0), lc).otherwise(est)
-    return agg.select(
+    out = ([F.col(by)] if by else []) + [
         F.lit(m).cast("long").alias("m"),
         n_zero.alias("n_zero"),
         est.alias("est_distinct"),
-    )
+    ]
+    return agg.select(*out)
 
 
 # --- bottom-k hash sample (mergeable bounded uniform sample) ---------------

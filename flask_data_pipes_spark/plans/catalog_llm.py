@@ -3872,3 +3872,67 @@ def llm_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = bottomk_sample(d, "doc_id", k=_BK_K, seed=_BK_SEED)
     return sample_quantiles(s, "n_tok", "doc_id", _BK_QS)
+
+
+def _ddb_hll_by_source_oracle() -> str:
+    two_s = 1 << _HLL_S
+    mask = (1 << _HLL_W) - 1
+    return rf"""
+    WITH toks AS (
+      SELECT source, unnest({_DDB_TOKS_LOWER}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (
+      SELECT source,
+             ('0x' || substr(md5('{_HLL_SEED}|' || tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    r AS (
+      SELECT source, (h >> {_HLL_W}) AS register,
+             CASE WHEN (h & {mask}) = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(h & {mask}))
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT source, register, max(rho) AS rho FROM r GROUP BY source, register
+    ),
+    agg AS (
+      SELECT source, count(*) AS present,
+             SUM(1::BIGINT << ({_HLL_S} - rho)) AS sp
+      FROM regs GROUP BY source
+    )
+    SELECT source,
+           CAST({_HLL_M} AS BIGINT) AS m,
+           CAST({_HLL_M} - present AS BIGINT) AS n_zero,
+           {_hll_c_lit()!r} /
+             CAST(COALESCE(sp, 0) + ({_HLL_M} - present) * {two_s} AS DOUBLE)
+             AS est_distinct
+    FROM agg
+    """
+
+
+@register("llm_hll_by_source", oracle=_ddb_hll_by_source_oracle())
+def llm_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE distinct-token estimates from grouped HLL sketches
+    (hll_build(by='source')) — per-shard vocabulary cardinality from
+    ONE corpus pass with ≤ sources·2^b aggregate keys. The per-source
+    vocab/dedup-rate gauge that llm_vocab_stats computes exactly,
+    delivered in O(sources·2^b) state instead of a vocabulary-sized
+    shuffle — the 100 TB trade.
+
+    Scale: identical shape to llm_hll_registers with `source` riding
+    the grouping key; the estimate is the same integer-scaled
+    harmonic sum, bit-identical cross-engine per group.
+    """
+    from ..operators.sketches import hll_build, hll_estimate
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "source",
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("tok"),
+    ).where(F.col("tok").isNotNull())
+    sk = hll_build(toks, "tok", b=_HLL_B, seed=_HLL_SEED, by="source")
+    return hll_estimate(sk, b=_HLL_B, by="source")

@@ -1506,3 +1506,27 @@ def test_bottomk_quantiles_accuracy(spark):
         for q, v in got.items():
             true = q * 9999  # uniform: value ≈ quantile * max
             assert abs(v - true) / 10_000 < 0.05, (seed, q, v)
+
+
+def test_hll_grouped_matches_per_group_builds(spark):
+    """hll_build(by=...) from one pass equals separately-built
+    per-group sketches (same registers, same estimates) — the grouped
+    key just rides the aggregate."""
+    from flask_data_pipes_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("w"), (F.col("id") % 700)).alias("val"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+    grouped = hll_estimate(
+        hll_build(df, "val", by="src"), by="src"
+    ).collect()
+    got = {r["src"]: r["est_distinct"] for r in grouped}
+    for s in ("0", "1", "2"):
+        solo = hll_estimate(
+            hll_build(df.where(F.col("src") == s), "val")
+        ).collect()[0]["est_distinct"]
+        assert got[s] == solo, s

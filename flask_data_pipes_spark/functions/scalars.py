@@ -344,3 +344,36 @@ def lenient_time(c: ColumnOrName) -> Column:
     no_micro = F.date_format(c.cast("timestamp"), "HH:mm:ss")
     has_micro = F.date_format(c.cast("timestamp"), "SSSSSS") != "000000"
     return F.when(has_micro, F.substring(formatted, 1, 15)).otherwise(no_micro)
+
+
+def zorder_key(cols, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave key over 2+ integer columns — the
+    multi-dimensional DATA LAYOUT primitive: sorting/range-partitioning
+    a 100 TB table by this key clusters rows that are close in EVERY
+    dimension into the same files/row-groups, so parquet min/max
+    pruning works for predicates on ANY of the interleaved columns
+    (sorting by one column alone prunes only that column). The same
+    technique Delta/Iceberg expose as OPTIMIZE ZORDER BY, expressed as
+    a plain codegen column — usable with `df.repartitionByRange(zkey)
+    .sortWithinPartitions(zkey).write...` on any Spark.
+
+    Callers pass columns already normalized to [0, 2^bits) (truncation
+    is applied defensively via a mask); bit b of dimension d lands at
+    output bit b*D + d. Pure shifts/masks — identical in any SQL
+    engine, so catalog entries over it are DuckDB-oracle-checkable.
+    `bits * len(cols)` must be ≤ 63.
+    """
+    D = len(cols)
+    if D < 2:
+        raise ValueError("zorder_key needs at least 2 columns")
+    if bits * D > 63:
+        raise ValueError(f"bits*dims = {bits * D} exceeds a signed long")
+    out = F.lit(0).cast("long")
+    mask = (1 << bits) - 1
+    for d, c in enumerate(cols):
+        x = _col(c).cast("long").bitwiseAND(F.lit(mask))
+        for b in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(x, b).bitwiseAND(F.lit(1)), b * D + d
+            )
+    return out

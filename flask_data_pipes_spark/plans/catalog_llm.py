@@ -3936,3 +3936,49 @@ def llm_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("tok").isNotNull())
     sk = hll_build(toks, "tok", b=_HLL_B, seed=_HLL_SEED, by="source")
     return hll_estimate(sk, b=_HLL_B, by="source")
+
+
+# --- Z-order layout key (round 5: data-layout primitive) -------------------
+
+_Z_BITS = 16
+
+
+def _ddb_zorder_oracle() -> str:
+    terms = []
+    exprs = [
+        f"(o_custkey & {(1 << _Z_BITS) - 1})",
+        f"(date_diff('day', DATE '1992-01-01', o_orderdate) & {(1 << _Z_BITS) - 1})",
+    ]
+    for d, x in enumerate(exprs):
+        for b in range(_Z_BITS):
+            terms.append(f"((({x} >> {b}) & 1) << {b * 2 + d})")
+    zkey = " + ".join(terms)
+    return f"""
+    SELECT o_orderkey, CAST({zkey} AS BIGINT) AS zkey
+    FROM orders
+    """
+
+
+@register("q_zorder_key", oracle=_ddb_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (o_custkey, order-day)
+    (functions/scalars.py::zorder_key) — the data-layout primitive for
+    multi-column locality: `repartitionByRange(zkey) +
+    sortWithinPartitions(zkey)` before the table write clusters rows
+    so parquet min/max pruning works for range predicates on EITHER
+    column (single-column sort prunes only itself; proven on real
+    row-group stats in tests/test_operators.py::
+    test_zorder_layout_improves_rowgroup_locality).
+
+    Scale: a pure shift/mask codegen expression — zero shuffle to
+    COMPUTE; the one range-exchange it motivates replaces full-table
+    scans with pruned ones for the life of the layout.
+    """
+    from ..functions.scalars import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return o.select(
+        "o_orderkey",
+        zorder_key([F.col("o_custkey"), day], bits=_Z_BITS).alias("zkey"),
+    )

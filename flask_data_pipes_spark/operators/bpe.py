@@ -1,0 +1,145 @@
+"""BPE tokenizer training support — the corpus-scale half of byte-pair
+encoding (Sennrich et al. 2016) done Spark-first.
+
+The classic observation that makes BPE tractable at 100 TB: training
+operates on the WORD-FREQUENCY table, not the corpus. One corpus scan
+builds `(word, cnt)` (Heaps-bounded — the vocabulary is orders of
+magnitude smaller than the token stream); every merge iteration then
+runs on that table alone: count adjacent symbol pairs weighted by word
+count, pick the argmax, rewrite the symbol arrays. Each iteration is
+one ≤vocabulary-sized aggregation plus a narrow map — the corpus is
+never touched again.
+
+All per-row work is pure Catalyst expressions (split, aggregate-fold,
+slice): no Python UDFs. The merge application uses an `aggregate()`
+left-fold that reproduces BPE's left-to-right non-overlapping merge
+semantics exactly (verified against a pure-Python reference
+implementation in tests). The only driver round-trip per iteration is
+collecting the single argmax row — the algorithm's inherent sync
+point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as T
+
+__all__ = ["word_counts", "bpe_pair_counts", "bpe_apply_merge", "bpe_train"]
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan → the `(word, cnt, symbols)` training table:
+    lower-cased whitespace words with frequencies, symbols initialised
+    to the character array. Everything downstream of this never reads
+    the corpus again."""
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("word")
+    ).where(F.col("word").isNotNull())
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", F.split(F.col("word"), "").alias("symbols"))
+    )
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """Array of (a, b) structs for each adjacent symbol pair."""
+    n = F.size(symbols)
+    return F.when(n < 2, F.array().cast("array<struct<a:string,b:string>>")).otherwise(
+        F.zip_with(
+            F.slice(symbols, 1, n - 1),
+            F.slice(symbols, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+    )
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the word table → (a, b, cnt),
+    each pair occurrence weighted by its word's corpus count. The BPE
+    scoring aggregation: one explode + one groupBy whose key space is
+    the pair vocabulary (≪ corpus)."""
+    return (
+        words.select(
+            "cnt", F.explode(_adjacent_pairs(F.col("symbols"))).alias("__p")
+        )
+        .groupBy(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def bpe_apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge (a, b) → "ab" to every symbol array — BPE's
+    left-to-right, non-overlapping replacement ("aaaa" under (a,a)
+    becomes [aa, aa], not [aa, a, a]) — as a pure `aggregate()`
+    left-fold: push each symbol, and whenever the top two of the stack
+    are exactly (a, b), collapse them to the merged symbol. A narrow
+    map over the word table; no shuffle."""
+    merged = F.lit(a + b)
+    sym = F.col("symbols")
+
+    def step(acc: Column, x: Column) -> Column:
+        # try_element_at: null (not an ANSI error) on the empty array;
+        # the size guard then decides, with no reliance on short-circuit
+        top = F.try_element_at(acc, F.lit(-1))
+        return F.when(
+            (F.size(acc) > 0) & (top == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    folded = F.aggregate(
+        sym, F.array().cast("array<string>"), step
+    )
+    return words.withColumn("symbols", folded)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+    words: Optional[DataFrame] = None,
+) -> list:
+    """Learn `n_merges` BPE merges → ordered list of (a, b, count).
+
+    Driver-orchestrated loop over distributed iterations (the standard
+    shape for BPE at scale — the argmax is the algorithm's sync
+    point): per merge, `bpe_pair_counts` (vocabulary-sized groupBy) →
+    collect the single best row (ties broken lexicographically so
+    training is deterministic) → `bpe_apply_merge` (narrow map).
+    Stops early when no pair reaches `min_count`. The word table's
+    lineage grows one fold per merge; `checkpoint_every` truncates it
+    (same DISK_ONLY discipline as connected_components).
+
+    Scale: the corpus is scanned ONCE (`word_counts`); all iterations
+    run on the Heaps-bounded word table. For byte-level BPE on a
+    100 TB corpus the word table is still only the distinct-word
+    vocabulary — millions of rows, not trillions.
+    """
+    from pyspark import StorageLevel
+
+    w = words if words is not None else word_counts(df, text_col)
+    merges: list = []
+    for i in range(n_merges):
+        best = (
+            bpe_pair_counts(w)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((a, b, cnt))
+        w = bpe_apply_merge(w, a, b)
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            w = w.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+    return merges

@@ -3982,3 +3982,49 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zorder_key([F.col("o_custkey"), day], bits=_Z_BITS).alias("zkey"),
     )
+
+
+# --- BPE tokenizer-training support (round 5) ------------------------------
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_DDB_TOKS_LOWER}) AS word
+      FROM documents WHERE trim(text) <> ''
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+    ch AS (SELECT cnt, string_split(word, '') AS s FROM wc),
+    p AS (
+      SELECT cnt,
+             unnest(list_transform(range(1, len(s)),
+                                   i -> {{'a': s[i], 'b': s[i + 1]}})) AS pr
+      FROM ch WHERE len(s) >= 2
+    )
+    SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM p GROUP BY pr.a, pr.b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (operators/bpe.py): adjacent-symbol
+    pair frequencies over the word-frequency table, weighted by word
+    count — the scoring aggregation of byte-pair-encoding tokenizer
+    training (Sennrich et al. 2016). The full trainer (`bpe_train`,
+    verified merge-for-merge against a pure-Python reference in
+    tests) loops this aggregation with a fold-based merge rewrite.
+
+    Scale: the corpus is scanned ONCE into the Heaps-bounded
+    (word, cnt) table; the pair aggregation's key space is the pair
+    vocabulary, so every training iteration is vocabulary-sized, not
+    corpus-sized — the property that makes BPE trainable at 100 TB.
+    """
+    from ..operators.bpe import bpe_pair_counts, word_counts
+
+    w = word_counts(load(spark, sf_dir, "documents"))
+    return (
+        bpe_pair_counts(w)
+        .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+        .limit(20)
+    )

@@ -1586,3 +1586,79 @@ def test_zorder_layout_improves_rowgroup_locality(spark, tmp_path):
     # z-order clusters BOTH dims well below the domain per row group
     assert med(x_spans_z) < 0.5 * 255, x_spans_z
     assert med(y_spans_z) < 0.5 * 255, y_spans_z
+
+
+def _reference_bpe(word_freqs: dict, n_merges: int, min_count: int = 2):
+    """Pure-Python reference BPE (Sennrich et al.): independent
+    implementation the Spark operators must reproduce exactly."""
+    vocab = {tuple(w): c for w, c in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        # max by count, ties lexicographic — same rule as bpe_train
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_apply_merge_left_to_right_nonoverlapping(spark):
+    """BPE merge semantics on the pathological overlap case: 'aaaa'
+    under merge (a, a) becomes [aa, aa] — left-to-right,
+    non-overlapping — and 'aaa' becomes [aa, a]."""
+    from flask_data_pipes_spark.operators.bpe import bpe_apply_merge
+
+    df = spark.createDataFrame(
+        [("aaaa", 1, ["a", "a", "a", "a"]), ("aaa", 1, ["a", "a", "a"]),
+         ("ab", 1, ["a", "b"])],
+        "word string, cnt long, symbols array<string>",
+    )
+    got = {
+        r["word"]: r["symbols"]
+        for r in bpe_apply_merge(df, "a", "a").collect()
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ab"] == ["a", "b"]
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer reproduces the pure-Python reference
+    implementation merge-for-merge (same argmax, same tie-break, same
+    rewrite) on a corpus exercising repeats, overlaps, and ties."""
+    from flask_data_pipes_spark.operators.bpe import bpe_train, word_counts
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "banana bandana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, n_merges=12)
+    got = bpe_train(df, n_merges=12)
+    assert got == want, (got, want)
+    assert len(got) >= 6  # the corpus supports a real merge sequence

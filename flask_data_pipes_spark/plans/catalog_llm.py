@@ -4028,3 +4028,75 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
         .limit(20)
     )
+
+
+# --- declarative data-quality expectations (round 5) -----------------------
+
+
+def _ddb_expectations_oracle() -> str:
+    checks = {
+        "positive_price": "o_totalprice > 0",
+        "valid_status": "o_orderstatus IN ('O','F','P')",
+        "date_in_range": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+        "priority_urgent": "o_orderpriority LIKE '1-%'",
+    }
+    viols = ", ".join(
+        f"SUM(CASE WHEN COALESCE({cond}, FALSE) THEN 0 ELSE 1 END) AS v_{name}"
+        for name, cond in checks.items()
+    )
+    legs = []
+    for name in checks:
+        thr = 0.05 if name == "priority_urgent" else 1.0
+        legs.append(
+            f"SELECT '{name}' AS check, 'row' AS kind, n AS n_rows, "
+            f"CAST(v_{name} AS BIGINT) AS n_violations, "
+            f"round((n - v_{name}) / CAST(n AS DOUBLE), 6) AS pass_rate, "
+            f"round((n - v_{name}) / CAST(n AS DOUBLE), 6) >= {thr!r} AS ok "
+            f"FROM a"
+        )
+    legs.append(
+        "SELECT 'unique_o_orderkey' AS check, 'uniqueness' AS kind, n AS n_rows, "
+        "CAST(n - d_key AS BIGINT) AS n_violations, "
+        "round(d_key / CAST(n AS DOUBLE), 6) AS pass_rate, "
+        "round(d_key / CAST(n AS DOUBLE), 6) >= 1.0 AS ok FROM a"
+    )
+    return f"""
+    WITH a AS (
+      SELECT count(*) AS n, {viols},
+             count(DISTINCT o_orderkey) AS d_key
+      FROM orders
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@register("q_expectations_orders", oracle=_ddb_expectations_oracle())
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over `orders`
+    (operators/expectations.py) — the table-grain generalisation of
+    the reference's per-record validation hooks (F1-F3, upload
+    predicates): four row constraints (one with a distribution-style
+    5% min_pass_rate instead of a hard 100%) and a key-uniqueness
+    constraint, all answered from ONE aggregation pass.
+
+    Scale: every row check is a branch of the same partial-aggregable
+    statement; uniqueness rides count vs count_distinct in the same
+    scan. Swap exact count_distinct for the HLL register table when an
+    approximate uniqueness gauge suffices at 100 TB.
+    """
+    from ..operators.expectations import expectations_report
+
+    o = load(spark, sf_dir, "orders")
+    return expectations_report(
+        o,
+        row_checks={
+            "positive_price": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": F.col("o_orderdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "priority_urgent": F.col("o_orderpriority").startswith("1-"),
+        },
+        unique_keys=["o_orderkey"],
+        min_pass_rate={"priority_urgent": 0.05},
+    )

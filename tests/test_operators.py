@@ -1662,3 +1662,37 @@ def test_bpe_train_matches_reference(spark):
     got = bpe_train(df, n_merges=12)
     assert got == want, (got, want)
     assert len(got) >= 6  # the corpus supports a real merge sequence
+
+
+def test_expectations_report_semantics(spark):
+    """Null conditions count as violations, thresholds gate ok
+    per-check, and uniqueness counts duplicate keys — all from one
+    declared pass."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (3, 5.0)],
+        "k long, v double",
+    )
+    rep = {
+        r["check"]: r
+        for r in expectations_report(
+            df,
+            row_checks={"positive_v": F.col("v") > 0},
+            unique_keys=["k"],
+            min_pass_rate={"positive_v": 0.5},
+        ).collect()
+    }
+    pv = rep["positive_v"]
+    # -1.0 fails, NULL is unevaluable => violation: 2 of 4
+    assert pv["n_violations"] == 2 and pv["pass_rate"] == 0.5 and pv["ok"]
+    uk = rep["unique_k"]
+    assert uk["kind"] == "uniqueness" and uk["n_violations"] == 1
+    assert not uk["ok"]
+
+    with _pytest.raises(ValueError):
+        expectations_report(df)

@@ -79,6 +79,11 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # shuffle carries <=2^b rows per input partition, so the ratio at
     # 10x data should track scan bandwidth (~1-1.5x), not key volume
     "llm_hll_registers",
+    # round-5: BPE pair scoring (vocabulary-sized aggregation — Heaps'
+    # law keeps the word table's growth well under the corpus's 10x)
+    # and the bottom-k sample (TakeOrderedAndProject: scan-bound)
+    "llm_bpe_pair_counts",
+    "llm_bottomk_quantiles",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

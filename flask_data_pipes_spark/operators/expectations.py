@@ -52,6 +52,15 @@ def expectations_report(
     thresholds = dict(min_pass_rate or {})
     if not row_checks and not unique_keys:
         raise ValueError("no expectations declared")
+    declared = set(row_checks) | {f"unique_{k}" for k in unique_keys}
+    unknown = sorted(set(thresholds) - declared)
+    if unknown:
+        # a typo'd threshold key would otherwise silently fall back to
+        # the 1.0 default, hardening an intended soft constraint
+        raise ValueError(
+            f"min_pass_rate keys {unknown} match no declared check "
+            f"(declared: {sorted(declared)})"
+        )
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in row_checks.items():

@@ -563,6 +563,8 @@ class _JpegBitReader:
 
     def align_and_expect_rst(self, n: int) -> None:
         self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
             raise ValueError("missing restart marker")
         self.pos += 2
@@ -666,6 +668,12 @@ def jpeg_decoder(payload: bytes) -> dict:
                 tables[cid] = (tt >> 4, tt & 0x0F)
             if width is None:
                 raise ValueError("SOS before SOF0")
+            # The MCU loop below assumes ONE interleaved scan covering
+            # every SOF component; a baseline non-interleaved JPEG
+            # (one scan per component, ns=1 each) would otherwise be
+            # misparsed into a confusing Huffman error.
+            if ns != len(comps):
+                raise ValueError("non-interleaved JPEG scans unsupported")
             r = _JpegBitReader(data, pos)
             bw_, bh_ = (width + 7) // 8, (height + 7) // 8
             preds = {c["id"]: 0 for c in comps}

@@ -187,15 +187,27 @@ def hll_build(
     return df.select(*cols).groupBy(*keys).agg(F.max("rho").alias("rho"))
 
 
-def hll_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+def hll_merge(sketches: Sequence[DataFrame], by: str | None = None) -> DataFrame:
     """Merge register tables from shards/batches: register-wise MAX.
     Max is idempotent, so merging overlapping or replayed sketches is
     harmless — the union of shard sketches equals the whole-corpus
-    build exactly (asserted in tests)."""
+    build exactly (asserted in tests).
+
+    Grouped sketches (built with `hll_build(by=...)`) must pass the
+    same `by` here — merging a grouped sketch without it would
+    silently collapse every group into one wrong whole-population
+    sketch, so the shape is asserted."""
     import functools
 
     merged = functools.reduce(lambda a, c: a.unionByName(c), sketches)
-    return merged.groupBy("register").agg(F.max("rho").alias("rho"))
+    expected = ([by] if by else []) + ["register", "rho"]
+    if sorted(merged.columns) != sorted(expected):
+        raise ValueError(
+            f"hll_merge(by={by!r}) expects sketch columns {expected}, "
+            f"got {merged.columns} — pass by= for grouped sketches"
+        )
+    keys = ([by] if by else []) + ["register"]
+    return merged.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
 
 def _hll_alpha(m: int) -> float:

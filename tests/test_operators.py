@@ -1696,3 +1696,83 @@ def test_expectations_report_semantics(spark):
 
     with _pytest.raises(ValueError):
         expectations_report(df)
+
+
+def test_jpeg_decoder_rejects_non_interleaved_scan():
+    """A baseline JPEG whose SOS covers fewer components than SOF
+    declares (non-interleaved, one scan per component) raises the
+    named error instead of a confusing Huffman failure (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.multimodal import (
+        jpeg_decoder,
+        jpeg_encode,
+    )
+
+    good = jpeg_encode([bytes([90] * 64)] * 3, 8, 8)
+    sos = good.find(b"\xff\xda")
+    assert sos > 0 and good[sos + 4] == 3  # ns byte
+    bad = good[: sos + 4] + b"\x01" + good[sos + 5 :]
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decoder(bad)
+
+
+def test_jpeg_bitreader_truncated_at_restart_boundary():
+    """A stream truncated exactly at a restart boundary raises the
+    documented ValueError, not IndexError (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.multimodal import _JpegBitReader
+
+    r = _JpegBitReader(b"\x12", 0)
+    with _pytest.raises(ValueError, match="truncated"):
+        r.align_and_expect_rst(0)
+
+
+def test_hll_merge_grouped_and_schema_guard(spark):
+    """hll_merge(by=...) merges per group exactly; passing a grouped
+    sketch WITHOUT by raises instead of silently collapsing groups
+    into one wrong whole-population sketch (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.sketches import hll_build, hll_merge
+
+    df = spark.range(600).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        (F.col("id") % 2).cast("string").alias("src"),
+        (F.col("id") % 3).alias("shard"),
+    )
+    whole = sorted(map(tuple, hll_build(df, "val", by="src").collect()))
+    shards = [
+        hll_build(df.where(F.col("shard") == s), "val", by="src")
+        for s in range(3)
+    ]
+    merged = sorted(map(tuple, hll_merge(shards, by="src").collect()))
+    assert merged == whole
+    with _pytest.raises(ValueError, match="grouped"):
+        hll_merge(shards)
+
+
+def test_expectations_unknown_threshold_key_raises(spark):
+    """A typo'd min_pass_rate key raises instead of silently hardening
+    the intended soft constraint to 100% (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="min_pass_rate"):
+        expectations_report(
+            df,
+            row_checks={"pos": F.col("k") > 0},
+            min_pass_rate={"positiv": 0.5},  # typo
+        )
+    # unique_<col> threshold keys are declared checks — must not raise
+    expectations_report(
+        df,
+        row_checks={"pos": F.col("k") > 0},
+        unique_keys=["k"],
+        min_pass_rate={"unique_k": 0.9},
+    ).collect()

@@ -410,17 +410,23 @@ CHECKED_PREFIX = [
     "q5_nation_revenue",
     "q_top3_orders_per_customer",
     "q_events_hourly",
-    "q_order_priority_rollup",
     "q_sessionize",
-    "q_semi_anti_join",
     "q_salted_agg",
     "q_percentiles",
-    "q_argmin_join",
-    "q_pivot_events",
     # Temporal joins
     "q_asof_join",
     "q_range_join",
-    "q_window_rolling",
+    # Round-6 re-curation (VERDICT r5 #5): the sketch trio, BPE,
+    # expectations, and layout families take the gated slots of five
+    # redundant relational twins (q_order_priority_rollup,
+    # q_semi_anti_join, q_argmin_join, q_pivot_events, and
+    # q_window_rolling stay oracled behind the prefix — the same
+    # join/agg/window machinery as q1/q3/q5/asof covers them)
+    "llm_hll_distinct",
+    "llm_bottomk_quantiles",
+    "llm_bpe_pair_counts",
+    "q_expectations_orders",
+    "q_zorder_key",
     # ETL / reference-parity
     "etl_recast_vocab",
     "etl_denormalize",

@@ -265,7 +265,14 @@ def test_checked_prefix_curated():
     missing_oracle = [n for n in CHECKED_PREFIX if n not in os_]
     assert not missing_oracle, missing_oracle
     families = {
-        "temporal": ["q_asof_join", "q_range_join", "q_window_rolling"],
+        "temporal": ["q_asof_join", "q_range_join"],
+        # round-6 re-curation: sketch trio / BPE / expectations /
+        # layout families are driver-gated
+        "hll": ["llm_hll_distinct"],
+        "bottomk": ["llm_bottomk_quantiles"],
+        "bpe": ["llm_bpe_pair_counts"],
+        "expectations": ["q_expectations_orders"],
+        "layout": ["q_zorder_key"],
         "minhash": ["llm_minhash_pairs"],
         "simhash": ["llm_simhash_pairs"],
         "clusters": ["llm_dedup_clusters"],

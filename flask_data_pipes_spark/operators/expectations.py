@@ -26,7 +26,11 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["expectations_report"]
+__all__ = [
+    "expectations_report",
+    "expect_or_quarantine",
+    "failed_checks_expr",
+]
 
 
 def _round6(c: Column) -> Column:
@@ -38,6 +42,8 @@ def expectations_report(
     row_checks: Mapping[str, Column] | None = None,
     unique_keys: Sequence[str] = (),
     min_pass_rate: Mapping[str, float] | None = None,
+    approx_unique: bool = False,
+    approx_rsd: float = 0.023,
 ) -> DataFrame:
     """→ one row per declared expectation:
     (check, kind, n_rows, n_violations, pass_rate, ok).
@@ -47,6 +53,19 @@ def expectations_report(
     `unique_keys`: column names that must be unique; each contributes
     a `unique_<col>` check where violations = n_rows − n_distinct.
     `min_pass_rate`: per-check acceptance threshold (default 1.0).
+    `approx_unique`: swap the exact per-key `count_distinct` for
+    Spark's HLL++ `approx_count_distinct(key, approx_rsd)` —
+    O(1/rsd²) state per key instead of a full distinct aggregate, and
+    it RIDES THE SAME single partial-aggregable statement (the
+    one-pass shape survives). `kind` becomes `uniqueness_approx` and
+    `n_violations` is an estimate (can be slightly negative-clamped);
+    thresholds on approximate checks should leave rsd headroom. For
+    pre-sharded pipelines that need MERGEABLE uniqueness state across
+    shards/batches, build `sketches.hll_build(df, key)` per shard and
+    `hll_merge` + `hll_estimate` instead — same report semantics,
+    explicitly mergeable registers (default rsd 0.023 ≈ the same
+    error as that b=6-bit register table... at rsd=0.023 Spark sizes
+    ~2^11 registers; tune rsd, not code).
     """
     row_checks = dict(row_checks or {})
     thresholds = dict(min_pass_rate or {})
@@ -70,7 +89,13 @@ def expectations_report(
             ).alias(f"__v_{name}")
         )
     for key in unique_keys:
-        aggs.append(F.count_distinct(F.col(key)).alias(f"__d_{key}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(key), rsd=approx_rsd).alias(
+                f"__d_{key}"
+            )
+            if approx_unique
+            else F.count_distinct(F.col(key)).alias(f"__d_{key}")
+        )
     agg = df.agg(*aggs)
 
     n = F.col("__n")
@@ -88,9 +113,17 @@ def expectations_report(
         reports.append(
             F.struct(
                 F.lit(f"unique_{key}").alias("check"),
-                F.lit("uniqueness").alias("kind"),
+                F.lit(
+                    "uniqueness_approx" if approx_unique else "uniqueness"
+                ).alias("kind"),
                 n.alias("n_rows"),
-                (n - F.col(f"__d_{key}")).cast("long").alias("n_violations"),
+                # approx mode: the HLL++ estimate can exceed the true
+                # count; clamp so a clean key never reports negative
+                # violations
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (n - F.col(f"__d_{key}")).cast("long"),
+                ).alias("n_violations"),
             )
         )
     out = agg.select(F.explode(F.array(*reports)).alias("__r")).select("__r.*")
@@ -118,3 +151,51 @@ def expectations_report(
         rate.alias("pass_rate"),
         (rate >= thr).alias("ok"),
     )
+
+
+def failed_checks_expr(row_checks: Mapping[str, Column]) -> Column:
+    """Sorted array of the declared check names this row FAILS (null
+    condition = failure, matching `expectations_report`). Pure
+    codegen: one when-branch per check, array_compact drops the
+    passes, array_sort makes the tag deterministic regardless of
+    declaration order."""
+    if not row_checks:
+        raise ValueError("no expectations declared")
+    return F.array_sort(
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                    for name, cond in row_checks.items()
+                ]
+            )
+        )
+    )
+
+
+def expect_or_quarantine(
+    df: DataFrame,
+    row_checks: Mapping[str, Column],
+    failed_col: str = "failed_checks",
+) -> tuple[DataFrame, DataFrame]:
+    """The ENFORCEMENT leg of the expectations surface — the
+    reference's record-drop semantics (F1 filter hooks drop records
+    post-stage, flask_data_pipes/data_pipes/pipeline.py:565-575) at
+    table grain: → (pass_df, quarantine_df).
+
+    Rows failing ANY check land in the quarantine frame carrying
+    `failed_col` (the sorted array of failed check names — the per-row
+    diagnosis a repair pipeline keys on); clean rows come back with
+    the original schema, untouched.
+
+    Scale shape: the tag is ONE narrow projection (no shuffle, no
+    UDF); the split is two filters over the same tagged frame. Each
+    returned frame costs one scan when consumed — to split a 100 TB
+    table in literally one pass, write the TAGGED frame
+    `partitionBy(size(failed_col) == 0)` (one scan, two directory
+    trees) or persist the tagged frame before consuming both sides.
+    """
+    tagged = df.withColumn(failed_col, failed_checks_expr(row_checks))
+    pass_df = tagged.filter(F.size(F.col(failed_col)) == 0).drop(failed_col)
+    quarantine_df = tagged.filter(F.size(F.col(failed_col)) > 0)
+    return pass_df, quarantine_df

@@ -4100,3 +4100,94 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=["o_orderkey"],
         min_pass_rate={"priority_urgent": 0.05},
     )
+
+
+_QUARANTINE_CHECKS_SQL = {
+    # enforcement uses HARD constraints only (the 5%-threshold
+    # distribution check priority_urgent is a report-grade gauge, not
+    # a per-row drop rule)
+    "positive_price": "o_totalprice > 0",
+    "valid_status": "o_orderstatus IN ('O','F','P')",
+    "clerk_prefix": "o_clerk LIKE 'Clerk#%'",
+    "comment_nonempty": "length(o_comment) > 0",
+    "low_priority_only": "o_orderpriority NOT LIKE '1-%'",
+}
+
+
+def _ddb_quarantine_oracle() -> str:
+    branches = ", ".join(
+        f"CASE WHEN NOT COALESCE({cond}, FALSE) THEN '{name}' END"
+        for name, cond in _QUARANTINE_CHECKS_SQL.items()
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT o_orderkey,
+             array_to_string(
+               list_sort(
+                 list_filter([{branches}], x -> x IS NOT NULL)
+               ), ','
+             ) AS failed_checks
+      FROM orders
+    )
+    SELECT CASE WHEN failed_checks = '' THEN 'pass' ELSE 'quarantine' END
+             AS split,
+           failed_checks,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS key_digest
+    FROM tagged
+    GROUP BY 1, 2
+    """
+
+
+@register("q_quarantine_orders", oracle=_ddb_quarantine_oracle())
+def q_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations ENFORCEMENT (operators/expectations.py::
+    expect_or_quarantine) — the reference's record-drop semantics (F1
+    post-stage filter hooks, flask_data_pipes/data_pipes/pipeline.py:
+    565-575) at table grain: split `orders` into pass/quarantine on
+    five hard row constraints (`low_priority_only` is deliberately
+    violated by ~20% of rows so the quarantine side is non-trivial),
+    then aggregate each side to (split, failed_checks, n_rows,
+    key_digest) so the oracle checks BOTH membership and the per-row
+    failed-check diagnosis.
+
+    Scale: the tag is one narrow codegen projection; the split is two
+    filters over it. The digest (sum of keys per failed-set) is
+    order-insensitive and exact cross-engine (BIGINT sums).
+    """
+    from ..operators.expectations import expect_or_quarantine
+
+    o = load(spark, sf_dir, "orders")
+    checks = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "clerk_prefix": F.col("o_clerk").startswith("Clerk#"),
+        "comment_nonempty": F.length("o_comment") > 0,
+        "low_priority_only": ~F.col("o_orderpriority").startswith("1-"),
+    }
+    pass_df, quarantine_df = expect_or_quarantine(o, checks)
+    pass_agg = pass_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_digest"),
+    ).select(
+        F.lit("pass").alias("split"),
+        F.lit("").alias("failed_checks"),
+        "n_rows",
+        "key_digest",
+    )
+    quarantine_agg = (
+        quarantine_df.groupBy(
+            F.concat_ws(",", F.col("failed_checks")).alias("failed_checks")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_digest"),
+        )
+        .select(
+            F.lit("quarantine").alias("split"),
+            "failed_checks",
+            "n_rows",
+            "key_digest",
+        )
+    )
+    return pass_agg.unionByName(quarantine_agg)

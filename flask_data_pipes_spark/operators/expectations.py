@@ -195,6 +195,12 @@ def expect_or_quarantine(
     `partitionBy(size(failed_col) == 0)` (one scan, two directory
     trees) or persist the tagged frame before consuming both sides.
     """
+    if failed_col in df.columns:
+        raise ValueError(
+            f"failed_col {failed_col!r} already exists in the input frame; "
+            "pick another name (silently overwriting would lose caller data "
+            "on the pass side, which drops it)"
+        )
     tagged = df.withColumn(failed_col, failed_checks_expr(row_checks))
     pass_df = tagged.filter(F.size(F.col(failed_col)) == 0).drop(failed_col)
     quarantine_df = tagged.filter(F.size(F.col(failed_col)) > 0)

@@ -4108,8 +4108,8 @@ _QUARANTINE_CHECKS_SQL = {
     # a per-row drop rule)
     "positive_price": "o_totalprice > 0",
     "valid_status": "o_orderstatus IN ('O','F','P')",
-    "clerk_prefix": "o_clerk LIKE 'Clerk#%'",
-    "comment_nonempty": "length(o_comment) > 0",
+    "custkey_positive": "o_custkey > 0",
+    "date_in_range": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
     "low_priority_only": "o_orderpriority NOT LIKE '1-%'",
 }
 
@@ -4122,11 +4122,13 @@ def _ddb_quarantine_oracle() -> str:
     return f"""
     WITH tagged AS (
       SELECT o_orderkey,
-             array_to_string(
+             -- COALESCE: DuckDB's array_to_string of an empty list is
+             -- NULL, not '' — the pass rows must compare equal to ''
+             COALESCE(array_to_string(
                list_sort(
                  list_filter([{branches}], x -> x IS NOT NULL)
                ), ','
-             ) AS failed_checks
+             ), '') AS failed_checks
       FROM orders
     )
     SELECT CASE WHEN failed_checks = '' THEN 'pass' ELSE 'quarantine' END
@@ -4161,8 +4163,10 @@ def q_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = {
         "positive_price": F.col("o_totalprice") > 0,
         "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
-        "clerk_prefix": F.col("o_clerk").startswith("Clerk#"),
-        "comment_nonempty": F.length("o_comment") > 0,
+        "custkey_positive": F.col("o_custkey") > 0,
+        "date_in_range": F.col("o_orderdate").between(
+            "1992-01-01", "1998-12-31"
+        ),
         "low_priority_only": ~F.col("o_orderpriority").startswith("1-"),
     }
     pass_df, quarantine_df = expect_or_quarantine(o, checks)

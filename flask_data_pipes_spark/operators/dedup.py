@@ -37,6 +37,7 @@ __all__ = [
     "candidate_pairs",
     "minhash_dedup_keep",
     "simhash",
+    "hamming_pairs",
     "jaccard_pairs",
     "embedding_neardup_pairs",
     "minhash_lsh_ml_pairs",
@@ -620,19 +621,55 @@ def simhash_pairs(
     (id, simhash) table re-attaches via two equi-joins; never a
     crossJoin, and the simhash subtree is computed once.
     """
+    sh = simhash(df, text_col, id_col, bits=bits)
+    return hamming_pairs(
+        sh,
+        id_col=id_col,
+        hash_col="simhash",
+        bits=bits,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Distinct (a < b) pairs whose `hash_col` values sit within
+    Hamming distance `max_hamming`, via band bucketing over a
+    precomputed bit-hash column — the machinery shared by text simhash
+    (`simhash_pairs`) and perceptual image hashes
+    (`multimodal.image_neardup_pairs`). Pigeonhole recall guarantee:
+    any pair within distance n_bands − 1 matches on ≥1 band, so
+    buckets have PERFECT recall for max_hamming ≤ n_bands − 1; the
+    exact xor/bit_count filter removes false positives.
+
+    Output: (<id>_a, <id>_b, hamming). `bits` may be up to 64 (the
+    full long; xor + bit_count are sign-agnostic).
+
+    Scale: one shuffle on the band bucket, anchor-split enumeration
+    (skew-proof) inside `candidate_pairs`; the (id, hash) table
+    re-attaches via two equi-joins of 8-byte keys — payloads/text
+    never travel."""
     if not (0 <= max_hamming < n_bands):
         raise ValueError("band recall guarantee needs max_hamming < n_bands")
     if bits % n_bands:
         raise ValueError("bits must divide evenly into bands")
     w = bits // n_bands
-    sh = simhash(df, text_col, id_col, bits=bits)
     band_structs = F.array(
         *[
             F.struct(
-                # distinct key space per band index: key = j·2^bits + band value
+                # distinct key space per band index: key = j·2^w + band
+                # value (band values are w bits, so indices never alias;
+                # j << bits would overflow long at bits=64)
                 (
-                    F.lit(j << bits)
-                    + F.shiftrightunsigned(F.col("simhash"), j * w).bitwiseAND(
+                    F.lit(j << w)
+                    + F.shiftrightunsigned(F.col(hash_col), j * w).bitwiseAND(
                         F.lit((1 << w) - 1)
                     )
                 ).alias("band_key"),
@@ -640,12 +677,12 @@ def simhash_pairs(
             for j in range(n_bands)
         ]
     )
-    bands = sh.select(
+    bands = hashes.select(
         id_col, F.explode(band_structs).alias("__b")
     ).select(id_col, F.col("__b.band_key").alias("band_key"))
     pairs = candidate_pairs(bands, id_col)
-    vals = sh.select(
-        F.col(id_col).alias("__sid"), F.col("simhash").alias("__sh")
+    vals = hashes.select(
+        F.col(id_col).alias("__sid"), F.col(hash_col).alias("__sh")
     )
     hamming = F.bit_count(
         F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))

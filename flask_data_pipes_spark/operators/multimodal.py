@@ -49,6 +49,10 @@ __all__ = [
     "intensity_histogram_extractor",
     "resize_images",
     "sample_frames",
+    "image_dhash",
+    "image_phash",
+    "image_hashes",
+    "image_neardup_pairs",
 ]
 
 # ---- expression-level (JVM) metadata helpers ------------------------------
@@ -905,3 +909,146 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_id"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+# ---- perceptual image hashing (VERDICT r6 #4) -----------------------------
+#
+# pHash/dHash over the REAL stdlib PNG codec, feeding the same banded
+# Hamming-LSH pairing machinery the text path uses (dedup.hamming_pairs
+# — the simhash_pairs core): visually-near-duplicate images (re-encoded,
+# resized) collide at small Hamming distance; distinct images don't.
+
+
+def _gray_matrix(payload: bytes):
+    """Decode a PNG payload → float64 H×W grayscale matrix (color
+    channels averaged, alpha dropped). numpy is used for the matrix
+    math only — decode is the stdlib codec above."""
+    import numpy as np
+
+    payload = bytes(payload or b"")
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = next(_iter_png_chunks(payload, b"IHDR"))
+    w, h, depth, ctype = struct.unpack(">IIBB", ihdr[:10])
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth}, color type={ctype})")
+    nch = _PNG_CHANNELS[ctype]
+    samples = _png_unfilter(
+        zlib.decompress(b"".join(_iter_png_chunks(payload, b"IDAT"))), w, h, nch
+    )
+    arr = np.frombuffer(bytes(samples), dtype=np.uint8).reshape(h, w, nch)
+    color_ch = 3 if nch >= 3 else 1
+    return arr[:, :, :color_ch].astype(np.float64).mean(axis=2)
+
+
+def _area_resize(arr, out_h: int, out_w: int):
+    """Deterministic box/area downscale (mean over each cell's source
+    pixel block) — the smoothing step both hashes rely on for
+    robustness to re-encoding and resizing."""
+    import numpy as np
+
+    h, w = arr.shape
+    ys = [(y * h) // out_h for y in range(out_h + 1)]
+    xs = [(x * w) // out_w for x in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for y in range(out_h):
+        y0, y1 = ys[y], max(ys[y + 1], ys[y] + 1)
+        for x in range(out_w):
+            x0, x1 = xs[x], max(xs[x + 1], xs[x] + 1)
+            out[y, x] = arr[y0:y1, x0:x1].mean()
+    return out
+
+
+def _bits_to_long(bits) -> int:
+    """MSB-first bit vector → signed 64-bit int (Spark `long`)."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | (1 if b else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(payload: bytes, hash_size: int = 8) -> int:
+    """Difference hash: area-resize to (hash_size+1)×hash_size, bit =
+    left pixel > right neighbor. 64 bits at the default size."""
+    g = _area_resize(_gray_matrix(payload), hash_size, hash_size + 1)
+    diff = g[:, :-1] > g[:, 1:]
+    return _bits_to_long(diff.flatten())
+
+
+def image_phash(payload: bytes, hash_size: int = 8, highfreq_factor: int = 4) -> int:
+    """Perceptual hash (DCT low-frequency signs): area-resize to
+    (hash_size·highfreq_factor)², orthonormal 2-D DCT-II, keep the
+    top-left hash_size×hash_size low-frequency block, bit = coefficient
+    > median of the block. Robust to re-encoding, resizing, and mild
+    noise; 64 bits at the default size."""
+    import numpy as np
+
+    n = hash_size * highfreq_factor
+    g = _area_resize(_gray_matrix(payload), n, n)
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    d = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    d[0, :] *= 1.0 / np.sqrt(2.0)
+    low = (d @ g @ d.T)[:hash_size, :hash_size]
+    med = np.median(low)
+    return _bits_to_long((low > med).flatten())
+
+
+def image_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "phash",
+    hash_size: int = 8,
+) -> DataFrame:
+    """(id, image_hash): perceptual hash per payload via mapInPandas
+    (Arrow batches — same plumbing as decode_images). `method` is
+    "phash" (DCT) or "dhash" (gradient)."""
+    import pandas as pd
+
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"unknown image hash method {method!r}")
+    fn = image_phash if method == "phash" else image_dhash
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "image_hash": pd.Series(
+                        [fn(p, hash_size) for p in pdf[payload_col]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, image_hash long"
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "phash",
+    n_bands: int = 8,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Visually-near-duplicate image pairs: perceptual hash → banded
+    Hamming-LSH pairing (`dedup.hamming_pairs` — the exact machinery
+    simhash_pairs uses, perfect recall for max_hamming < n_bands).
+    Output: (<id>_a, <id>_b, hamming).
+
+    Scale: hashes are 8 bytes/image — the pairing never touches the
+    payloads again; one shuffle on the band bucket."""
+    from .dedup import hamming_pairs
+
+    hashes = image_hashes(df, payload_col, id_col, method=method)
+    return hamming_pairs(
+        hashes,
+        id_col=id_col,
+        hash_col="image_hash",
+        bits=64,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+    )

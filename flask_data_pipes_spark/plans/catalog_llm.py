@@ -2621,6 +2621,77 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(_payloads(spark, sf_dir), every_n=10)
 
 
+@register("llm_image_neardup")  # perceptual hashes are Python-side → rows-only
+def llm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually-near-duplicate IMAGE pairs (VERDICT r6 #4): pHash over
+    the REAL stdlib PNG codec → banded Hamming-LSH pairing
+    (`dedup.hamming_pairs`, the simhash machinery). The fixture
+    synthesizes GROUPS of re-scaled copies — doc_id % 97 seeds a
+    random low-frequency Fourier base image (24 seeded sinusoids,
+    64×64 px: dense low-frequency energy makes the DCT signs stable
+    under resampling AND discriminative across seeds), doc_id // 97
+    picks a size variant (64/48/56/80/96 px, stdlib nearest-neighbor
+    `png_resizer`) — so every emitted pair is a genuine cross-size
+    visual duplicate. Measured separation on this fixture: resized
+    copies ≤ 10 bits apart, distinct bases ≥ 16, so the 16-band /
+    max_hamming=12 pairing (pigeonhole recall holds through ≤15)
+    cleanly splits them. Output: (doc_id_a, doc_id_b, hamming),
+    golden-pinned at sf0.001.
+
+    Scale: payloads are hashed once to 8 bytes each; the pairing
+    shuffles only (id, band) rows — images never travel."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import math
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.multimodal import png_encode, png_resizer
+
+        sizes = [64, 48, 56, 80, 96]
+        Y, X = np.mgrid[0:64, 0:64].astype(np.float64)
+
+        def base_png(g: int) -> bytes:
+            rng = random.Random(1000 + g)
+            img = np.full((64, 64), 128.0)
+            for _ in range(24):
+                fx = rng.uniform(-0.3, 0.3)
+                fy = rng.uniform(-0.3, 0.3)
+                ph = rng.uniform(0, 2 * math.pi)
+                amp = rng.uniform(6, 16)
+                img += amp * np.sin(fx * X + fy * Y + ph)
+            return png_encode(
+                np.clip(np.rint(img), 0, 255).astype(np.uint8).tobytes(),
+                64,
+                64,
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g = int(did) % 97
+                sz = sizes[(int(did) // 97) % len(sizes)]
+                payload = base_png(g)
+                if sz != 64:
+                    payload = png_resizer(payload, sz, sz)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = d.select("doc_id").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+    return multimodal.image_neardup_pairs(
+        payloads, method="phash", n_bands=16, max_hamming=12
+    )
+
+
 @register(
     "llm_corpus_report",
     oracle=r"""

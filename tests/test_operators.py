@@ -1849,3 +1849,121 @@ def test_expectations_approx_unique_mode(spark):
     ).collect()[0]
     assert rep2["n_violations"] >= 0  # clamped, never negative
     assert rep2["ok"]
+
+
+def test_ivf_recall_on_clustered_corpus(spark, sf_dir):
+    """Pin for the ANN crossover guidance (BASELINE.md round-7): on a
+    CLUSTERED corpus (`perturbed_copies` — the shape real embedding
+    corpora have), IVF reaches recall@5 >= 0.9 while probing a small
+    fraction of cells, and recall grows with n_probe. On isotropic
+    data (the rotated-copy corpus) no index clears 0.9 — recorded in
+    BENCH_SF10.json, guidance: brute-force there."""
+    from flask_data_pipes_spark.plans.catalog import load
+
+    base = load(spark, sf_dir, "embeddings")
+    corpus = similarity.perturbed_copies(base, copies=8, dim=64, sigma=0.06)
+    corpus = corpus.persist()
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    truth = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.cosine_topk(corpus, q, k=5)
+        .select("qid", "vec_id")
+        .collect()
+    }
+    idx = similarity.ivf_fit(corpus, n_cells=16, max_iter=5)
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.ivf_search(idx, q, k=5, n_probe=n_probe)
+            .select("qid", "vec_id")
+            .collect()
+        }
+        recalls[n_probe] = len(truth & got) / len(truth)
+    corpus.unpersist()
+    assert recalls[4] >= 0.9, recalls
+    assert recalls[4] >= recalls[1], recalls
+
+
+def test_bpe_train_incremental_matches_reference(spark):
+    """The delta-patching trainer reproduces the pure-Python reference
+    (and therefore bpe_train) merge-for-merge on the same corpus —
+    including pairs whose count hits zero and re-enters via later
+    merges, and low checkpoint cadence (forces mid-loop lineage
+    truncation of BOTH state tables)."""
+    from flask_data_pipes_spark.operators.bpe import bpe_train_incremental
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "banana bandana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    freqs: dict = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, n_merges=12)
+    got = bpe_train_incremental(df, n_merges=12, checkpoint_every=3)
+    assert got == want, (got, want)
+    assert len(got) >= 6
+
+
+def test_image_hash_neardup_pairs(spark):
+    """pHash/dHash over the real PNG codec + banded-Hamming pairing:
+    a resized copy and a re-encoded copy collide with their original;
+    distinct images never pair (measured separation: copies ≤6 bits,
+    distinct ≥20)."""
+    import math
+
+    from flask_data_pipes_spark.operators import multimodal as M
+
+    def base_png(g, w=24, h=24):
+        px = bytes(
+            min(255, max(0, int(
+                128 + 100 * math.sin((x * (1 + g % 5) + y * (2 + g % 3)) / 24.0)
+            )))
+            for y in range(h) for x in range(w)
+        )
+        return M.png_encode(px, w, h)
+
+    rows = []
+    for g in range(4):
+        p = base_png(g)
+        rows.append((g * 10, p))                       # original
+        rows.append((g * 10 + 1, M.png_resizer(p, 16, 16)))  # downscaled copy
+        rows.append((g * 10 + 2, M.png_resizer(p, 32, 32)))  # upscaled copy
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    for method in ("phash", "dhash"):
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in M.image_neardup_pairs(
+                df, method=method, n_bands=8, max_hamming=6
+            ).collect()
+        }
+        for g in range(4):
+            a, b, c = g * 10, g * 10 + 1, g * 10 + 2
+            assert (a, b) in pairs, (method, g, sorted(pairs))
+            assert (a, c) in pairs, (method, g, sorted(pairs))
+        # no cross-group collisions
+        for x, y in pairs:
+            assert x // 10 == y // 10, (method, x, y)
+
+    # hashes are stable under re-encoding (decode→encode round trip)
+    p = base_png(1)
+    reenc = M.png_encode(
+        bytes(
+            int(round(
+                M._area_resize(M._gray_matrix(p), 24, 24)[y][x]
+            )) for y in range(24) for x in range(24)
+        ), 24, 24,
+    )
+    assert bin(
+        (M.image_phash(p) ^ M.image_phash(reenc)) & ((1 << 64) - 1)
+    ).count("1") <= 2

@@ -281,6 +281,10 @@ GOLDEN_DIGESTS = {
         40,
         "84364b598b1941733f50d747fa6cb54fffdee2aae3a4b54f2c16a9c272559c43",
     ),
+    "llm_image_neardup": (
+        1045,
+        "19dc0b9a7fbb9e4568fd68baf8bcf8e4c791bd9ac843c10d973bae6b9c5a396b",
+    ),
 }
 
 

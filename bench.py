@@ -236,11 +236,42 @@ def _sf1_direct_queries():
             pairs, "doc_id_a", "doc_id_b", fixed_rounds=4
         )
 
+    def dedup_clusters_skew(spark, d):
+        # Giant-component skew gauge (VERDICT r6 #5): same clustering
+        # pipeline, but a star component wired to ~30% of all docs is
+        # injected on top of the LSH pairs — the power-law worst case
+        # for min-label propagation (one label dominates every round).
+        # Standalone A/B at 500k nodes measured skew/uniform = 0.83×
+        # (BASELINE round 7): Spark's partial HashAggregate IS the
+        # two-phase min (hub fan-in collapses map-side), and the hot
+        # label only STREAMS through the shuffle_hash probe side. This
+        # entry keeps that property gated at 10× data.
+        from pyspark.sql import functions as F
+
+        from flask_data_pipes_spark.plans.catalog import load
+
+        pairs = dedup.candidate_pairs(
+            cl.llm_minhash_bands(spark, d), "doc_id", max_bucket=1000
+        )
+        star = (
+            load(spark, d, "documents")
+            .select("doc_id")
+            .filter((F.col("doc_id") % 10 < 3) & (F.col("doc_id") != 0))
+            .select(
+                F.lit(0).cast("long").alias("doc_id_a"),
+                F.col("doc_id").alias("doc_id_b"),
+            )
+        )
+        return dedup.connected_components(
+            pairs.unionByName(star), "doc_id_a", "doc_id_b", fixed_rounds=4
+        )
+
     # semdedup_production graduated to the catalog as
     # llm_semdedup_production (driver-gated, oracled) in round 5.
     return {
         "minhash_production": minhash_production,
         "dedup_clusters_production": dedup_clusters_production,
+        "dedup_clusters_skew": dedup_clusters_skew,
     }
 
 

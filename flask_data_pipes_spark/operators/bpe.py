@@ -189,12 +189,18 @@ def bpe_train_incremental(
       table: pc' = Σ_(a,b) [pc ∪ +pairs(rewritten) ∪ −pairs(affected)],
       dropping exact zeros. The argmax then reads the patched table —
       no full re-aggregation ever happens again after the first one.
-    - the word table updates as (unaffected ∪ rewritten); both tables
-      truncate lineage via eager DISK_ONLY localCheckpoint every
-      `checkpoint_every` merges (the connected_components discipline),
-      which bounds the recompute depth between sync points, keeping
-      per-merge cost flat in the merge index (cost curve: BASELINE.md
-      round 7).
+    - the word table updates as (unaffected ∪ rewritten); the full
+      table truncates lineage via eager DISK_ONLY localCheckpoint
+      every `checkpoint_every` merges (the connected_components
+      discipline).
+    - the AFFECTED slice, its REWRITE, and the patched pair table are
+      eagerly checkpointed EVERY round — they are tiny (affected words
+      / pair vocabulary), and materializing them is what keeps
+      per-merge cost flat: the `aggregate()` merge fold references its
+      accumulator ~4× per step, so letting folds nest in lineage grows
+      the expression tree ~4^depth — measured at sf0.1, un-materialized
+      rewrites hit 128 s/merge by merge 15 where the materialized form
+      stays at tenths of a second (cost curve: BASELINE.md round 7).
 
     Exactly `bpe_train`'s semantics (same argmax/tie-break/rewrite;
     parity-tested merge-for-merge against the pure-Python reference):
@@ -212,6 +218,7 @@ def bpe_train_incremental(
     ckpt = max(1, checkpoint_every)
     w = words if words is not None else word_counts(df, text_col)
     w = w.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    base_parts = max(1, w.rdd.getNumPartitions())
     pc = bpe_pair_counts(w).localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
@@ -231,8 +238,17 @@ def bpe_train_incremental(
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         merges.append((a, b, cnt))
         hit = _pair_hit(a, b)
-        affected = w.filter(hit)
-        rewritten = bpe_apply_merge(affected, a, b)
+        dk = dict(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # coalesce (narrow, no shuffle) before every materialization:
+        # union CONCATENATES partitions and checkpoints PRESERVE them,
+        # so without this the split/union update doubles the word
+        # table's partition count every merge (npart(w') = npart(w) +
+        # npart(rewritten) = 2·npart(w)) — measured as per-merge wall
+        # doubling on pure task-scheduling overhead (8192 partitions of
+        # a 31-row table by merge 12) while plans and lineage stayed
+        # truncated
+        affected = w.filter(hit).coalesce(base_parts).localCheckpoint(**dk)
+        rewritten = bpe_apply_merge(affected, a, b).localCheckpoint(**dk)
         deltas = bpe_pair_counts(rewritten).unionByName(
             bpe_pair_counts(affected.withColumn("cnt", -F.col("cnt")))
         )
@@ -241,15 +257,11 @@ def bpe_train_incremental(
             .groupBy("a", "b")
             .agg(F.sum("cnt").alias("cnt"))
             .filter(F.col("cnt") != 0)
+            .localCheckpoint(**dk)
         )
         w = w.filter(~hit).unionByName(rewritten)
         if (i + 1) % ckpt == 0:
-            w = w.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
-            )
-            pc = pc.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY
-            )
+            w = w.coalesce(base_parts).localCheckpoint(**dk)
         if on_merge is not None:
             on_merge(i, a, b, cnt, _time.perf_counter() - t0)
     return merges

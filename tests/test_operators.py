@@ -1967,3 +1967,24 @@ def test_image_hash_neardup_pairs(spark):
     assert bin(
         (M.image_phash(p) ^ M.image_phash(reenc)) & ((1 << 64) - 1)
     ).count("1") <= 2
+
+
+def test_cosine_topk_vectorized_matches_fold(spark, sf_dir):
+    """The Arrow-vectorized brute twin returns EXACTLY the fold
+    version's rows (same rounding, same id tie-break) — per-partition
+    heap top-k + global window loses nothing."""
+    from flask_data_pipes_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings").repartition(8)
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = {
+        (r["qid"], r["rnk"]): (r["vec_id"], round(r["sim"], 6))
+        for r in similarity.cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["rnk"]): (r["vec_id"], round(r["sim"], 6))
+        for r in similarity.cosine_topk_vectorized(e, q, k=5).collect()
+    }
+    assert got == want

@@ -272,6 +272,8 @@ def test_checked_prefix_curated():
         "bottomk": ["llm_bottomk_quantiles"],
         "bpe": ["llm_bpe_pair_counts"],
         "expectations": ["q_expectations_orders"],
+        # round-7: enforcement leg gated alongside the report
+        "expectations-enforcement": ["q_quarantine_orders"],
         "layout": ["q_zorder_key"],
         "minhash": ["llm_minhash_pairs"],
         "simhash": ["llm_simhash_pairs"],

@@ -358,6 +358,10 @@ def _run_ann_stage(spark, sf_dir: str, repeats: int = 2) -> dict:
     )
     builders = {
         "brute": lambda: similarity.cosine_topk(e, q, k=5),
+        # round 7: the Arrow-matmul exact twin — the honest brute
+        # baseline the index configs must beat (equality-tested vs
+        # the fold version, so recall is 1.0 by construction)
+        "brute_vec": lambda: similarity.cosine_topk_vectorized(e, q, k=5),
         "lsh_p4": lambda: similarity.lsh_topk(e, q, k=5, n_planes=4, seed=42),
         "lsh_mp4": lambda: similarity.lsh_topk(
             e, q, k=5, n_planes=4, seed=42, n_probe=4
@@ -378,7 +382,7 @@ def _run_ann_stage(spark, sf_dir: str, repeats: int = 2) -> dict:
             t0 = _t.perf_counter()
             build().write.mode("overwrite").format("noop").save()
             best = min(best, _t.perf_counter() - t0)
-        if name == "brute":
+        if name in ("brute", "brute_vec"):
             recall = 1.0
         else:
             hits = truth.join(

@@ -194,6 +194,8 @@ def expect_or_quarantine(
     table in literally one pass, write the TAGGED frame
     `partitionBy(size(failed_col) == 0)` (one scan, two directory
     trees) or persist the tagged frame before consuming both sides.
+    `streaming.stream.foreach_batch_quarantine` is exactly that
+    one-scan form at ingest (replay-idempotent partition-per-batch).
     """
     if failed_col in df.columns:
         raise ValueError(

@@ -45,6 +45,8 @@ __all__ = [
     "hll_read_merged",
     "foreach_batch_bottomk",
     "bottomk_read_merged",
+    "foreach_batch_quarantine",
+    "quarantine_read",
 ]
 
 EVENTS_SCHEMA = (
@@ -420,6 +422,68 @@ def foreach_batch_cms(
         )
 
     return sink
+
+
+def foreach_batch_quarantine(
+    row_checks,
+    out_path: str,
+    failed_col: str = "failed_checks",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for expectations ENFORCEMENT AT INGEST — the
+    streaming face of `operators/expectations.py::expect_or_quarantine`
+    in the literally-one-scan form its docstring prescribes: per
+    micro-batch, ONE narrow codegen projection tags every row with its
+    sorted failed-check array, and the tagged frame is written
+    `partitionBy(passed)` — one pass, two directory trees (pass /
+    quarantine), no second scan per leg.
+
+    Exactly-once: each batch writes its own `batch_id=<N>` partition
+    via dynamic partition overwrite (the same replay guard as the
+    sketch sinks — a replayed batch overwrites ITS OWN partitions with
+    identical content). Read back with `quarantine_read(spark, path,
+    passed=...)`; quarantine rows carry `failed_col` for the per-row
+    repair diagnosis.
+
+    Scale: at 100 TB of stream this is scan-bound map work — the only
+    non-map operation is the file commit; no shuffle, no UDF, no
+    state."""
+    from ..operators.expectations import failed_checks_expr
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if failed_col in batch_df.columns or "passed" in batch_df.columns:
+            raise ValueError(
+                "batch already carries failed_checks/passed columns"
+            )
+        tagged = batch_df.withColumn(
+            failed_col, failed_checks_expr(row_checks)
+        ).withColumns(
+            {
+                "passed": F.size(F.col(failed_col)) == 0,
+                "batch_id": F.lit(batch_id).cast("long"),
+            }
+        )
+        (
+            tagged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "passed")
+            .parquet(out_path)
+        )
+
+    return sink
+
+
+def quarantine_read(
+    spark, out_path: str, passed: bool, failed_col: str = "failed_checks"
+) -> DataFrame:
+    """One leg of a `foreach_batch_quarantine` sink's output. The
+    `passed` partition column prunes at the scan — reading the pass
+    leg never touches quarantine files. Pass rows drop the (empty)
+    failure tag; quarantine rows keep it."""
+    df = spark.read.parquet(out_path).filter(F.col("passed") == passed)
+    df = df.drop("passed", "batch_id")
+    return df.drop(failed_col) if passed else df
 
 
 def cms_read_merged(spark, sketch_path: str) -> DataFrame:

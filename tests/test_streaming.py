@@ -622,3 +622,51 @@ def test_foreach_batch_bottomk_cross_batch_and_replay(spark, tmp_path):
         ).collect()
     )
     assert merged == want and len(merged) == 20
+
+
+def test_foreach_batch_quarantine_split_and_replay(spark, tmp_path):
+    """Streaming enforcement: per batch the tagged frame writes ONE
+    pass through partitionBy(batch_id, passed); the pass leg comes
+    back clean (original schema), the quarantine leg carries the
+    per-row failed-check diagnosis, and replaying a batch overwrites
+    its own partitions instead of duplicating rows."""
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_quarantine,
+        quarantine_read,
+    )
+
+    checks = {
+        "pos": F.col("v") > 0,
+        "small": F.col("v") < 100,
+    }
+    path = str(tmp_path / "gate")
+    sink = foreach_batch_quarantine(checks, path)
+    b0 = [(1, 5), (2, -1), (3, 50)]
+    b1 = [(4, 500), (5, -2), (6, 7)]
+    sink(spark.createDataFrame(b0, ["id", "v"]), 0)
+    sink(spark.createDataFrame(b1, ["id", "v"]), 1)
+    sink(spark.createDataFrame(b0, ["id", "v"]), 0)  # replay of batch 0
+
+    ok = quarantine_read(spark, path, passed=True)
+    assert sorted(ok.columns) == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in ok.collect()) == [
+        (1, 5), (3, 50), (6, 7),
+    ]
+    bad = {
+        r["id"]: list(r["failed_checks"])
+        for r in quarantine_read(spark, path, passed=False).collect()
+    }
+    assert bad == {2: ["pos"], 4: ["small"], 5: ["pos"]}
+
+    # collision guard: a frame already carrying the tag column raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink(
+            spark.createDataFrame(
+                [(1, 2, ["x"])], "id long, v long, failed_checks array<string>"
+            ),
+            2,
+        )

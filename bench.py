@@ -122,6 +122,14 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "pair emitter: candidate-pair output grows faster than rows on "
         "the rotated-copy corpus even with simhash-prefix blocking",
     ),
+    "llm_substring_dedup": (
+        4.0,
+        "the synth corpus's 10 copies contain 2-way IDENTICAL text "
+        "(vowel rotation has period 5), so the dup-span postings and "
+        "broadcast dup set grow with exact-dup volume by construction "
+        "(measured band 2.0-3.2 across rounds; same exemption as the "
+        "sf10 stage's 5.5)",
+    ),
     "minhash_production": (
         3.5,
         "pair emitter (max_bucket-capped but still output-proportional): "

@@ -999,10 +999,17 @@ def image_hashes(
     id_col: str = "doc_id",
     method: str = "phash",
     hash_size: int = 8,
+    skip_invalid: bool = False,
 ) -> DataFrame:
     """(id, image_hash): perceptual hash per payload via mapInPandas
     (Arrow batches — same plumbing as decode_images). `method` is
-    "phash" (DCT) or "dhash" (gradient)."""
+    "phash" (DCT) or "dhash" (gradient).
+
+    `skip_invalid=True` DROPS rows whose payload fails to decode
+    (truncated/foreign-format blobs) instead of failing the job — the
+    production posture at corpus scale, where some payloads are always
+    corrupt and one bad blob must not kill a 100 TB near-dup pass;
+    default False keeps errors loud for fixtures and tests."""
     import pandas as pd
 
     if method not in ("phash", "dhash"):
@@ -1011,13 +1018,20 @@ def image_hashes(
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            ids, hashes = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    h = fn(p, hash_size)
+                except ValueError:
+                    if skip_invalid:
+                        continue
+                    raise
+                ids.append(i)
+                hashes.append(h)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].values,
-                    "image_hash": pd.Series(
-                        [fn(p, hash_size) for p in pdf[payload_col]],
-                        dtype="int64",
-                    ),
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "image_hash": pd.Series(hashes, dtype="int64"),
                 }
             )
 

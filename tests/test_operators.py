@@ -1988,3 +1988,20 @@ def test_cosine_topk_vectorized_matches_fold(spark, sf_dir):
         for r in similarity.cosine_topk_vectorized(e, q, k=5).collect()
     }
     assert got == want
+
+
+def test_image_hashes_skip_invalid(spark):
+    """skip_invalid=True drops undecodable payloads instead of failing
+    the job (the corpus-scale posture); default stays loud."""
+    from flask_data_pipes_spark.operators import multimodal as M
+
+    good = M.png_encode(bytes(range(16)), 4, 4)
+    rows = [(1, good), (2, b"not a png"), (3, None), (4, good)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = M.image_hashes(df, method="dhash", skip_invalid=True).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 4]
+    assert out[0]["image_hash"] == out[1]["image_hash"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        M.image_hashes(df, method="dhash").collect()

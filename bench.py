@@ -526,8 +526,20 @@ def _run_ann_crossover(spark, corpus, n_queries: int = 16) -> dict:
         .format("noop")
         .save()
     )
-    frontier = {"brute": {"search_sec": brute_sec, "recall_at_5": 1.0}}
+    # the Arrow-matmul exact twin is the honest brute baseline the
+    # index must beat (recall 1.0 by construction — equality-tested)
+    brute_vec_sec = time_min2(
+        lambda: similarity.cosine_topk_vectorized(corpus, q, k=5)
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    frontier = {
+        "brute": {"search_sec": brute_sec, "recall_at_5": 1.0},
+        "brute_vec": {"search_sec": brute_vec_sec, "recall_at_5": 1.0},
+    }
     best_amortizing = None
+    best_brute = min(brute_sec, brute_vec_sec)
     for n_cells in [64, 256, 1024]:
         t0 = time.perf_counter()
         idx = similarity.ivf_fit(corpus, n_cells=n_cells, max_iter=5)
@@ -553,11 +565,12 @@ def _run_ann_crossover(spark, corpus, n_queries: int = 16) -> dict:
                 "search_sec": sec,
                 "recall_at_5": rec,
             }
-            if sec < brute_sec:
+            if sec < best_brute:
                 # batches of n_queries after which fit-once + indexed
-                # search beats repeated brute force
+                # search beats repeated brute force (the bar is the
+                # FASTER brute — the Arrow-matmul twin)
                 entry["amortize_batches"] = round(
-                    fit_sec / (brute_sec - sec), 1
+                    fit_sec / (best_brute - sec), 1
                 )
                 if rec is not None and rec >= 0.9:
                     cand = (sec, -rec, f"ivf{n_cells}_p{n_probe}")

@@ -53,6 +53,7 @@ __all__ = [
     "image_phash",
     "image_hashes",
     "image_neardup_pairs",
+    "image_dedup_keep",
 ]
 
 # ---- expression-level (JVM) metadata helpers ------------------------------
@@ -1047,6 +1048,7 @@ def image_neardup_pairs(
     method: str = "phash",
     n_bands: int = 8,
     max_hamming: int = 6,
+    skip_invalid: bool = False,
 ) -> DataFrame:
     """Visually-near-duplicate image pairs: perceptual hash → banded
     Hamming-LSH pairing (`dedup.hamming_pairs` — the exact machinery
@@ -1057,7 +1059,9 @@ def image_neardup_pairs(
     payloads again; one shuffle on the band bucket."""
     from .dedup import hamming_pairs
 
-    hashes = image_hashes(df, payload_col, id_col, method=method)
+    hashes = image_hashes(
+        df, payload_col, id_col, method=method, skip_invalid=skip_invalid
+    )
     return hamming_pairs(
         hashes,
         id_col=id_col,
@@ -1066,3 +1070,35 @@ def image_neardup_pairs(
         n_bands=n_bands,
         max_hamming=max_hamming,
     )
+
+
+def image_dedup_keep(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    method: str = "phash",
+    n_bands: int = 8,
+    max_hamming: int = 6,
+    skip_invalid: bool = False,
+) -> DataFrame:
+    """Greedy visual dedup — the image face of
+    `dedup.minhash_dedup_keep`: drop every image that pairs (by
+    perceptual-hash Hamming distance) with a smaller id; one hashing
+    pass + one banded pairing, no iteration. Undecodable payloads are
+    kept when `skip_invalid=True` (they produced no hash, so they can
+    never pair — the conservative choice for a corpus filter: never
+    silently drop what you could not inspect).
+
+    Returns the input rows that survive (original schema intact)."""
+    pairs = image_neardup_pairs(
+        df,
+        payload_col,
+        id_col,
+        method=method,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+        skip_invalid=skip_invalid,
+    )
+    dupes = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+

@@ -34,6 +34,8 @@ __all__ = [
     "perturbed_copies",
     "IvfIndex",
     "ivf_fit",
+    "ivf_save",
+    "ivf_load",
     "ivf_search",
     "ivf_topk",
     "random_projection",
@@ -271,6 +273,54 @@ def ivf_fit(
     assigned = model.transform(feats).select(id_col, "__v", "__inv", "__cell")
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     return IvfIndex(assigned, centers, id_col)
+
+
+def ivf_save(index: IvfIndex, path: str) -> None:
+    """Persist a fitted IVF index: the cell-assigned corpus written
+    `partitionBy(__cell)` (so a probe of p cells READS ONLY p cells'
+    files — directory-level partition pruning does at rest what the
+    cell equi-join does in memory) plus the centroid table as a single
+    JSON sidecar. The at-scale complement to `IvfIndex.persist()`:
+    fit once, serve query batches from cold storage across sessions
+    without re-paying the KMeans or the assignment pass."""
+    import json as _json
+    import os as _os
+
+    (
+        index.assigned.write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(_os.path.join(path, "assigned"))
+    )
+    spark = index.assigned.sparkSession
+    meta = _json.dumps(
+        {"id_col": index.id_col, "centers": index.centers}
+    )
+    # the sidecar rides through the same FS the parquet went to,
+    # written as a 1-row text file (works on any Hadoop-compatible FS,
+    # no driver-local path assumption)
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(_os.path.join(path, "meta"))
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    """Reload an `ivf_save`d index. The assigned corpus comes back
+    partition-pruned on `__cell`: `ivf_search` filters/joins on the
+    partition column, so Spark lists and reads only the probed cells'
+    directories (plan-asserted in tests)."""
+    import json as _json
+    import os as _os
+
+    meta = _json.loads(
+        spark.read.text(_os.path.join(path, "meta")).first()["value"]
+    )
+    assigned = spark.read.parquet(_os.path.join(path, "assigned")).select(
+        meta["id_col"],
+        "__v",
+        "__inv",
+        F.col("__cell").cast("int").alias("__cell"),
+    )
+    return IvfIndex(assigned, meta["centers"], meta["id_col"])
 
 
 def ivf_search(

@@ -2005,3 +2005,68 @@ def test_image_hashes_skip_invalid(spark):
 
     with _pytest.raises(Exception):
         M.image_hashes(df, method="dhash").collect()
+
+
+def test_ivf_save_load_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path):
+    """A saved IVF index reloads to the exact same search results, and
+    the on-disk layout (partitionBy cell) lets the probe join prune at
+    the scan: the reloaded search plan carries a dynamic-partition-
+    pruning subquery on __cell, so probing p of k cells reads only p
+    directories."""
+    from flask_data_pipes_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    idx = similarity.ivf_fit(e, n_cells=8, seed=42)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_save(idx, path)
+    loaded = similarity.ivf_load(spark, path)
+    assert loaded.centers == idx.centers
+
+    want = sorted(
+        (r["qid"], r["rnk"], r["vec_id"], round(r["sim"], 6))
+        for r in similarity.ivf_search(idx, q, k=5, n_probe=3).collect()
+    )
+    got_df = similarity.ivf_search(loaded, q, k=5, n_probe=3)
+    got = sorted(
+        (r["qid"], r["rnk"], r["vec_id"], round(r["sim"], 6))
+        for r in got_df.collect()
+    )
+    assert got == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_image_dedup_keep(spark):
+    """Greedy visual dedup keeps the smallest id of each near-dup
+    group, keeps undecodable payloads under skip_invalid (never drop
+    what you could not inspect), and keeps distinct images."""
+    import math
+
+    from flask_data_pipes_spark.operators import multimodal as M
+
+    def base_png(g, w=24, h=24):
+        px = bytes(
+            min(255, max(0, int(
+                128 + 100 * math.sin((x * (1 + g % 5) + y * (2 + g % 3)) / 24.0)
+            )))
+            for y in range(h) for x in range(w)
+        )
+        return M.png_encode(px, w, h)
+
+    p0, p1 = base_png(0), base_png(1)
+    rows = [
+        (10, p0),
+        (11, M.png_resizer(p0, 16, 16)),  # near-dup of 10 → dropped
+        (20, p1),                          # distinct → kept
+        (30, b"corrupt"),                  # undecodable → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    kept = sorted(
+        r["doc_id"]
+        for r in M.image_dedup_keep(df, skip_invalid=True).collect()
+    )
+    assert kept == [10, 20, 30]

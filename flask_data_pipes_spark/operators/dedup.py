@@ -656,11 +656,21 @@ def hamming_pairs(
     (skew-proof) inside `candidate_pairs`; the (id, hash) table
     re-attaches via two equi-joins of 8-byte keys — payloads/text
     never travel."""
+    from pyspark import StorageLevel
+
     if not (0 <= max_hamming < n_bands):
         raise ValueError("band recall guarantee needs max_hamming < n_bands")
     if bits % n_bands:
         raise ValueError("bits must divide evenly into bands")
     w = bits // n_bands
+    # The hash table feeds THREE plan branches (band explosion + both
+    # sides of the value re-attach join) and Catalyst does not share
+    # non-exchange subtrees across join legs — without persistence the
+    # hash computation runs three times, which for expensive producers
+    # (image decode; the per-bit simhash vote) triples the dominant
+    # cost. DISK_ONLY: the table is (id, hash) = ~16 bytes/row, and
+    # cache-memory pressure must not evict executor working memory.
+    hashes = hashes.persist(StorageLevel.DISK_ONLY)
     band_structs = F.array(
         *[
             F.struct(

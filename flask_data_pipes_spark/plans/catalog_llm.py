@@ -675,6 +675,50 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=5).select("qid", "vec_id", "sim", "rnk")
 
 
+_COSINE_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+               FROM embeddings),
+         scored AS (
+           SELECT q.qid, c.vec_id,
+                  list_dot_product(q.qv, c.v) * q.qinv * c.inv AS sim
+           FROM q, c WHERE q.qid <> c.vec_id
+         )
+    SELECT qid, vec_id, round(sim, 6) AS sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register("llm_cosine_topk_vec", oracle=_COSINE_TOPK_ORACLE)
+def llm_cosine_topk_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION brute twin under the SAME oracle as
+    llm_cosine_topk: `similarity.cosine_topk_vectorized` (per-partition
+    Arrow matmul + tie-exact heap top-k, global window over
+    n_partitions·Q·k rows) must reproduce the fold version's rows —
+    and therefore DuckDB's — exactly. Rounding to 6dp before ranking
+    keeps the matmul's different accumulation order invisible (≤4 ulp
+    ≈ 1e-15 vs the 5e-7 rounding granularity).
+
+    Scale: one scan, per-pair cost one fused multiply inside a numpy
+    matmul; the only shuffled rows are the per-partition top-k
+    survivors."""
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.cosine_topk_vectorized(e, q, k=5).select(
+        "qid", "vec_id", "sim", "rnk"
+    )
+
+
 @register(
     "llm_embedding_neardup",
     oracle="""

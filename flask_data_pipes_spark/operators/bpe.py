@@ -33,6 +33,9 @@ __all__ = [
     "bpe_apply_merge",
     "bpe_train",
     "bpe_train_incremental",
+    "encode_word",
+    "encode_word_table",
+    "bpe_encode",
 ]
 
 
@@ -265,3 +268,142 @@ def bpe_train_incremental(
         if on_merge is not None:
             on_merge(i, a, b, cnt, _time.perf_counter() - t0)
     return merges
+
+
+def encode_word(word: str, ranks: dict) -> list:
+    """Pure-Python rank-greedy BPE encode of ONE word: repeatedly merge
+    every (left-to-right, non-overlapping) occurrence of the
+    lowest-rank adjacent pair present until no ranked pair remains.
+
+    Rank-greedy is provably equivalent to replaying the merge list in
+    training order (the classic tokenizer-inference identity): a merge
+    can never create an occurrence of an EARLIER pair, because that
+    pair's right or left symbol would itself have to contain the
+    later-merged material — so picking the lowest rank available at
+    each step visits merges in exactly training order. Parity against
+    both the sequential replay and the trainer's own final symbol
+    table is pinned in tests.
+    """
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_word_table(
+    vocab: DataFrame, merges: list, word_col: str = "word"
+) -> DataFrame:
+    """Encode a DISTINCT-word table: (word, ...) -> (word, ...,
+    tokens array<string>, n_tokens int) under an ordered merge list
+    (the (a, b, ...) tuples `bpe_train*` returns).
+
+    This is where tokenizer INFERENCE earns its scale shape: the
+    Python merge loop runs once per VOCABULARY entry, never per corpus
+    token — the same Heaps-law economy as training. The merge-rank
+    dict ships to executors as a real Spark broadcast (a 30k-merge
+    vocabulary is ~1 MB; embedding it in every task closure would
+    re-pickle it per task), and the kernel is an Arrow-batched pandas
+    UDF with a per-batch memo (Zipf means most batches repeat words
+    only when the input ISN'T distinct — the memo makes the same
+    kernel safe for direct per-token use too).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = vocab.sparkSession
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    # no type hints: PEP 563 (module-level `annotations` import) would
+    # stringify them and pyspark's hint introspection rejects strings
+    def enc(ws):
+        r = b_ranks.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                t = encode_word(w, r)
+                memo[w] = t
+            return t
+
+        return ws.map(one)
+
+    tokens = pandas_udf(enc, "array<string>")(F.col(word_col))
+    return vocab.withColumn("tokens", tokens).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED merge list -> per-document
+    (id_col, n_words, n_bpe_tokens, n_chars_tokenized). The inference
+    half of the tokenizer pair (`bpe_train*` learns the merges; this
+    applies them), and the honest way to budget training tokens — the
+    regex proxy `functions/text.py::bpe_ish_token_count` estimates,
+    this COUNTS.
+
+    Shape: one corpus scan explodes words (same lower/whitespace
+    vocabulary as `word_counts`, so train and encode agree on what a
+    word is); the distinct-word table is encoded by
+    `encode_word_table` (Python cost ∝ vocabulary); per-word token
+    counts join back and aggregate per document. Documents with no
+    words survive with zero counts (left join on the pre-explode
+    frame).
+
+    Scale: 100 TB of text against a 10^8-word vocabulary is a plain
+    shuffle hash join on `word` — both sides partition by the join
+    key, no broadcast needed; flip `broadcast_vocab=True` when the
+    vocabulary is known small (e.g. byte-level alphabets) to make the
+    join map-side and leave ONE shuffle (the final per-doc groupBy).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("word"),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    vocab = words.select("word").distinct()
+    enc = encode_word_table(vocab, merges).select(
+        "word", "n_tokens", F.length("word").alias("n_word_chars")
+    )
+    if broadcast_vocab:
+        enc = F.broadcast(enc)
+    per_doc = (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_word_chars").cast("long").alias("n_chars_tokenized"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill({"n_words": 0, "n_bpe_tokens": 0, "n_chars_tokenized": 0})
+    )

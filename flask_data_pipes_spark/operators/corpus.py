@@ -41,6 +41,10 @@ __all__ = [
     "length_histogram",
     "temperature_sample",
     "bigram_logprob",
+    "dsir_ngram_buckets",
+    "dsir_logratios",
+    "dsir_weights",
+    "dsir_sample",
 ]
 
 
@@ -592,4 +596,160 @@ def bigram_logprob(
                 "bits_per_bigram"
             ),
         )
+    )
+
+
+def dsir_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 31,
+) -> DataFrame:
+    """Hashed n-gram featurization for DSIR (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    unigrams + word bigrams, each hashed into one of `n_buckets`
+    feature buckets → exploded (id, bucket) occurrences. The bucketed
+    bag-of-ngrams is the paper's feature space; hashing bounds the
+    model size regardless of corpus vocabulary.
+
+    Narrow map + explode; the 60-bit md5 hash is the engine-portable
+    one every other hashed operator uses (functions/text.py::md5_long),
+    so the whole DSIR pipeline stays DuckDB-oracle-checkable."""
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.when(
+        n < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    grams = F.concat(toks, bigrams)
+    return (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
+        .where(F.col("__g").isNotNull() & (F.col("__g") != ""))
+        .select(
+            id_col,
+            (T.md5_long(F.col("__g"), seed) % n_buckets).alias("bucket"),
+        )
+    )
+
+
+def dsir_logratios(
+    raw_buckets: DataFrame,
+    target_buckets: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit the DSIR importance model: per feature bucket, the
+    log-likelihood ratio between the TARGET domain's and the RAW
+    corpus's add-alpha-smoothed hashed-ngram unigram models —
+    (bucket, raw_cnt, tgt_cnt, logratio). `logratio` is rounded to 9
+    decimals so downstream decimal-sum scoring is order-independent
+    and engine-exact.
+
+    Scale: two vocabulary-free aggregations whose key space is
+    `n_buckets` (map-side partial agg collapses the token stream);
+    the totals are 1-row broadcasts. The output is the MODEL — at most
+    `n_buckets` rows, broadcastable everywhere."""
+    raw_c = raw_buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt")
+    )
+    tgt_c = target_buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tgt_cnt")
+    )
+    raw_tot = raw_buckets.select(F.count(F.lit(1)).alias("__rt"))
+    tgt_tot = target_buckets.select(F.count(F.lit(1)).alias("__tt"))
+    ab = float(alpha) * n_buckets
+    joined = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .na.fill({"tgt_cnt": 0})
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+    )
+    lr = (
+        F.log(F.col("tgt_cnt") + F.lit(float(alpha)))
+        - F.log(F.col("__tt") + F.lit(ab))
+        - F.log(F.col("raw_cnt") + F.lit(float(alpha)))
+        + F.log(F.col("__rt") + F.lit(ab))
+    )
+    return joined.select(
+        "bucket", "raw_cnt", "tgt_cnt", F.round(lr, 9).alias("logratio")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 31,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight: log w(x) = Σ over the
+    document's hashed n-gram occurrences of the target/raw
+    log-likelihood ratio — documents that look more like the TARGET
+    domain than the raw corpus score above zero. Output:
+    (id, n_grams, logw), every input doc present (no-gram docs weigh
+    0). The sum runs in DECIMAL over the 9-dp-rounded per-bucket
+    ratios, so the result is exact and identical cross-engine.
+
+    Scale: the model (`dsir_logratios`, ≤ n_buckets rows) BROADCASTS
+    to the scoring join — the corpus-side cost is one narrow
+    explode + map-side join + one groupBy on the doc id. Nothing
+    corpus-sized ever shuffles twice. For a pure-scan variant, collect
+    the ≤4 KB logratio array and inline it as a literal the way
+    functions/text.py::hashed_linear_score embeds its weights."""
+    b = dsir_ngram_buckets(df, text_col, id_col, n_buckets, seed)
+    tb = dsir_ngram_buckets(target, text_col, id_col, n_buckets, seed)
+    lr = dsir_logratios(b, tb, n_buckets, alpha)
+    scored = (
+        b.join(F.broadcast(lr.select("bucket", "logratio")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("logratio").cast("decimal(28,10)")).alias("__w"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce(F.col("__w").cast("double"), F.lit(0.0)), 6)
+            .alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    weight_col: str = "logw",
+    seed: int = 97,
+) -> DataFrame:
+    """DSIR's RESAMPLING leg: Gumbel top-k over the importance weights
+    — adding independent Gumbel noise to each log-weight and taking
+    the top k draws a sample WITHOUT replacement from the softmax of
+    the weights (the Gumbel-max trick), which is the paper's
+    importance-resampling step. Noise is derived deterministically
+    from the doc id hash, so the sample is reproducible and
+    oracle-checkable. Output: (id, logw, gumbel_key) — the k winners.
+
+    Scale: a narrow map + TakeOrderedAndProject (per-partition top-k,
+    k-sized merge on the driver); no global sort."""
+    u = (T.md5_long(F.col(id_col), seed) % 1000000000 + 0.5) / 1000000000.0
+    key = F.col(weight_col) + -F.log(-F.log(u))
+    return (
+        weights.select(
+            id_col, weight_col, F.round(key, 6).alias("gumbel_key")
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
     )

@@ -4145,6 +4145,42 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_bpe_encode")  # merges come from an iterative trainer → rows-only
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE (operators/bpe.py::bpe_encode): train 24
+    BPE merges on the corpus (incremental trainer), then apply them
+    back to every document and roll the counts up per language —
+    (lang, n_docs, n_words, n_bpe_tokens, fertility) where fertility =
+    BPE tokens per whitespace word, the standard tokenizer-quality
+    gauge. This is the COUNTED token budget (the regex proxy
+    `bpe_ish_token_count` estimates); train/apply agreement is pinned
+    by the encode-train consistency test.
+
+    Scale: training never rereads the corpus after the first word
+    count; inference encodes the DISTINCT word table in Python
+    (vocabulary-sized, Arrow-batched, broadcast merge ranks) and joins
+    counts back — a plain shuffle hash join that survives a 10^8-word
+    vocabulary where a broadcast would not.
+    """
+    from ..operators.bpe import bpe_encode, bpe_train_incremental
+
+    d = load(spark, sf_dir, "documents")
+    merges = bpe_train_incremental(d, n_merges=24, min_count=2)
+    enc = bpe_encode(d, merges)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 # --- declarative data-quality expectations (round 5) -----------------------
 
 
@@ -4310,3 +4346,120 @@ def q_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pass_agg.unionByName(quarantine_agg)
+
+
+# --- DSIR importance resampling (round 8) -----------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_SEED = 31
+
+
+def _ddb_dsir_weights(n_buckets: int = _DSIR_BUCKETS, seed: int = _DSIR_SEED) -> str:
+    """Shared DuckDB CTE chain computing per-doc DSIR log-weights
+    (target = lang 'en'); ends with the `weights` relation."""
+    return rf"""
+    toks AS (
+      SELECT doc_id, {_DDB_TOKS_LOWER} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               t,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+             )) AS g
+      FROM toks
+    ),
+    occ AS (
+      SELECT doc_id, ({_ddb_md5_long("g", seed)} % {n_buckets}) AS bucket
+      FROM grams WHERE g IS NOT NULL AND g <> ''
+    ),
+    tocc AS (
+      SELECT occ.* FROM occ
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+    ),
+    rawc AS (SELECT bucket, count(*) AS rc FROM occ GROUP BY bucket),
+    tgtc AS (SELECT bucket, count(*) AS tc FROM tocc GROUP BY bucket),
+    tots AS (
+      SELECT (SELECT count(*) FROM occ) AS rt,
+             (SELECT count(*) FROM tocc) AS tt
+    ),
+    lr AS (
+      SELECT r.bucket,
+             round(ln(coalesce(t.tc, 0) + 1.0) - ln(tt + {n_buckets}.0)
+                   - ln(r.rc + 1.0) + ln(rt + {n_buckets}.0), 9) AS logratio
+      FROM rawc r LEFT JOIN tgtc t USING (bucket) CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT occ.doc_id, count(*) AS n_grams,
+             SUM(CAST(lr.logratio AS DECIMAL(28,10))) AS w
+      FROM occ JOIN lr USING (bucket) GROUP BY occ.doc_id
+    ),
+    weights AS (
+      SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             round(coalesce(CAST(w AS DOUBLE), 0.0), 6) AS logw
+      FROM documents d LEFT JOIN scored USING (doc_id)
+    )
+    """
+
+
+@register(
+    "llm_dsir_weights",
+    oracle=f"WITH {_ddb_dsir_weights()} SELECT * FROM weights",
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023; operators/corpus.py::
+    dsir_weights): add-1-smoothed hashed-ngram (unigram+bigram, 1024
+    buckets) models of the TARGET domain (here: lang='en') and the raw
+    corpus; each document scores the sum of per-occurrence target/raw
+    log-likelihood ratios — the principled "pick raw data that looks
+    like the target domain" curation signal. Output:
+    (doc_id, n_grams, logw), every doc present.
+
+    Scale: the fitted model is ≤1024 rows and BROADCASTS; corpus-side
+    cost is one explode + map-side join + one doc-keyed groupBy. The
+    decimal fold over 9-dp-rounded ratios makes logw engine-exact.
+    """
+    from ..operators.corpus import dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_weights(
+        d,
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    )
+
+
+@register(
+    "llm_dsir_sample",
+    oracle=f"""
+    WITH {_ddb_dsir_weights()}
+    SELECT doc_id, logw,
+           round(logw + -ln(-ln(
+             (({_ddb_md5_long("doc_id", 97)} % 1000000000) + 0.5)
+             / 1000000000.0)), 6) AS gumbel_key
+    FROM weights
+    ORDER BY gumbel_key DESC, doc_id LIMIT 64
+    """,
+)
+def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's RESAMPLING leg (operators/corpus.py::dsir_sample):
+    Gumbel top-64 over the importance weights — the Gumbel-max trick
+    draws without replacement from the softmax of the weights, which
+    is the paper's importance-resampling step. Noise derives from the
+    doc-id hash, so the chosen sample is deterministic and
+    oracle-checkable.
+
+    Scale: narrow map + TakeOrderedAndProject — per-partition top-k
+    and a k-sized driver merge; no global sort of the corpus.
+    """
+    from ..operators.corpus import dsir_sample, dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_weights(
+        d,
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+    )
+    return dsir_sample(w, k=64, seed=97)

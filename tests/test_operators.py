@@ -2070,3 +2070,95 @@ def test_image_dedup_keep(spark):
         for r in M.image_dedup_keep(df, skip_invalid=True).collect()
     )
     assert kept == [10, 20, 30]
+
+
+def _replay_merges(word: str, merges: list) -> list:
+    """Sequential replay: apply each trained merge, in training order,
+    fully (left-to-right, non-overlapping) — correct by definition.
+    encode_word's rank-greedy loop must reproduce this exactly."""
+    syms = list(word)
+    for a, b, *_ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_word_matches_sequential_replay():
+    """Rank-greedy inference == sequential training-order replay, on a
+    merge list exercising overlaps ('aaaa'), nested merges, and symbols
+    absent from training ('zzz' stays as chars)."""
+    from flask_data_pipes_spark.operators.bpe import encode_word
+
+    corpus = {
+        "aaaa": 5, "aaab": 4, "banana": 3, "bandana": 2,
+        "lower": 4, "lowest": 3, "newest": 6,
+    }
+    merges = _reference_bpe(corpus, n_merges=16)
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+    for w in list(corpus) + ["zzz", "a", "", "aab", "nana", "lowered"]:
+        assert encode_word(w, ranks) == _replay_merges(w, merges), w
+
+
+def test_bpe_encode_train_consistency(spark):
+    """Encoding the training words with the learned merges reproduces
+    the symbol table the trainer itself converged to — the train/apply
+    contract that makes token budgets computed at inference time match
+    what training saw."""
+    from flask_data_pipes_spark.operators.bpe import (
+        bpe_train, bpe_apply_merge, encode_word_table, word_counts,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "newest newest newest widest banana",
+        "banana bandana cabana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    w = word_counts(df)
+    merges = bpe_train(df, n_merges=10, words=w)
+    final = w
+    for a, b, _c in merges:
+        final = bpe_apply_merge(final, a, b)
+    trained = {r["word"]: r["symbols"] for r in final.collect()}
+    encoded = {
+        r["word"]: r["tokens"]
+        for r in encode_word_table(w.select("word"), merges).collect()
+    }
+    assert trained == encoded
+
+
+def test_bpe_encode_per_doc_counts(spark):
+    """bpe_encode's per-document word/token/char counts equal a pure
+    recount; documents with no words survive with zeros; the word
+    vocabulary (lower + whitespace) matches word_counts."""
+    from flask_data_pipes_spark.operators.bpe import bpe_encode, encode_word
+
+    texts = [
+        (0, "Banana bandana BANANA"),
+        (1, "newest newest lowest"),
+        (2, "   "),          # whitespace-only: zero words
+        (3, None),           # null text: zero words
+        (4, "zzz aaaa"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus = {"banana": 3, "bandana": 1, "newest": 2, "lowest": 1,
+              "zzz": 1, "aaaa": 1}
+    merges = _reference_bpe(corpus, n_merges=8)
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    for doc_id, text in texts:
+        words = (text or "").lower().split()
+        n_tok = sum(len(encode_word(w, ranks)) for w in words)
+        assert got[doc_id]["n_words"] == len(words), doc_id
+        assert got[doc_id]["n_bpe_tokens"] == n_tok, doc_id
+        assert got[doc_id]["n_chars_tokenized"] == sum(len(w) for w in words)

@@ -285,6 +285,12 @@ GOLDEN_DIGESTS = {
         1045,
         "19dc0b9a7fbb9e4568fd68baf8bcf8e4c791bd9ac843c10d973bae6b9c5a396b",
     ),
+    # tokenizer inference: 24 trained merges applied back per-language;
+    # deterministic (argmax tie-break + long counts + rounded ratio)
+    "llm_bpe_encode": (
+        5,
+        "3791884525373bf6b8ecc4da7541da5e0418777f7c7419b1e19bd2689e4c15b6",
+    ),
 }
 
 

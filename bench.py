@@ -578,6 +578,38 @@ def _run_ann_crossover(spark, corpus, n_queries: int = 16) -> dict:
                         best_amortizing = cand
             frontier[f"ivf{n_cells}_p{n_probe}"] = entry
         idx.unpersist()
+    # PQ: the MEMORY axis of the frontier — 8-byte codes (32× smaller
+    # than float32) scanned via per-query lookup tables, exact rerank
+    # on the candidate ids. fit = driver codebooks + corpus encode.
+    t0 = time.perf_counter()
+    pqi = similarity.pq_fit(corpus, m=8, n_centroids=256)
+    pqi.persist()
+    pqi.codes.count()
+    pq_fit_sec = round(time.perf_counter() - t0, 3)
+    for rerank in [2, 4, 8]:
+        sec = time_min2(
+            lambda: similarity.pq_search(pqi, q, k=5, rerank=rerank, corpus=corpus)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        got = set(
+            (r.qid, r.vec_id)
+            for r in similarity.pq_search(pqi, q, k=5, rerank=rerank, corpus=corpus)
+            .select("qid", "vec_id")
+            .collect()
+        )
+        rec = round(len(truth & got) / len(truth), 4) if truth else None
+        entry = {
+            "fit_sec": pq_fit_sec,
+            "search_sec": sec,
+            "recall_at_5": rec,
+            "bytes_per_vector": 8,
+        }
+        if sec < best_brute:
+            entry["amortize_batches"] = round(pq_fit_sec / (best_brute - sec), 1)
+        frontier[f"pq8x256_r{rerank}"] = entry
+    pqi.unpersist()
     return {
         "n_corpus": corpus.count(),
         "n_queries": n_queries,

@@ -38,6 +38,10 @@ __all__ = [
     "ivf_load",
     "ivf_search",
     "ivf_topk",
+    "PqIndex",
+    "pq_fit",
+    "pq_search",
+    "pq_topk",
     "random_projection",
 ]
 
@@ -706,3 +710,262 @@ def random_projection(
         d = V.dot(vec_col, F.array(*[F.lit(x) for x in p])) * F.lit(scale)
         comps.append(F.round(d, round_to) if round_to is not None else d)
     return F.array(*comps)
+
+
+class PqIndex:
+    """Fit-once product-quantization index (Jégou et al. 2011): the
+    per-subspace codebooks (m × n_centroids × sub_dim, driver-side)
+    plus the corpus encoded as m-BYTE codes. The memory story that
+    keeps ANN viable at 100 TB: a 64-dim float32 embedding is 256
+    bytes; its PQ code is m bytes (32× smaller at m=8) — the
+    difference between an index that fits in cluster RAM and one that
+    doesn't. Search is ADC (asymmetric distance computation): per
+    query, one m×n_centroids lookup table of partial dot products;
+    each candidate costs m table adds instead of a 64-mult dot."""
+
+    def __init__(self, codes: DataFrame, codebooks, id_col: str):
+        self.codes = codes
+        self.codebooks = codebooks  # list[m] of list[n_centroids] of list[sub_dim]
+        self.id_col = id_col
+
+    def persist(self) -> "PqIndex":
+        self.codes = self.codes.persist()
+        return self
+
+    def unpersist(self) -> "PqIndex":
+        self.codes.unpersist()
+        return self
+
+
+def _pq_kmeans(X: "np.ndarray", k: int, seed: int, n_iter: int) -> "np.ndarray":
+    """Seeded Lloyd's on a driver-side sample (one subspace): random
+    distinct-row init, empty clusters keep their previous centroid.
+    Deterministic for a fixed sample/seed/numpy."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; x² constant per row → drop
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    n_centroids: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    n_iter: int = 12,
+    sample_size: int = 20000,
+) -> PqIndex:
+    """Fit PQ codebooks and encode the corpus.
+
+    Fit is driver-side seeded k-means per subspace over a
+    deterministic sample (first `sample_size` ids) of L2-NORMALIZED
+    vectors — normalizing at encode time makes the ADC dot product
+    approximate cosine directly. The codebooks are a few hundred KB
+    (model, not data); encoding is one Arrow-batched pass over the
+    corpus emitting m-byte binary codes.
+
+    Scale: the sample collect is bounded (`sample_size` rows); the
+    encode pass is embarrassingly parallel and writes the only
+    corpus-sized artifact — at m bytes/vector. n_iter is fixed (not
+    to-convergence) so fit cost is predictable."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    S = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(S, axis=1, keepdims=True)
+    S = np.divide(S, norms, out=np.zeros_like(S), where=norms > 0)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.stack(
+        [
+            _pq_kmeans(S[:, j * sub : (j + 1) * sub], n_centroids, seed + j, n_iter)
+            for j in range(m)
+        ]
+    )  # m × k × sub
+    spark = corpus.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def encode(vs):
+        B = b_books.value
+        mm, kk, ss = B.shape
+        # flops per batch: rows × m × k × sub — one matmul per subspace
+        cnorm = (B * B).sum(axis=2)  # m × k
+        out = []
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        M = np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+        codes = np.empty((len(M), mm), dtype=np.uint8)
+        for j in range(mm):
+            Xj = M[:, j * ss : (j + 1) * ss]
+            d = -2.0 * (Xj @ B[j].T) + cnorm[j][None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    codes = corpus.select(
+        F.col(id_col), pandas_udf(encode, "binary")(F.col(vec_col)).alias("__code")
+    )
+    return PqIndex(codes, [[list(map(float, c)) for c in bk] for bk in books], id_col)
+
+
+def pq_search(
+    index: PqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    corpus: Optional[DataFrame] = None,
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """ADC search over PQ codes: per query, an m×n_centroids lookup
+    table of partial dots (query subvector · centroid); each code row
+    scores as m table adds; per-partition heaps keep the top
+    `k*rerank` candidates (same tie-exact discipline as
+    `cosine_topk_vectorized`). With `corpus` given, candidates are
+    re-ranked by EXACT cosine (the standard PQ + rerank recipe) and
+    the top k returned; without it, approximate scores come back
+    directly (column `sim_approx`).
+
+    Scale: the scan touches only m-byte codes (32× less IO than raw
+    vectors at m=8/dim=64); the shuffle carries n_partitions·Q·k·rerank
+    candidate rows; the exact rerank reads just the candidate ids'
+    vectors."""
+    import heapq
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    spark = index.codes.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {index.id_col} long, sim double, rnk int"
+        )
+    books = np.asarray(index.codebooks, dtype=np.float64)  # m × k × sub
+    mm, _kk, ss = books.shape
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+    # LUT[q, j, c] = q_sub_j · centroid_{j,c}
+    LUT = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), mm, ss), books)
+    id_col = index.id_col
+    n_keep = k * rerank
+    b_lut = spark.sparkContext.broadcast(LUT)
+
+    def part_topk(batches):
+        lut = b_lut.value
+        heaps = [[] for _ in qids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["__code"]]
+            ).astype(np.int64)  # rows × m
+            ids = pdf[id_col].to_numpy()
+            sims = np.zeros((len(qids), len(C)))
+            for j in range(mm):
+                sims += lut[:, j, :][:, C[:, j]]
+            for qj in range(len(qids)):
+                col = sims[qj]
+                if len(heaps[qj]) == n_keep:
+                    cand = np.nonzero(col >= heaps[qj][0][0])[0]
+                else:
+                    cand = range(len(col))
+                for i in cand:
+                    if ids[i] == qids[qj]:
+                        continue
+                    item = (col[i], -int(ids[i]))
+                    if len(heaps[qj]) < n_keep:
+                        heapq.heappush(heaps[qj], item)
+                    elif item > heaps[qj][0]:
+                        heapq.heapreplace(heaps[qj], item)
+        out = [
+            (int(qids[qj]), -negid, float(s))
+            for qj in range(len(qids))
+            for s, negid in heaps[qj]
+        ]
+        yield pd.DataFrame(
+            out, columns=[query_id_col, id_col, "sim_approx"]
+        ).astype({query_id_col: "int64", id_col: "int64", "sim_approx": "float64"})
+
+    partial = index.codes.mapInPandas(
+        part_topk, schema=f"{query_id_col} long, {id_col} long, sim_approx double"
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim_approx"), F.asc(id_col)
+    )
+    cand = partial.withColumn("__arnk", F.row_number().over(wa)).filter(
+        F.col("__arnk") <= n_keep
+    )
+    if corpus is None:
+        return cand.select(
+            query_id_col,
+            id_col,
+            (F.round("sim_approx", round_to) if round_to else F.col("sim_approx")).alias("sim_approx"),
+            F.col("__arnk").alias("rnk"),
+        )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+    )
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.select(query_id_col, id_col)
+        .join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 256,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    seed: int = 42,
+    sample_size: int = 20000,
+) -> DataFrame:
+    """One-shot PQ ANN: `pq_fit` + ADC `pq_search` + exact rerank. For
+    repeated query batches fit once and reuse the index. Seeded →
+    deterministic locally; k-means fit is iterative → rows-only gate."""
+    index = pq_fit(
+        corpus, m=m, n_centroids=n_centroids, vec_col=vec_col,
+        id_col=id_col, seed=seed, sample_size=sample_size,
+    )
+    return pq_search(
+        index, queries, k=k, rerank=rerank, corpus=corpus,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )

@@ -2441,6 +2441,28 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "sim", "rnk")
 
 
+@register("llm_pq_topk")  # kmeans codebook fit is iterative → rows-only gate
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; operators/
+    similarity.py::pq_topk): 8-subspace codebooks quantize each 64-dim
+    embedding to 8 BYTES (32× smaller than float32 — the index that
+    still fits in cluster RAM at 100 TB); search scans codes with a
+    per-query lookup table (m adds per candidate, no dot products) and
+    exact-reranks the top k*4. Complements IVF (which prunes WHICH
+    rows are scanned) — PQ shrinks WHAT each scan touches; they
+    compose in a production IVF-PQ.
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.pq_topk(
+        e, q, k=5, m=8, n_centroids=64, rerank=4, seed=42
+    ).select("qid", "vec_id", "sim", "rnk")
+
+
 @register("llm_ann_recall")  # kmeans fit is iterative → rows-only gate
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate indexes against brute-force ground

@@ -2162,3 +2162,56 @@ def test_bpe_encode_per_doc_counts(spark):
         assert got[doc_id]["n_words"] == len(words), doc_id
         assert got[doc_id]["n_bpe_tokens"] == n_tok, doc_id
         assert got[doc_id]["n_chars_tokenized"] == sum(len(w) for w in words)
+
+
+def test_pq_topk_exact_when_rerank_covers_corpus(spark):
+    """PQ + exact rerank equals brute force whenever the candidate
+    window covers the corpus (k*rerank >= N): the ADC stage then only
+    ORDERS candidates, and the exact rerank decides — so any
+    disagreement would expose a bug in encode/LUT/rerank plumbing."""
+    from flask_data_pipes_spark.operators.similarity import (
+        cosine_topk, pq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in pq_topk(
+            e, q, k=5, m=8, n_centroids=64, rerank=(n // 5) + 1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_codes_are_m_bytes_and_recall_reasonable(spark):
+    """The encoded corpus is m bytes per vector (the 32x memory story
+    at dim 64 float32), and modest rerank already recovers most of the
+    true top-5 on the synthetic corpus."""
+    from flask_data_pipes_spark.operators.similarity import (
+        cosine_topk, pq_fit, pq_search,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    idx = pq_fit(e, m=8, n_centroids=64)
+    lens = idx.codes.select(F.length("__code").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [8]
+    truth = {
+        (r["qid"], r["vec_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["vec_id"])
+        for r in pq_search(idx, q, k=5, rerank=8, corpus=e).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, recall

@@ -291,6 +291,11 @@ GOLDEN_DIGESTS = {
         5,
         "3791884525373bf6b8ecc4da7541da5e0418777f7c7419b1e19bd2689e4c15b6",
     ),
+    # product quantization: seeded numpy codebooks + exact rerank
+    "llm_pq_topk": (
+        40,
+        "6897241c1d80f26be64c84da73c3e46cddc69ee06b3cae91368ed809462499c5",
+    ),
 }
 
 

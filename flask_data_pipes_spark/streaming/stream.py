@@ -35,6 +35,7 @@ __all__ = [
     "read_jsonl_stream",
     "hourly_rollup",
     "dedup_stream",
+    "interval_join_stream",
     "sessionize_stream",
     "sessionize_batch",
     "foreach_batch_stage",
@@ -140,6 +141,51 @@ def enrich_stream(
     pre-bucket the dimension on the join key instead.
     """
     return events.join(F.broadcast(dim), on, how)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "click_ts",
+    right_ts: str = "error_ts",
+    min_delta_s: int = 0,
+    max_delta_s: int = 300,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the streaming twin of the batch
+    `operators/temporal.py::range_join` (q_range_join): every (left,
+    right) pair with the same key where the right event lands in
+    (left_ts + min_delta_s, left_ts + max_delta_s]. Same bounds
+    semantics as the batch operator (exclusive lower, inclusive
+    upper).
+
+    Both sides carry watermarks and the join condition bounds
+    event-time distance in BOTH directions, which is exactly what
+    Spark's state cleanup needs: a buffered left row can be evicted
+    once the right watermark passes left_ts + max_delta_s (and vice
+    versa), so state is bounded by rate × (watermark + interval) — no
+    unbounded buffering at 100 TB/day stream volume.
+
+    Scale: state partitions by the join key; the interval predicate
+    prunes in-state candidates, so output (and state probe cost) is
+    linear in true matches, same as the batch bucketed equi-join.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("__l")
+    r = right.withWatermark(right_ts, right_watermark).alias("__r")
+    lo = F.col(f"__l.{left_ts}") + F.expr(
+        f"INTERVAL {int(min_delta_s)} SECOND"
+    )
+    hi = F.col(f"__l.{left_ts}") + F.expr(
+        f"INTERVAL {int(max_delta_s)} SECOND"
+    )
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (F.col(f"__r.{right_ts}") > lo)
+        & (F.col(f"__r.{right_ts}") <= hi)
+    )
+    return l.join(r, cond).drop(F.col(f"__r.{on}"))
 
 
 SESSION_SCHEMA = (

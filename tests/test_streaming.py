@@ -670,3 +670,49 @@ def test_foreach_batch_quarantine_split_and_replay(spark, tmp_path):
             ),
             2,
         )
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, landing, tmp_path):
+    """Stream-stream interval join over clicks/errors == the batch
+    range_join on the same data (same key, same (0, 300s] bounds) —
+    q_range_join's streaming twin, drained with availableNow."""
+    from flask_data_pipes_spark.operators.temporal import range_join
+    from flask_data_pipes_spark.streaming.stream import interval_join_stream
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("error_ts"),
+        )
+        return clicks, errors
+
+    ev = read_jsonl_stream(spark, landing, EVENTS_SCHEMA)
+    sc_clicks, sc_errors = split(ev)
+    joined = interval_join_stream(
+        sc_clicks, sc_errors,
+        on="user_id", left_ts="click_ts", right_ts="error_ts",
+        min_delta_s=0, max_delta_s=300,
+        left_watermark="3650 days", right_watermark="3650 days",
+    ).select("click_id", "error_id", "user_id")
+    _drain(joined, str(tmp_path), "ij_out")
+    got = {
+        (r["click_id"], r["error_id"])
+        for r in spark.sql("select * from ij_out").collect()
+    }
+
+    b = spark.read.schema(EVENTS_SCHEMA).json(landing)
+    bc, be = split(b)
+    want = {
+        (r["click_id"], r["error_id"])
+        for r in range_join(
+            bc, be, on="user_id", left_ts="click_ts",
+            right_ts="error_ts", min_delta=0.0, max_delta=300.0,
+        ).collect()
+    }
+    assert got == want and len(want) > 0

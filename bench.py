@@ -610,6 +610,41 @@ def _run_ann_crossover(spark, corpus, n_queries: int = 16) -> dict:
             entry["amortize_batches"] = round(pq_fit_sec / (best_brute - sec), 1)
         frontier[f"pq8x256_r{rerank}"] = entry
     pqi.unpersist()
+    # IVF-PQ: both axes at once — cells prune WHICH rows are scanned,
+    # residual codes shrink WHAT the scan touches (the production shape)
+    t0 = time.perf_counter()
+    ipq = similarity.ivfpq_fit(corpus, n_cells=256, m=8, n_centroids=256)
+    ipq.persist()
+    ipq.codes.count()
+    ipq_fit_sec = round(time.perf_counter() - t0, 3)
+    for n_probe, rerank in [(8, 4), (16, 4), (32, 8)]:
+        sec = time_min2(
+            lambda: similarity.ivfpq_search(
+                ipq, q, k=5, n_probe=n_probe, rerank=rerank, corpus=corpus
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        got = set(
+            (r.qid, r.vec_id)
+            for r in similarity.ivfpq_search(
+                ipq, q, k=5, n_probe=n_probe, rerank=rerank, corpus=corpus
+            )
+            .select("qid", "vec_id")
+            .collect()
+        )
+        rec = round(len(truth & got) / len(truth), 4) if truth else None
+        entry = {
+            "fit_sec": ipq_fit_sec,
+            "search_sec": sec,
+            "recall_at_5": rec,
+            "bytes_per_vector": 8,
+        }
+        if sec < best_brute:
+            entry["amortize_batches"] = round(ipq_fit_sec / (best_brute - sec), 1)
+        frontier[f"ivfpq256_p{n_probe}_r{rerank}"] = entry
+    ipq.unpersist()
     return {
         "n_corpus": corpus.count(),
         "n_queries": n_queries,

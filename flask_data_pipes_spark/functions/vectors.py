@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot",
     "norm",
+    "l2_normalize",
     "cosine_similarity",
     "l2_distance",
     "max_abs",
@@ -49,6 +50,13 @@ def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
 def norm(a: ColumnOrName) -> Column:
     """L2 norm."""
     return F.sqrt(dot(a, a))
+
+
+def l2_normalize(a: ColumnOrName) -> Column:
+    """Unit-norm copy of the vector; all-zero vectors stay all-zero
+    (try_divide null → coalesce back to 0.0 per component)."""
+    inv = F.try_divide(F.lit(1.0), norm(a))
+    return F.transform(_d(a), lambda x: F.coalesce(x * inv, F.lit(0.0)))
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:

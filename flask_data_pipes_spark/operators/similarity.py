@@ -42,6 +42,10 @@ __all__ = [
     "pq_fit",
     "pq_search",
     "pq_topk",
+    "IvfPqIndex",
+    "ivfpq_fit",
+    "ivfpq_search",
+    "ivfpq_topk",
     "random_projection",
 ]
 
@@ -968,4 +972,287 @@ def pq_topk(
     return pq_search(
         index, queries, k=k, rerank=rerank, corpus=corpus,
         vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+class IvfPqIndex:
+    """Composed IVF-PQ index (the production ANN shape): the coarse
+    KMeans cells prune WHICH rows each query scans (`IvfIndex`'s
+    win) and the per-row payload is an m-byte PQ code of the RESIDUAL
+    vector (PqIndex's win) — at 100 TB both matter: probes touch
+    ~n_probe/n_cells of the corpus, and what they touch is 32× smaller
+    than raw float32.
+
+    The dot product is linear, so score(q, v) decomposes exactly as
+    q·centroid_cell + q·residual; one LUT per query serves every cell
+    (no per-(query, cell) tables — the classic IVFADC trick applied to
+    inner-product search on normalized vectors)."""
+
+    def __init__(self, codes: DataFrame, centers, codebooks, id_col: str):
+        self.codes = codes  # (id, __cell, __code)
+        self.centers = centers
+        self.codebooks = codebooks
+        self.id_col = id_col
+
+    def persist(self) -> "IvfPqIndex":
+        self.codes = self.codes.persist()
+        return self
+
+    def unpersist(self) -> "IvfPqIndex":
+        self.codes.unpersist()
+        return self
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    n_cells: int = 64,
+    m: int = 8,
+    n_centroids: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 5,
+    n_iter: int = 12,
+    sample_size: int = 20000,
+) -> IvfPqIndex:
+    """Fit the composed index: distributed KMeans cells over
+    NORMALIZED vectors (pyspark.ml, same as `ivf_fit`), then PQ
+    codebooks over a driver-side sample of cell RESIDUALS
+    (v_norm − centroid), then one Arrow pass encoding every row to
+    (cell, m-byte code). Residuals are what PQ quantizes well — their
+    spread is the within-cell variance, much tighter than the raw
+    space."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    feats = corpus.select(
+        F.col(id_col),
+        V.l2_normalize(F.col(vec_col)).alias("__vn"),
+    ).withColumn("__features", array_to_vector(F.col("__vn")))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="__cell",
+    ).fit(feats)
+    assigned = model.transform(feats).select(id_col, "__vn", "__cell")
+    centers = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+    dim = centers.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    sample = (
+        assigned.select(id_col, "__vn", "__cell")
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    R = np.stack(
+        [
+            np.asarray(r["__vn"], dtype=np.float64) - centers[r["__cell"]]
+            for r in sample
+        ]
+    )
+    books = np.stack(
+        [
+            _pq_kmeans(R[:, j * sub : (j + 1) * sub], n_centroids, seed + j, n_iter)
+            for j in range(m)
+        ]
+    )
+    spark = corpus.sparkSession
+    b_books = spark.sparkContext.broadcast(books)
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def encode(it):
+        B = b_books.value
+        Cn = b_centers.value
+        mm, kk, ss = B.shape
+        cnorm = (B * B).sum(axis=2)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vn"]])
+            cells = pdf["__cell"].to_numpy()
+            Rm = M - Cn[cells]
+            codes = np.empty((len(M), mm), dtype=np.uint8)
+            for j in range(mm):
+                Xj = Rm[:, j * ss : (j + 1) * ss]
+                d = -2.0 * (Xj @ B[j].T) + cnorm[j][None, :]
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__cell": cells,
+                    "__code": [c.tobytes() for c in codes],
+                }
+            )
+
+    codes = (
+        assigned.select(F.col(id_col).alias("__id"), "__vn", "__cell")
+        .mapInPandas(encode, schema="__id long, __cell int, __code binary")
+        .select(F.col("__id").alias(id_col), "__cell", "__code")
+    )
+    return IvfPqIndex(
+        codes,
+        [list(map(float, c)) for c in centers],
+        [[list(map(float, c)) for c in bk] for bk in books],
+        id_col,
+    )
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    rerank: int = 4,
+    corpus: Optional[DataFrame] = None,
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Probe each query's `n_probe` nearest cells, ADC-score only the
+    probed cells' codes (score = q·centroid + Σ LUT[j][code_j]), keep
+    the top k·rerank, exact-rerank against the raw vectors when
+    `corpus` is given.
+
+    Scale: the candidate join is an equi-join on cell id touching
+    ~n_probe/n_cells of the CODE table (m bytes/row); the LUT set is
+    Q·m·n_centroids doubles broadcast once; the exact rerank reads
+    only candidate ids."""
+    import heapq
+
+    spark = index.codes.sparkSession
+    id_col = index.id_col
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, sim double, rnk int"
+        )
+    centers = np.asarray(index.centers, dtype=np.float64)
+    books = np.asarray(index.codebooks, dtype=np.float64)
+    mm, _kk, ss = books.shape
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+    qcent = Qn @ centers.T  # Q × n_cells: the q·centroid base terms
+    # per query: n_probe nearest cells by L2 on normalized space —
+    # argsort of ||q−c||² = 1 − 2q·c + ||c||² (same probe rule as IVF)
+    cd = -2.0 * qcent + (centers * centers).sum(axis=1)[None, :]
+    probe_order = np.argsort(cd, axis=1, kind="stable")[:, :n_probe]
+    LUT = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Q), mm, ss), books)
+    n_keep = k * rerank
+    qidx_of = {int(q): i for i, q in enumerate(qids)}
+    b_state = spark.sparkContext.broadcast(
+        (LUT, qcent, probe_order, qids)
+    )
+
+    def part_topk(batches):
+        lut, qc, po, qa = b_state.value
+        # cell → list of probing query indexes
+        probing: dict = {}
+        for qi in range(len(qa)):
+            for c in po[qi]:
+                probing.setdefault(int(c), []).append(qi)
+        heaps = [[] for _ in qa]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["__cell"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            C = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["__code"]]
+            ).astype(np.int64)
+            for cell in np.unique(cells):
+                qis = probing.get(int(cell))
+                if not qis:
+                    continue
+                rows = np.nonzero(cells == cell)[0]
+                Cr = C[rows]
+                for qi in qis:
+                    s = np.full(len(rows), qc[qi, cell])
+                    for j in range(mm):
+                        s += lut[qi, j, :][Cr[:, j]]
+                    h = heaps[qi]
+                    for off, i in enumerate(rows):
+                        if ids[i] == qa[qi]:
+                            continue
+                        item = (s[off], -int(ids[i]))
+                        if len(h) < n_keep:
+                            heapq.heappush(h, item)
+                        elif item > h[0]:
+                            heapq.heapreplace(h, item)
+        out = [
+            (int(qa[qi]), -negid, float(sv))
+            for qi in range(len(qa))
+            for sv, negid in heaps[qi]
+        ]
+        yield pd.DataFrame(
+            out, columns=[query_id_col, id_col, "sim_approx"]
+        ).astype({query_id_col: "int64", id_col: "int64", "sim_approx": "float64"})
+
+    partial = index.codes.mapInPandas(
+        part_topk, schema=f"{query_id_col} long, {id_col} long, sim_approx double"
+    )
+    wa = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim_approx"), F.asc(id_col)
+    )
+    cand = partial.withColumn("__arnk", F.row_number().over(wa)).filter(
+        F.col("__arnk") <= n_keep
+    )
+    if corpus is None:
+        return cand.select(
+            query_id_col, id_col,
+            (F.round("sim_approx", round_to) if round_to else F.col("sim_approx")).alias("sim_approx"),
+            F.col("__arnk").alias("rnk"),
+        )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__qinv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+    )
+    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.select(query_id_col, id_col)
+        .join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, id_col, sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 64,
+    m: int = 8,
+    n_centroids: int = 256,
+    n_probe: int = 8,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """One-shot IVF-PQ ANN: `ivfpq_fit` + `ivfpq_search` with exact
+    rerank. Fit once and reuse for repeated query batches."""
+    index = ivfpq_fit(
+        corpus, n_cells=n_cells, m=m, n_centroids=n_centroids,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    return ivfpq_search(
+        index, queries, k=k, n_probe=n_probe, rerank=rerank,
+        corpus=corpus, vec_col=vec_col, query_id_col=query_id_col,
     )

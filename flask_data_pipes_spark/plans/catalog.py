@@ -473,7 +473,10 @@ CHECKED_PREFIX = [
     "llm_cdc_chunks",
     "llm_vocab_stats",
     "llm_encoding_noise",
-    "llm_script_profile",
+    # Round-8: DSIR importance resampling (new family, fully oracled)
+    # takes llm_script_profile's slot — script coverage rides its
+    # encoding sibling above; script_profile stays oracled + swept
+    "llm_dsir_weights",
     # Multimodal
     "llm_multimodal_meta",
     "llm_media_header",
@@ -919,3 +922,65 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
     )
     return renamed
+
+
+@register(
+    "q_event_outliers",
+    oracle="""
+    WITH st AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu,
+             CASE WHEN count(*) > 1 THEN
+               sqrt((CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+                     - count(*) * pow(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 2))
+                    / (count(*) - 1))
+             END AS sd
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - st.mu) / st.sd, 6) AS zscore
+    FROM events e JOIN st USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND st.sd IS NOT NULL AND st.sd > 0
+      AND abs((e.value - st.mu) / st.sd) > 2.5
+    """,
+)
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: purchases whose value sits more
+    than 2.5 sample standard deviations from that user's own mean —
+    the grouped z-score outlier gauge every event pipeline ships.
+    Both engines compute mean and sample-sd from the SAME exact
+    decimal sums (Σv, Σv²), so the z-scores agree bit-for-bit after
+    rounding; users with one purchase or zero variance are skipped.
+
+    Scale: one shuffle on user_id for the moments, then the per-row
+    score joins the (users-sized, auto-broadcastable) stats table —
+    no window over the raw stream, no second shuffle of the events.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)")).cast(
+        "double"
+    )
+    st = e.groupBy("user_id").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    ).select(
+        "user_id",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("s2") - F.col("n") * F.pow(F.col("s1") / F.col("n"), 2))
+                / (F.col("n") - 1)
+            ),
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(st, "user_id")
+        .where(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )

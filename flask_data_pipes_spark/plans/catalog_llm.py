@@ -2463,6 +2463,27 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "sim", "rnk")
 
 
+@register("llm_ivfpq_topk")  # kmeans fits are iterative → rows-only gate
+def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (operators/similarity.py::ivfpq_topk): the
+    production shape — KMeans cells prune WHICH rows each query scans,
+    m-byte residual PQ codes shrink WHAT the scan touches (32× vs
+    float32), and score(q,v) decomposes exactly as q·centroid + ADC on
+    the residual (dot is linear), so ONE lookup table per query serves
+    every probed cell. Exact rerank of the top k·4 candidates.
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.ivfpq_topk(
+        e, q, k=5, n_cells=16, m=8, n_centroids=64, n_probe=8,
+        rerank=4, seed=42,
+    ).select("qid", "vec_id", "sim", "rnk")
+
+
 @register("llm_ann_recall")  # kmeans fit is iterative → rows-only gate
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate indexes against brute-force ground

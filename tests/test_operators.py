@@ -2215,3 +2215,54 @@ def test_pq_codes_are_m_bytes_and_recall_reasonable(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_exact_when_probes_and_rerank_cover_corpus(spark):
+    """IVF-PQ == brute force when every cell is probed and the rerank
+    window covers the corpus: cell pruning and ADC then only ORDER
+    candidates, the exact rerank decides — any disagreement is a bug
+    in the residual encode / LUT / base-term decomposition."""
+    from flask_data_pipes_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    want = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in ivfpq_topk(
+            e, q, k=5, n_cells=8, m=8, n_centroids=32,
+            n_probe=8, rerank=(n // 5) + 1,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_recall_reasonable_with_partial_probes(spark):
+    """With half the cells probed and modest rerank, the composed
+    index still recovers most of the true top-5 — the residual
+    decomposition (q·centroid + ADC) must not wreck the ordering."""
+    from flask_data_pipes_spark.operators.similarity import (
+        cosine_topk, ivfpq_fit, ivfpq_search,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    idx = ivfpq_fit(e, n_cells=8, m=8, n_centroids=32)
+    truth = {
+        (r["qid"], r["vec_id"]) for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in ivfpq_search(idx, q, k=5, n_probe=4, rerank=8, corpus=e).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.6, len(truth & got) / len(truth)

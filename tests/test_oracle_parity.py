@@ -296,6 +296,11 @@ GOLDEN_DIGESTS = {
         40,
         "6897241c1d80f26be64c84da73c3e46cddc69ee06b3cae91368ed809462499c5",
     ),
+    # composed IVF-PQ: seeded ml-KMeans cells + residual codebooks
+    "llm_ivfpq_topk": (
+        40,
+        "d9658d247ba60c50fe36537bdd215f3d0d8b4323e3723b04d701b3116d430f3b",
+    ),
 }
 
 

@@ -285,8 +285,9 @@ def test_checked_prefix_curated():
         "sparse-retrieval": ["llm_bm25_topk"],
         "cdc": ["llm_cdc_chunks"],
         "corpus-health": ["llm_vocab_stats"],
-        "encoding": ["llm_encoding_noise"],
-        "script": ["llm_script_profile"],
+        # round-8: script rides the encoding sibling; DSIR gated
+        "encoding-and-script": ["llm_encoding_noise"],
+        "dsir": ["llm_dsir_weights"],
         "or-amplified-lsh": ["llm_lsh_topk_multitable"],
     }
     for fam, members in families.items():

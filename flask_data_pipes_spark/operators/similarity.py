@@ -36,6 +36,7 @@ __all__ = [
     "ivf_fit",
     "ivf_save",
     "ivf_load",
+    "ivf_append",
     "ivf_search",
     "ivf_topk",
     "PqIndex",
@@ -46,6 +47,10 @@ __all__ = [
     "ivfpq_fit",
     "ivfpq_search",
     "ivfpq_topk",
+    "pq_save",
+    "pq_load",
+    "ivfpq_save",
+    "ivfpq_load",
     "random_projection",
 ]
 
@@ -329,6 +334,54 @@ def ivf_load(spark, path: str) -> IvfIndex:
         F.col("__cell").cast("int").alias("__cell"),
     )
     return IvfIndex(assigned, meta["centers"], meta["id_col"])
+
+
+def ivf_append(spark, path: str, new_vectors: DataFrame,
+               vec_col: str = "embedding") -> int:
+    """Append new vectors to an `ivf_save`d index WITHOUT refitting:
+    assign each new row to its nearest existing centroid (the fit is
+    the expensive, amortized half — assignment is one narrow map) and
+    append into the cell-partitioned layout. Returns the number of
+    rows appended.
+
+    This is how a production index tracks a growing corpus: daily
+    batches append in O(batch); the coarse quantizer only refits when
+    drift degrades the recall gauge (`llm_ann_recall` run on a sample
+    — measure, don't guess). Appended rows land in their cell's
+    directory, so probe-time partition pruning keeps working.
+
+    Scale: the centroid table is n_cells rows in the closure; the
+    assignment argmin is per-row; the write touches only the cells the
+    batch lands in (dynamic partition overwrite is NOT used — plain
+    append never rewrites existing files)."""
+    import os as _os
+
+    index = ivf_load(spark, path)
+    centers = np.asarray(index.centers, dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def assign(vs):
+        C = b_centers.value
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1)).astype("int32")
+
+    rows = new_vectors.select(
+        F.col(index.id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+        pandas_udf(assign, "int")(F.col(vec_col)).alias("__cell"),
+    )
+    n = rows.count()
+    rows.write.mode("append").partitionBy("__cell").parquet(
+        _os.path.join(path, "assigned")
+    )
+    return n
 
 
 def ivf_search(
@@ -1256,3 +1309,78 @@ def ivfpq_topk(
         index, queries, k=k, n_probe=n_probe, rerank=rerank,
         corpus=corpus, vec_col=vec_col, query_id_col=query_id_col,
     )
+
+
+def pq_save(index: PqIndex, path: str) -> None:
+    """Persist a fitted PQ index: the m-byte code table as parquet
+    plus the codebooks as a 1-row JSON sidecar (same scheme as
+    `ivf_save`). The at-rest footprint IS the memory story: m bytes +
+    id per vector; codebooks are a few hundred KB regardless of corpus
+    size. Fit once, serve query batches across sessions."""
+    import json as _json
+    import os as _os
+
+    index.codes.write.mode("overwrite").parquet(_os.path.join(path, "codes"))
+    spark = index.codes.sparkSession
+    meta = _json.dumps({"id_col": index.id_col, "codebooks": index.codebooks})
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(_os.path.join(path, "meta"))
+
+
+def pq_load(spark, path: str) -> PqIndex:
+    """Reload a `pq_save`d index."""
+    import json as _json
+    import os as _os
+
+    meta = _json.loads(
+        spark.read.text(_os.path.join(path, "meta")).first()["value"]
+    )
+    codes = spark.read.parquet(_os.path.join(path, "codes")).select(
+        meta["id_col"], "__code"
+    )
+    return PqIndex(codes, meta["codebooks"], meta["id_col"])
+
+
+def ivfpq_save(index: IvfPqIndex, path: str) -> None:
+    """Persist a fitted IVF-PQ index: codes written
+    `partitionBy(__cell)` — a probe of p cells READS ONLY p cells'
+    directories (the same at-rest pruning as `ivf_save`, now over
+    m-byte payloads instead of raw vectors) — plus centers+codebooks
+    as one JSON sidecar."""
+    import json as _json
+    import os as _os
+
+    (
+        index.codes.write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(_os.path.join(path, "codes"))
+    )
+    spark = index.codes.sparkSession
+    meta = _json.dumps(
+        {
+            "id_col": index.id_col,
+            "centers": index.centers,
+            "codebooks": index.codebooks,
+        }
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(_os.path.join(path, "meta"))
+
+
+def ivfpq_load(spark, path: str) -> IvfPqIndex:
+    """Reload an `ivfpq_save`d index; the code table comes back
+    partition-pruned on `__cell`."""
+    import json as _json
+    import os as _os
+
+    meta = _json.loads(
+        spark.read.text(_os.path.join(path, "meta")).first()["value"]
+    )
+    codes = spark.read.parquet(_os.path.join(path, "codes")).select(
+        meta["id_col"],
+        F.col("__cell").cast("int").alias("__cell"),
+        "__code",
+    )
+    return IvfPqIndex(codes, meta["centers"], meta["codebooks"], meta["id_col"])

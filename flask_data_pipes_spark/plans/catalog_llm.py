@@ -2536,6 +2536,15 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_mt4": similarity.lsh_topk(
             e, q, k=5, n_planes=4, seed=42, n_tables=4
         ).select("qid", "vec_id"),
+        # round 8: the quantized family joins the gauge — PQ reranks
+        # from 8-byte codes, IVF-PQ composes cell pruning on top
+        "pq": similarity.pq_topk(
+            e, q, k=5, m=8, n_centroids=64, rerank=4, seed=42
+        ).select("qid", "vec_id"),
+        "ivfpq": similarity.ivfpq_topk(
+            e, q, k=5, n_cells=16, m=8, n_centroids=64, n_probe=8,
+            rerank=4, seed=42,
+        ).select("qid", "vec_id"),
     }
     parts = []
     for name, res in approx.items():

@@ -2266,3 +2266,75 @@ def test_ivfpq_recall_reasonable_with_partial_probes(spark):
         for r in ivfpq_search(idx, q, k=5, n_probe=4, rerank=8, corpus=e).collect()
     }
     assert len(truth & got) / len(truth) >= 0.6, len(truth & got) / len(truth)
+
+
+def test_pq_and_ivfpq_save_load_roundtrip(spark, tmp_path):
+    """Index-at-rest parity for the quantized indexes: search results
+    after save+load equal the in-memory index's results (same codes,
+    same codebooks/centers through the JSON sidecar)."""
+    from flask_data_pipes_spark.operators.similarity import (
+        ivfpq_fit, ivfpq_load, ivfpq_save, ivfpq_search,
+        pq_fit, pq_load, pq_save, pq_search,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    pqi = pq_fit(e, m=8, n_centroids=32)
+    want = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in pq_search(pqi, q, k=5, rerank=4, corpus=e).collect()
+    }
+    pq_save(pqi, str(tmp_path / "pq"))
+    pql = pq_load(spark, str(tmp_path / "pq"))
+    got = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in pq_search(pql, q, k=5, rerank=4, corpus=e).collect()
+    }
+    assert got == want
+
+    ipq = ivfpq_fit(e, n_cells=8, m=8, n_centroids=32)
+    want = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in ivfpq_search(ipq, q, k=5, n_probe=4, rerank=4, corpus=e).collect()
+    }
+    ivfpq_save(ipq, str(tmp_path / "ipq"))
+    ipql = ivfpq_load(spark, str(tmp_path / "ipq"))
+    got = {
+        (r["qid"], r["rnk"]): r["vec_id"]
+        for r in ivfpq_search(ipql, q, k=5, n_probe=4, rerank=4, corpus=e).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_extends_saved_index(spark, tmp_path):
+    """Appending a batch to a saved IVF index makes the new vectors
+    searchable with NO refit: a query equal to an appended vector must
+    return it as the top neighbor; pre-existing results stay intact;
+    assignment matches what a fresh fit-assign of the same centroids
+    would produce (nearest-centroid rule)."""
+    from flask_data_pipes_spark.operators.similarity import (
+        ivf_append, ivf_fit, ivf_load, ivf_save, ivf_search,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = e.filter(F.col("vec_id") < 250)
+    rest = e.filter(F.col("vec_id") >= 250)
+    idx = ivf_fit(half, n_cells=8)
+    ivf_save(idx, str(tmp_path / "ivf"))
+    n = ivf_append(spark, str(tmp_path / "ivf"), rest)
+    assert n == rest.count()
+    full = ivf_load(spark, str(tmp_path / "ivf"))
+    assert full.assigned.count() == e.count()
+    # an appended vector used as its own query: with every cell
+    # probed the exact rerank must surface its true nearest neighbors
+    q = e.filter(F.col("vec_id") == 300).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = ivf_search(full, q, k=5, n_probe=8).collect()
+    assert len(got) == 5 and all(r["qid"] == 300 for r in got)
+    from flask_data_pipes_spark.operators.similarity import cosine_topk
+    want = {(r["qid"], r["rnk"]): r["vec_id"] for r in cosine_topk(e, q, k=5).collect()}
+    assert {(r["qid"], r["rnk"]): r["vec_id"] for r in got} == want

@@ -369,6 +369,11 @@ def test_golden_pin_ann_recall_values(spark, sf_dir):
     assert abs(r["lsh"] - 0.125) < 1e-9
     assert abs(r["lsh_mp4"] - 0.4) < 1e-9
     assert abs(r["lsh_mt4"] - 0.375) < 1e-9
+    # round 8: the quantized family — exact rerank pulls the 8-byte
+    # indexes ABOVE flat IVF at this corpus size (the 4k candidate
+    # window covers most of the 500-vector corpus)
+    assert abs(r["pq"] - 0.725) < 1e-9
+    assert abs(r["ivfpq"] - 0.7) < 1e-9
     assert r["ivf"] > r["lsh_mp4"] > r["lsh"]
     # OR-amplification lifts single-table recall ~3x even on the
     # LSH-hostile near-orthogonal fixture (clustered-data dominance is

@@ -4515,3 +4515,73 @@ def llm_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_DSIR_SEED,
     )
     return dsir_sample(w, k=64, seed=97)
+
+
+@register(
+    "llm_dsir_shift",
+    oracle=f"""
+    WITH {_ddb_dsir_weights()},
+    keyed AS (
+      SELECT doc_id, logw,
+             round(logw + -ln(-ln(
+               (({_ddb_md5_long("doc_id", 97)} % 1000000000) + 0.5)
+               / 1000000000.0)), 6) AS gumbel_key
+      FROM weights
+    ),
+    samp AS (
+      SELECT doc_id FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 64
+    ),
+    corpus AS (SELECT lang, count(*) AS n_corpus FROM documents GROUP BY lang),
+    insample AS (
+      SELECT d.lang, count(*) AS n_sample
+      FROM documents d JOIN samp USING (doc_id) GROUP BY d.lang
+    ),
+    tot AS (SELECT (SELECT count(*) FROM documents) AS nc)
+    SELECT c.lang, CAST(c.n_corpus AS BIGINT) AS n_corpus,
+           CAST(coalesce(i.n_sample, 0) AS BIGINT) AS n_sample,
+           round(c.n_corpus / CAST(nc AS DOUBLE), 6) AS corpus_frac,
+           round(coalesce(i.n_sample, 0) / 64.0, 6) AS sample_frac
+    FROM corpus c LEFT JOIN insample i USING (lang) CROSS JOIN tot
+    """,
+)
+def llm_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR END EFFECT, measured: per language, its share of the
+    raw corpus vs its share of the Gumbel-top-64 importance sample —
+    the resampled mix must shift toward the target domain (lang='en')
+    for the whole pipeline to mean anything. This is the
+    "measure, don't guess" gauge for the curation step itself (the
+    same discipline as llm_ann_recall for indexes and
+    llm_random_projection for dim reduction).
+
+    Scale: reuses the weight/sample plan (model broadcast, one corpus
+    shuffle); the shift report itself aggregates two tiny frames.
+    """
+    from ..operators.corpus import dsir_sample, dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    w = dsir_weights(
+        d, d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS, seed=_DSIR_SEED,
+    )
+    samp = dsir_sample(w, k=64, seed=97).select("doc_id")
+    corpus = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus")
+    )
+    insample = (
+        d.join(samp, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    )
+    nc = d.select(F.count(F.lit(1)).alias("__nc"))
+    return (
+        corpus.join(insample, "lang", "left")
+        .na.fill({"n_sample": 0})
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "lang",
+            "n_corpus",
+            "n_sample",
+            F.round(F.col("n_corpus") / F.col("__nc"), 6).alias("corpus_frac"),
+            F.round(F.col("n_sample") / F.lit(64.0), 6).alias("sample_frac"),
+        )
+    )

@@ -461,3 +461,27 @@ def test_cdc_chunks_tile_exactly(spark, words, mask_bits):
     assert idxs == list(range(len(rows)))
     assert all(r["n_tokens"] >= 1 for r in rows)
     assert sum(r["n_tokens"] for r in rows) == len(text.split())
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    ),
+    st.text(alphabet="abcde", min_size=0, max_size=10),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_word_equals_sequential_replay(corpus, word, n_merges):
+    """Property: rank-greedy BPE inference == sequential replay of the
+    trained merge list, for arbitrary small-alphabet corpora (dense
+    with overlapping/tied pairs) and arbitrary words INCLUDING ones
+    the trainer never saw. Pure-Python — no Spark session needed."""
+    from flask_data_pipes_spark.operators.bpe import encode_word
+    from tests.test_operators import _reference_bpe, _replay_merges
+
+    merges = _reference_bpe(corpus, n_merges=n_merges, min_count=1)
+    ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
+    assert encode_word(word, ranks) == _replay_merges(word, merges)

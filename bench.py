@@ -84,6 +84,10 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # and the bottom-k sample (TakeOrderedAndProject: scan-bound)
     "llm_bpe_pair_counts",
     "llm_bottomk_quantiles",
+    # round-8: DSIR — the scale claim is the model is <=1024 rows
+    # (broadcast) and the corpus pays one explode + map-side join +
+    # one doc-keyed groupBy, so 10x data should ratio near scan cost
+    "llm_dsir_weights",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -4585,3 +4585,59 @@ def llm_dsir_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_sample") / F.lit(64.0), 6).alias("sample_frac"),
         )
     )
+
+
+@register("llm_pq_distortion")  # codebook fit is iterative → rows-only gate
+def llm_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction quality, MEASURED (the same discipline as
+    llm_ann_recall for indexes and llm_random_projection for JL): for
+    every pair in a 30-vector sample, the exact cosine vs the ADC
+    approximation (dot of one exact vector with the other's
+    reconstructed code) and the absolute error. This is the per-corpus
+    gauge that decides whether 8-byte codes are usable on YOUR
+    embeddings — on structureless synthetic vectors the distortion is
+    large (the honest finding BASELINE.md records); on real manifolds
+    the codebooks capture structure and it shrinks.
+
+    Output: (vec_a, vec_b, cos_exact, sim_adc, abs_err).
+
+    Scale: the pair gauge runs on a SAMPLE (30 rows, driver-side
+    pairs); production points it at a sampled slice of the corpus.
+    """
+    import numpy as _np
+
+    from ..operators.similarity import pq_fit
+
+    e = load(spark, sf_dir, "embeddings")
+    idx = pq_fit(e, m=8, n_centroids=64, seed=42)
+    sample = (
+        e.filter(F.col("vec_id") < 30)
+        .join(idx.codes, "vec_id")
+        .select("vec_id", "embedding", "__code")
+        .collect()
+    )
+    books = _np.asarray(idx.codebooks, dtype=_np.float64)  # m × k × sub
+    mm, _kk, ss = books.shape
+    rows = []
+    vecs = {}
+    recon = {}
+    for r in sample:
+        v = _np.asarray(r["embedding"], dtype=_np.float64)
+        n = _np.linalg.norm(v)
+        vn = v / n if n > 0 else v
+        code = _np.frombuffer(bytes(r["__code"]), dtype=_np.uint8)
+        rec = _np.concatenate([books[j, code[j]] for j in range(mm)])
+        vecs[r["vec_id"]], recon[r["vec_id"]] = vn, rec
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cos = round(float(vecs[a] @ vecs[b]), 6)
+            adc = round(float(vecs[a] @ recon[b]), 6)
+            rows.append(
+                (a, b, cos, adc, round(abs(cos - adc), 6))
+            )
+    return spark.createDataFrame(
+        rows,
+        "vec_a long, vec_b long, cos_exact double, sim_adc double, "
+        "abs_err double",
+    )

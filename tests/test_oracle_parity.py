@@ -301,6 +301,11 @@ GOLDEN_DIGESTS = {
         40,
         "d9658d247ba60c50fe36537bdd215f3d0d8b4323e3723b04d701b3116d430f3b",
     ),
+    # PQ reconstruction distortion gauge: 30-vector sample, 435 pairs
+    "llm_pq_distortion": (
+        435,
+        "24a502015658032b756f8838a9c228fc50435531e1dd110c6fd1a5be5349bbbe",
+    ),
 }
 
 

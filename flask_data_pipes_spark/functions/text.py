@@ -33,6 +33,8 @@ __all__ = [
     "quality_score",
     "detect_language",
     "chunk_clean",
+    "unicode_clean",
+    "UNICODE_STRIP_PATTERN",
     "encoding_noise",
     "script_profile",
     "pseudo_weights",
@@ -515,3 +517,24 @@ def hashed_linear_score(
     return F.when(
         n > 0, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     )
+
+
+# characters unicode_clean strips: C0/C1 controls except \t\n\r, DEL,
+# zero-width + bidi formatting marks, BOM, word-joiner. Written with
+# \x{...} escapes, the one class syntax Java regex (Spark) and RE2
+# (DuckDB) both accept — keep the two engines' patterns IDENTICAL.
+UNICODE_STRIP_PATTERN = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{0080}-\x{009F}\x{200B}-\x{200F}\x{202A}-\x{202E}"
+    r"\x{2060}\x{FEFF}]"
+)
+
+
+def unicode_clean(c: ColumnOrName) -> Column:
+    """Strip invisible sabotage characters — zero-width spaces/joiners,
+    bidi override marks, BOMs, C0/C1 controls (tab/newline/CR kept) —
+    the standard C4/CCNet sanitation step before tokenization:
+    zero-width chars silently split tokens, bidi overrides reorder
+    rendered text, and controls break downstream parsers. Null-safe;
+    pure codegen (one regexp_replace), no UDF."""
+    return F.regexp_replace(_col(c), UNICODE_STRIP_PATTERN, "")

@@ -4641,3 +4641,52 @@ def llm_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a long, vec_b long, cos_exact double, sim_adc double, "
         "abs_err double",
     )
+
+
+from ..functions.text import UNICODE_STRIP_PATTERN as _USP
+
+
+@register(
+    "llm_unicode_clean",
+    oracle=rf"""
+    WITH corrupted AS (
+      SELECT doc_id, length(text) AS orig_len,
+             chr(65279) || substr(text, 1, 1) || chr(8203)
+               || substr(text, 2) || chr(8238) AS bad
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    )
+    SELECT doc_id, CAST(orig_len AS BIGINT) AS orig_len,
+           CAST(length(bad) AS BIGINT) AS corrupted_len,
+           CAST(length(regexp_replace(bad,
+             '{_USP}', '', 'g')) AS BIGINT) AS clean_len
+    FROM corrupted
+    """,
+)
+def llm_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode sanitation (functions/text.py::unicode_clean), proven
+    end-to-end: each document is CORRUPTED with a BOM, a zero-width
+    space, and a bidi-override mark (the classic invisible-character
+    sabotage inputs), then cleaned — clean_len must return to
+    orig_len while corrupted_len is orig_len+3. The strip pattern is
+    written in the one regex-class syntax Java regex and RE2 share,
+    so the oracle runs the IDENTICAL pattern.
+
+    Scale: one codegen regexp_replace per row — cost is the scan; no
+    UDF, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    bad = F.concat(
+        F.lit("﻿"),
+        F.substring(F.col("text"), 1, 1),
+        F.lit("​"),
+        F.expr("substring(text, 2)"),
+        F.lit("‮"),
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_len"),
+        F.length(bad).cast("long").alias("corrupted_len"),
+        F.length(T.unicode_clean(bad)).cast("long").alias("clean_len"),
+    )

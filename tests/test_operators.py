@@ -2338,3 +2338,25 @@ def test_ivf_append_extends_saved_index(spark, tmp_path):
     from flask_data_pipes_spark.operators.similarity import cosine_topk
     want = {(r["qid"], r["rnk"]): r["vec_id"] for r in cosine_topk(e, q, k=5).collect()}
     assert {(r["qid"], r["rnk"]): r["vec_id"] for r in got} == want
+
+
+def test_unicode_clean_strips_invisibles_keeps_structure(spark):
+    """unicode_clean removes zero-width chars, bidi overrides, BOMs,
+    and C0/C1 controls but PRESERVES tab/newline/CR and legitimate
+    unicode (soft hyphen, CJK, accents); null-safe."""
+    from flask_data_pipes_spark.functions.text import unicode_clean
+
+    cases = [
+        ("a​b‌c‍d", "abcd"),          # zero-widths
+        ("﻿doc", "doc"),                         # BOM
+        ("x‮evil‬", "xevil"),          # RLO + PDI both in 202A-202E
+        ("ctl\x01\x02\x1f\x7f\x85!", "ctl!"),        # C0/C1 + DEL
+        ("keep\tthis\nand\rthat", "keep\tthis\nand\rthat"),
+        ("café—日本­", "café—日本­"),        # legit unicode + soft hyphen kept
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               "i long, t string")
+    got = {r["i"]: r["c"] for r in df.select("i", unicode_clean("t").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)

@@ -32,6 +32,7 @@ from ..functions import vectors as V
 
 __all__ = [
     "exact_dedup",
+    "line_dedup",
     "boilerplate_prune",
     "minhash_bands",
     "candidate_pairs",
@@ -120,6 +121,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .agg(
             F.min(id_col).alias(f"keep_{id_col}"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Line/paragraph-grain dedup with KEEP-FIRST semantics (the
+    RefinedWeb / CCNet line-level dedup rule): split every document on
+    `sep`, and corpus-wide keep only the FIRST occurrence of each
+    distinct line — first by (id, position-in-doc) order — dropping
+    every later repeat, then reassemble each document from its
+    surviving lines in original order.
+
+    This differs from `boilerplate_prune` (the C4 rule), which removes
+    repeated spans from EVERY document including the first: here one
+    canonical copy of a repeated header/footer/nav line survives.
+
+    Lines are trimmed and blank lines dropped before matching; docs
+    whose every line is a later repeat still emit a row with
+    clean_text = ''.
+
+    Output: (id, n_segs, n_kept, clean_text).
+
+    Scale shape: the winner per line is `min(struct(id, pos))` via
+    groupBy on a uniform 60-bit line hash — partial agg collapses even
+    a corpus-dominating line map-side (no hot-key sort, which is why
+    this is an agg+join, NOT a row_number window over the hash). The
+    winners table joins back as a plain equi-join on the hash (AQE
+    skew-splittable), and the rebuild is one groupBy(id) carrying each
+    line's text exactly once. Hash collisions conflate lines (same
+    contract as `exact_dedup`'s fingerprint).
+    """
+    segs = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "seg"),
+        )
+        .withColumn("seg", F.trim(F.col("seg")))
+        .filter(F.col("seg") != "")
+        .withColumn("h", T.md5_long(F.col("seg"), 11))
+    )
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w")
+    )
+    kept = (F.col(id_col) == F.col("__w")[id_col]) & (
+        F.col("pos") == F.col("__w")["pos"]
+    )
+    return (
+        segs.join(winners, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("pos"), F.col("seg")))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                sep,
+            ).alias("clean_text"),
         )
     )
 

@@ -30,18 +30,20 @@ automated, because chunk choice is data-dependent.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import epoch_us
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "gapfill"]
 
 _SIDE = "__asof_side"
 _PAYLOAD = "__asof_payload"
 _BUCKET = "__rj_bucket"
+_GF_US = "__gf_bucket_us"
+_GF_PRESENT = "__gf_present"
 
 
 def _keys(on: Union[str, Sequence[str]]) -> List[str]:
@@ -172,4 +174,121 @@ def range_join(
         lt.join(rt, keys + [_BUCKET])
         .filter((delta > min_us) & (delta <= max_us))
         .drop(_BUCKET)
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    ts: str = "ts",
+    by: Optional[Union[str, Sequence[str]]] = None,
+    step: float = 3600.0,
+    aggs: Optional[Dict[str, Column]] = None,
+    fill: Optional[Dict[str, Union[str, Tuple[str, object]]]] = None,
+    bounds: Optional[Tuple[str, str]] = None,
+) -> DataFrame:
+    """Time-bucket aggregation with a DENSE bucket grid — the
+    `time_bucket_gapfill` + `locf` shape of hypertable rollups
+    (TimescaleDB semantics, reimplemented on native Spark ops).
+
+    The reference (`/root/reference`) has no temporal rollup at all
+    (SURVEY.md §2.8); this belongs to the engine's Spark-native
+    superset: downsampling event streams into regular time series for
+    dashboards / feature windows, where MISSING buckets must appear
+    (zero-filled or carried forward), not silently vanish the way a
+    plain groupBy(window(...)) leaves holes.
+
+    Args:
+      ts: timestamp column; rows bucket to ``floor(epoch/step)*step``.
+      by: optional grouping key(s); each group gets its own dense grid.
+      step: bucket width in seconds.
+      aggs: ``{out_name: aggregate Column}`` computed per (by, bucket).
+      fill: per-output fill policy for grid rows with no data:
+        ``"locf"`` (last observation carried forward within the group),
+        ``"zero"``, ``("const", v)``, or absent → stays NULL.
+      bounds: optional ``(start, end)`` timestamp strings for a global
+        grid; default is each group's own [min, max] bucket range.
+
+    Output: by keys, `ts` (bucket start, timestamp), one column per
+    agg, and boolean ``gap_filled`` (true on synthesized buckets).
+
+    Scale design: the raw scan aggregates FIRST (partial map-side
+    combine, one shuffle on (by, bucket)); the grid is built from the
+    post-agg extents (`sequence` + `explode` — grid size is
+    time-range/step per group, independent of row count) and
+    left-joined back at the same grain. LOCF is one running
+    `last(ignorenulls)` window per group over the GRID (post-agg
+    cardinality, never raw rows). With ``by=None`` the LOCF window is
+    a single partition — fine, because the frame it sorts is the
+    bucket grid, not the data.
+    """
+    if aggs is None:
+        aggs = {"n": F.count(F.lit(1))}
+    keys = [] if by is None else _keys(by)
+    step_us = int(round(step * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step must be positive")
+    fill = dict(fill or {})
+    unknown = set(fill) - set(aggs)
+    if unknown:
+        raise ValueError(f"fill refers to unknown outputs: {sorted(unknown)}")
+
+    bucket_us = (
+        F.floor(epoch_us(F.col(ts)) / F.lit(step_us)) * F.lit(step_us)
+    ).cast("long")
+    g = (
+        df.withColumn(_GF_US, bucket_us)
+        .groupBy(*keys, _GF_US)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumn(_GF_PRESENT, F.lit(True))
+    )
+
+    if bounds is not None:
+        lo = F.lit(bounds[0]).cast("timestamp")
+        hi = F.lit(bounds[1]).cast("timestamp")
+        lo_us = (
+            F.floor(epoch_us(lo) / F.lit(step_us)) * F.lit(step_us)
+        ).cast("long")
+        hi_us = (
+            F.floor(epoch_us(hi) / F.lit(step_us)) * F.lit(step_us)
+        ).cast("long")
+        base = g.select(*keys).distinct() if keys else g.select().limit(1)
+        grid = base.select(
+            *keys,
+            F.explode(F.sequence(lo_us, hi_us, F.lit(step_us))).alias(_GF_US),
+        )
+    else:
+        ext = g.groupBy(*keys).agg(
+            F.min(_GF_US).alias("__lo"), F.max(_GF_US).alias("__hi")
+        )
+        grid = ext.select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_us))
+            ).alias(_GF_US),
+        )
+
+    out = grid.join(g, keys + [_GF_US], "left")
+    filled_cols: Dict[str, Column] = {}
+    w_locf = (
+        Window.partitionBy(*keys)
+        .orderBy(_GF_US)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for name, policy in fill.items():
+        c = F.col(name)
+        if policy == "locf":
+            filled_cols[name] = F.last(name, ignorenulls=True).over(w_locf)
+        elif policy == "zero":
+            filled_cols[name] = F.coalesce(c, F.lit(0))
+        elif isinstance(policy, tuple) and policy[0] == "const":
+            filled_cols[name] = F.coalesce(c, F.lit(policy[1]))
+        else:
+            raise ValueError(f"unknown fill policy for {name}: {policy!r}")
+    for name, c in filled_cols.items():
+        out = out.withColumn(name, c)
+    return out.select(
+        *keys,
+        F.timestamp_micros(F.col(_GF_US)).alias(ts),
+        *[F.col(n) for n in aggs],
+        F.coalesce(~F.col(_GF_PRESENT), F.lit(True)).alias("gap_filled"),
     )

@@ -4690,3 +4690,63 @@ def llm_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(bad).cast("long").alias("corrupted_len"),
         F.length(T.unicode_clean(bad)).cast("long").alias("clean_len"),
     )
+
+
+@register(
+    "llm_line_dedup",
+    oracle=r"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g')
+               AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos,
+             trim(unnest(string_split(t, chr(10)))) AS seg
+      FROM lined
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM segs WHERE seg <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           COALESCE(string_agg(seg, chr(10) ORDER BY pos) FILTER (rn = 1),
+                    '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup, keep-first (RefinedWeb / CCNet rule): the
+    corpus-wide FIRST occurrence of each distinct line survives, every
+    later repeat is dropped, and documents are reassembled in order
+    (operators/dedup.py::line_dedup). The fixture corpus has no
+    newlines, so documents are first split into 10-word lines with one
+    shared-syntax regexp (Java regex and RE2 agree on the pattern;
+    only the replacement backref spelling differs, $1 vs \\1).
+
+    Unlike `llm_boilerplate` (C4: repeated span removed EVERYWHERE),
+    one canonical copy survives here — the two entries pin both
+    keep-semantics.
+
+    Scale: winner per line is min(struct(id,pos)) via groupBy on a
+    uniform 60-bit hash — map-side partial agg absorbs even a
+    corpus-dominating line; join-back is an AQE-splittable equi-join;
+    rebuild carries each line's text once. No window over the hash, no
+    self-join."""
+    from ..operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    lined = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){9}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return dedup.line_dedup(lined).select(
+        "doc_id", "n_segs", "n_kept", "clean_text"
+    )

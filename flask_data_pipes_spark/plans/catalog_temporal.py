@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import epoch_us
-from ..operators.temporal import asof_join, range_join
+from ..operators.temporal import asof_join, gapfill, range_join
 from .catalog import load, register
 
 
@@ -158,4 +158,74 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("roll3_sum"),
         F.count(F.lit(1)).over(wcum).alias("cum_events"),
+    )
+
+
+@register(
+    "q_gapfill_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts::TIMESTAMP) // 600000000) * 600000000 AS bus,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(MIN(bus), MAX(bus), 600000000)) AS bus
+      FROM g GROUP BY event_type
+    ),
+    j AS (
+      SELECT grid.event_type, grid.bus,
+             COALESCE(g.n_events, 0) AS n_events,
+             COALESCE(g.sum_value, 0.0) AS sum_value,
+             last_value(g.avg_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+             g.n_events IS NULL AS gap_filled
+      FROM grid LEFT JOIN g USING (event_type, bus)
+    )
+    SELECT event_type, make_timestamp(bus) AS ts, n_events, sum_value,
+           avg_value, gap_filled
+    FROM j
+    """,
+)
+def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with gap-fill: 10-minute buckets per
+    event_type on a DENSE grid — buckets with no events appear with
+    n_events=0, sum_value=0, and the bucket average carried forward
+    (LOCF), flagged `gap_filled`. The `time_bucket_gapfill` + `locf`
+    shape dashboards need; a plain groupBy(window(...)) silently
+    drops empty buckets.
+
+    Exactness: sums go through DECIMAL(38,6) so both engines add
+    exactly; avg is the exact decimal sum divided as double.
+
+    Scale: raw rows aggregate FIRST (map-side combine, one shuffle on
+    (type, bucket)); the grid is sequence+explode from the post-agg
+    extents, so its size is time-range/step per type — independent of
+    row count. LOCF windows over the grid, never raw rows
+    (operators/temporal.py:180)."""
+    e = load(spark, sf_dir, "events")
+    dec_sum = F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    return gapfill(
+        e,
+        ts="ts",
+        by="event_type",
+        step=600.0,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dec_sum,
+            "avg_value": dec_sum / F.count(F.lit(1)),
+        },
+        fill={
+            "n_events": "zero",
+            "sum_value": "zero",
+            "avg_value": "locf",
+        },
+    ).select(
+        "event_type", "ts", "n_events", "sum_value", "avg_value", "gap_filled"
     )

@@ -2360,3 +2360,41 @@ def test_unicode_clean_strips_invisibles_keeps_structure(spark):
     got = {r["i"]: r["c"] for r in df.select("i", unicode_clean("t").alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_line_dedup_keep_first_and_reassembly(spark):
+    rows = [
+        (1, "header\nalpha beta\nfooter"),
+        (2, "header\ngamma delta\nfooter"),   # header/footer repeat -> dropped
+        (3, "header\nheader\nepsilon"),       # in-doc repeat also dropped
+        (4, "  header  "),                    # whole doc is a later repeat
+        (5, "   "),                           # blank doc: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from flask_data_pipes_spark.operators.dedup import line_dedup
+
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is first for all three of its lines -> everything kept
+    assert out[1]["n_segs"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "header\nalpha beta\nfooter"
+    # doc 2 keeps only its unique middle line
+    assert out[2]["n_kept"] == 1 and out[2]["clean_text"] == "gamma delta"
+    # doc 3: both 'header' copies are later repeats; epsilon survives
+    assert out[3]["n_segs"] == 3 and out[3]["n_kept"] == 1
+    assert out[3]["clean_text"] == "epsilon"
+    # doc 4: everything was a repeat -> empty but present (trimmed match)
+    assert out[4]["n_segs"] == 1 and out[4]["n_kept"] == 0
+    assert out[4]["clean_text"] == ""
+
+
+def test_line_dedup_differs_from_boilerplate_semantics(spark):
+    # keep-first retains ONE copy of the repeated line; C4-style
+    # boilerplate_prune would remove it from every document.
+    rows = [(1, "dup line\nuniq a"), (2, "dup line\nuniq b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from flask_data_pipes_spark.operators.dedup import line_dedup
+
+    out = {r["doc_id"]: r["clean_text"] for r in line_dedup(df).collect()}
+    assert out[1] == "dup line\nuniq a"
+    assert out[2] == "uniq b"

@@ -143,3 +143,82 @@ def test_range_join_plans_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- gapfill (time_bucket_gapfill + locf shape) -----------------------------
+
+from flask_data_pipes_spark.operators.temporal import gapfill  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def sparse_events(spark):
+    # k1: buckets 0, 3 occupied (gap at 1, 2); k2: bucket 1 only.
+    return spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T00:00:30"), 10.0),
+            ("k1", _ts("2024-01-01T00:00:45"), 20.0),
+            ("k1", _ts("2024-01-01T00:03:10"), 40.0),
+            ("k2", _ts("2024-01-01T00:01:15"), 7.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+
+
+def test_gapfill_dense_grid_zero_and_locf(spark, sparse_events):
+    out = gapfill(
+        sparse_events,
+        ts="ts",
+        by="k",
+        step=60.0,
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        fill={"n": "zero", "s": "locf"},
+    )
+    rows = {(r["k"], r["ts"].minute): r for r in out.collect()}
+    # k1 grid is minutes 0..3 dense; k2 is the single minute 1.
+    assert {(k, m) for (k, m) in rows} == {
+        ("k1", 0), ("k1", 1), ("k1", 2), ("k1", 3), ("k2", 1)
+    }
+    assert rows[("k1", 0)]["n"] == 2 and rows[("k1", 0)]["s"] == 30.0
+    assert not rows[("k1", 0)]["gap_filled"]
+    # synthesized buckets: count zero-filled, sum carried forward
+    for m in (1, 2):
+        r = rows[("k1", m)]
+        assert r["gap_filled"] and r["n"] == 0 and r["s"] == 30.0
+    assert rows[("k1", 3)]["s"] == 40.0 and rows[("k1", 3)]["n"] == 1
+    assert rows[("k2", 1)]["n"] == 1 and not rows[("k2", 1)]["gap_filled"]
+
+
+def test_gapfill_bounds_and_const_and_global(spark, sparse_events):
+    out = gapfill(
+        sparse_events,
+        ts="ts",
+        by=None,
+        step=60.0,
+        aggs={"n": F.count(F.lit(1))},
+        fill={"n": ("const", -1)},
+        bounds=("2024-01-01T00:00:00", "2024-01-01T00:05:00"),
+    ).collect()
+    by_min = {r["ts"].minute: r for r in out}
+    assert set(by_min) == {0, 1, 2, 3, 4, 5}  # bounds-driven, not extents
+    assert by_min[0]["n"] == 2 and by_min[1]["n"] == 1 and by_min[3]["n"] == 1
+    assert by_min[2]["n"] == -1 and by_min[2]["gap_filled"]
+    assert by_min[4]["n"] == -1 and by_min[5]["n"] == -1
+
+
+def test_gapfill_validation(spark, sparse_events):
+    with pytest.raises(ValueError, match="unknown outputs"):
+        gapfill(sparse_events, by="k", aggs={"n": F.count(F.lit(1))},
+                fill={"nope": "zero"})
+    with pytest.raises(ValueError, match="step"):
+        gapfill(sparse_events, by="k", step=0.0)
+    with pytest.raises(ValueError, match="fill policy"):
+        gapfill(sparse_events, by="k", aggs={"n": F.count(F.lit(1))},
+                fill={"n": "bogus"})
+
+
+def test_gapfill_plan_no_cartesian(spark, sparse_events):
+    plan = gapfill(
+        sparse_events, by="k", step=60.0,
+        aggs={"n": F.count(F.lit(1))}, fill={"n": "zero"},
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

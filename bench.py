@@ -88,6 +88,12 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # (broadcast) and the corpus pays one explode + map-side join +
     # one doc-keyed groupBy, so 10x data should ratio near scan cost
     "llm_dsir_weights",
+    # continued round 8: gapfill — grid size is time-range/step per
+    # group (data-INDEPENDENT), so the 10x ratio should track the
+    # pre-agg scan only; line dedup — one hash groupBy + equi-join +
+    # doc rebuild, all map-side-combining shapes
+    "q_gapfill_events",
+    "llm_line_dedup",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------
@@ -163,7 +169,11 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     from pyspark.sql import functions as F
 
     meta_path = os.path.join(dst_dir, "_META.json")
-    meta = {"src": os.path.abspath(src_dir), "copies": copies}
+    meta = {
+        "src": os.path.abspath(src_dir),
+        "copies": copies,
+        "tables": ["documents", "embeddings", "events"],
+    }
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as fh:
@@ -220,6 +230,23 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     functools.reduce(lambda a, b: a.unionByName(b), emb_copies).write.mode(
         "overwrite"
     ).parquet(f"{dst_dir}/embeddings.parquet")
+    # events: 10x the rows over the SAME time range (ids/users shifted,
+    # ts nudged by c microseconds so copies aren't identical rows) —
+    # the honest scale shape for gapfill, whose grid size must stay
+    # data-INDEPENDENT while the pre-agg scan pays the 10x.
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    ev_copies = []
+    for c in range(copies):
+        ev_copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(c * 1_000_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(c * 1_000_000))
+            # INTERVAL arithmetic keeps the NTZ timestamp type intact
+            # (unix_micros/timestamp_micros would reject/retype NTZ)
+            .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {c} MICROSECOND"))
+        )
+    functools.reduce(lambda a, b: a.unionByName(b), ev_copies).write.mode(
+        "overwrite"
+    ).parquet(f"{dst_dir}/events.parquet")
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
 

@@ -457,7 +457,11 @@ CHECKED_PREFIX = [
     # Similarity search
     "llm_cosine_topk",
     "llm_lsh_topk",
-    "llm_lsh_topk_multitable",
+    # Continued round 8: gapfill (hypertable rollup family) takes the
+    # OR-amplified LSH variant's slot (llm_lsh_topk_multitable is the
+    # same bucket-join machinery as llm_lsh_topk with more tables; it
+    # stays oracled + swept behind the prefix)
+    "q_gapfill_events",
     # Corpus pipeline
     "llm_corpus_clean",
     "llm_weighted_sample",
@@ -466,7 +470,10 @@ CHECKED_PREFIX = [
     "llm_decontaminate",
     "llm_pack_sequences",
     "llm_boilerplate_prune",
-    "llm_token_budget",
+    # Continued round 8: keep-first line dedup (distinct keep-semantics
+    # family) takes llm_token_budget's slot (a cumsum quota over the
+    # same prefix-sum machinery as llm_pack_sequences; stays oracled)
+    "llm_line_dedup",
     # Round-4 families: sparse retrieval, CDC dedup, corpus health,
     # encoding/script signals
     "llm_bm25_topk",

@@ -280,7 +280,10 @@ def test_checked_prefix_curated():
         "clusters": ["llm_dedup_clusters"],
         "semantic-dedup": ["llm_semdedup_production", "llm_embedding_neardup"],
         "ann": ["llm_cosine_topk", "llm_lsh_topk"],
-        "corpus": ["llm_boilerplate_prune", "llm_token_budget"],
+        "corpus": ["llm_boilerplate_prune"],
+        # continued round 8: both repeated-line keep-semantics gated
+        "line-dedup-keep-first": ["llm_line_dedup"],
+        "gapfill-rollup": ["q_gapfill_events"],
         "multimodal": ["llm_multimodal_meta", "llm_media_header"],
         "sparse-retrieval": ["llm_bm25_topk"],
         "cdc": ["llm_cdc_chunks"],
@@ -288,7 +291,6 @@ def test_checked_prefix_curated():
         # round-8: script rides the encoding sibling; DSIR gated
         "encoding-and-script": ["llm_encoding_noise"],
         "dsir": ["llm_dsir_weights"],
-        "or-amplified-lsh": ["llm_lsh_topk_multitable"],
     }
     for fam, members in families.items():
         assert any(m in CHECKED_PREFIX[:50] for m in members), fam

@@ -37,6 +37,7 @@ __all__ = [
     "shuffle_shards",
     "decontaminate",
     "bm25_topk",
+    "rrf_fuse",
     "vocab_stats",
     "length_histogram",
     "temperature_sample",
@@ -331,6 +332,80 @@ def bm25_topk(
             F.col("__doc").alias(id_col),
             "score",
             F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rnk_col: str = "rnk",
+    k_const: int = 60,
+    topk: int = 5,
+    round_out: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine
+    N retrieval rankings of the same corpus into one, scoring each
+    (query, doc) by Σ 1/(k_const + rank_i) over the rankings where the
+    doc appears. The standard hybrid-retrieval combiner — dense ANN +
+    sparse BM25 legs disagree on scale and calibration, but RRF only
+    consumes RANKS, so no score normalization is needed.
+
+    Inputs: each ranking is (qid_col, id_col, rnk_col) with rnk 1..k
+    per query (extra columns ignored). Output: (qid, id, rrf_score,
+    n_rankers, rnk) with rnk 1..topk per query, ties broken by
+    ascending doc id.
+
+    Cross-engine determinism: each reciprocal term is rounded to 9dp
+    and summed as DECIMAL(38,18) — exact and addition-order-free, so
+    a DuckDB oracle summing the same rounded terms matches bit-for-bit
+    however Spark's partial aggregation orders the legs.
+
+    Scale shape: the inputs are ALREADY top-k tables (≤ Q·k rows per
+    leg — bounded by queries, not corpus), so the union + one
+    groupBy(qid, id) + per-qid window all run on query-bounded data;
+    the corpus-sized work stays inside the upstream retrieval legs.
+    No crossJoin, no driver-side state.
+    """
+    import functools
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    legs = [
+        r.select(
+            F.col(qid_col).alias("__qid"),
+            F.col(id_col).alias("__doc"),
+            F.col(rnk_col).cast("int").alias("__rnk"),
+        )
+        for r in rankings
+    ]
+    u = functools.reduce(lambda a, b: a.unionByName(b), legs)
+    term = F.round(
+        F.lit(1.0).cast("double")
+        / (F.lit(float(k_const)) + F.col("__rnk").cast("double")),
+        9,
+    )
+    fused = u.groupBy("__qid", "__doc").agg(
+        F.round(
+            F.sum(term.cast("decimal(38,18)")).cast("double"), round_out
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_rankers"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("rrf_score").desc(), F.col("__doc").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= topk)
+        .select(
+            F.col("__qid").alias(qid_col),
+            F.col("__doc").alias(id_col),
+            "rrf_score",
+            "n_rankers",
+            "rnk",
         )
     )
 

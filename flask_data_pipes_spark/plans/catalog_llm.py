@@ -2961,10 +2961,10 @@ _DDB_TOKS_LOWER = r"string_split_regex(trim(lower(text)), '\s+')"
 _BM25_QIDS = (7, 23, 41, 57, 73)
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-
-@register(
-    "llm_bm25_topk",
-    oracle=rf"""
+# Full ranked-BM25 SELECT, shared verbatim by the llm_bm25_topk oracle
+# and (as the sparse CTE) by the llm_rrf_fusion oracle — one source of
+# truth for the scoring arithmetic.
+_BM25_RANKED_SQL = rf"""
     WITH base AS (
       SELECT doc_id, {_DDB_TOKS_LOWER} AS toks
       FROM documents WHERE trim(text) <> ''
@@ -3002,8 +3002,10 @@ _BM25_K1, _BM25_B = 1.2, 0.75
         PARTITION BY qid ORDER BY score DESC, doc_id
       ) AS rnk FROM scored
     ) WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@register("llm_bm25_topk", oracle=_BM25_RANKED_SQL)
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 sparse retrieval (operators/corpus.py::bm25_topk): top-5
     documents per query under Okapi BM25 with the Lucene non-negative
@@ -3031,6 +3033,79 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bm25_topk(d, queries, k=5, k1=_BM25_K1, b=_BM25_B).select(
         "qid", "doc_id", "score", "rnk"
+    )
+
+
+@register(
+    "llm_rrf_fusion",
+    oracle=rf"""
+    WITH sparse AS ({_BM25_RANKED_SQL}),
+    dense AS (
+      SELECT qid, vec_id, rnk FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY round(list_dot_product(q.qv, c.v) * q.qinv * c.inv, 6) DESC,
+                          c.vec_id ASC) AS rnk
+        FROM (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                     1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qinv
+              FROM embeddings WHERE vec_id IN {_BM25_QIDS}) q,
+             (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     1.0 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS inv
+              FROM embeddings) c
+        WHERE q.qid <> c.vec_id
+      ) WHERE rnk <= 5
+    ),
+    u AS (
+      SELECT qid, doc_id, rnk FROM sparse
+      UNION ALL
+      SELECT qid, vec_id AS doc_id, rnk FROM dense
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / (60 + rnk), 9)
+                                 AS DECIMAL(38,18))) AS DOUBLE), 9) AS rrf_score,
+             CAST(COUNT(*) AS INT) AS n_rankers
+      FROM u GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, rrf_score, n_rankers, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+      ) AS rnk FROM fused
+    ) WHERE rnk <= 5
+    """,
+)
+def llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion
+    (operators/corpus.py::rrf_fuse) of the sparse BM25 leg
+    (llm_bm25_topk's exact construction) and the dense cosine leg
+    (similarity.cosine_topk over the ALIGNED embeddings table — the
+    testdata guarantees vec_id ≡ doc_id), for the same 5 query ids.
+    The production RAG/corpus-search shape: neither leg's scores are
+    calibrated against the other, so fusion consumes only RANKS.
+
+    Scale: both legs are corpus-bounded on their own (BM25: postings
+    shuffle + broadcast queries; dense: broadcast queries over one
+    corpus scan); the fusion itself touches only Q·k rows per leg.
+    The DuckDB oracle reuses the bm25 SELECT verbatim as its sparse
+    CTE, so the two entries can never drift apart."""
+    from ..operators.corpus import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    d = load(spark, sf_dir, "documents")
+    qtext = F.array_join(
+        F.slice(T.whitespace_tokens(F.lower(F.col("text"))), 1, 4), " "
+    )
+    queries = d.filter(F.col("doc_id").isin(*_BM25_QIDS)).select(
+        F.col("doc_id").alias("qid"), qtext.alias("qtext")
+    )
+    sparse = bm25_topk(d, queries, k=5, k1=_BM25_K1, b=_BM25_B)
+    e = load(spark, sf_dir, "embeddings")
+    qvecs = e.filter(F.col("vec_id").isin(*_BM25_QIDS)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    dense = cosine_topk(e, qvecs, k=5).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([sparse, dense], k_const=60, topk=5).select(
+        "qid", "doc_id", "rrf_score", "n_rankers", "rnk"
     )
 
 

@@ -2398,3 +2398,38 @@ def test_line_dedup_differs_from_boilerplate_semantics(spark):
     out = {r["doc_id"]: r["clean_text"] for r in line_dedup(df).collect()}
     assert out[1] == "dup line\nuniq a"
     assert out[2] == "uniq b"
+
+
+def test_rrf_fuse_scores_and_nrankers(spark):
+    # Two rankings over the same corpus: doc 10 is rank-1 in both, doc
+    # 20 only in leg A, doc 30 only in leg B at the same rank — their
+    # fused scores tie and the id tiebreak orders 20 before 30.
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "qid long, doc_id long, rnk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2)], "qid long, doc_id long, rnk int"
+    )
+    from flask_data_pipes_spark.operators.corpus import rrf_fuse
+
+    out = rrf_fuse([a, b], k_const=60, topk=5).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[10]["n_rankers"] == 2 and rows[10]["rnk"] == 1
+    assert abs(rows[10]["rrf_score"] - 2 * round(1.0 / 61, 9)) < 1e-12
+    assert rows[20]["rrf_score"] == rows[30]["rrf_score"]
+    assert rows[20]["rnk"] == 2 and rows[30]["rnk"] == 3  # id tiebreak
+
+
+def test_rrf_fuse_topk_and_empty_input(spark):
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators.corpus import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    a = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([5, 6, 7, 8], start=1)],
+        "qid long, doc_id long, rnk int",
+    )
+    out = rrf_fuse([a], topk=2).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 6]

@@ -2663,13 +2663,10 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_multimodal_audio")  # stdlib wave decode → rows-only
-def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio decode path: synthesized 16-bit PCM WAV payloads (stdlib
-    `wave` writer, deterministic square-ish wave from doc_id) → sample
-    stats via the REAL stdlib `wav_decoder` through mapInPandas."""
-    from ..operators import multimodal
-
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized 16-bit PCM WAV payloads (stdlib `wave` writer,
+    deterministic square-ish wave from doc_id) — the audio sibling of
+    `_payloads`, shared by the decode and feature entries."""
     d = load(spark, sf_dir, "documents")
 
     def synth(batches):
@@ -2702,10 +2699,34 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    payloads = d.select("doc_id").mapInPandas(
+    return d.select("doc_id").mapInPandas(
         synth, schema="doc_id long, payload binary"
     )
-    return multimodal.decode_audio(payloads)
+
+
+@register("llm_multimodal_audio")  # stdlib wave decode → rows-only
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path: deterministic WAV payloads (`_wav_payloads`)
+    → sample stats via the REAL stdlib `wav_decoder` through
+    mapInPandas."""
+    from ..operators import multimodal
+
+    return multimodal.decode_audio(_wav_payloads(spark, sf_dir))
+
+
+@register("llm_audio_features")  # numpy FFT features → golden-pinned
+def llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE path (round 8): WAV payload → RMS / zero-crossing
+    rate / spectral centroid / spectral rolloff via numpy rfft inside
+    Arrow-batched mapInPandas (`multimodal.extract_audio_features`) —
+    the signal-level features a speech-corpus pipeline filters on,
+    over the same deterministic square-wave fixtures as the decode
+    entry (whose known fundamental makes the centroid/rolloff values
+    meaningful, not just stable). Features rounded to 6dp; pinned by
+    golden digest (FFT output is not SQL-expressible)."""
+    from ..operators import multimodal
+
+    return multimodal.extract_audio_features(_wav_payloads(spark, sf_dir))
 
 
 @register("llm_frame_sample")  # Python-side stub sampler → rows-only

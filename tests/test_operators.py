@@ -2433,3 +2433,54 @@ def test_rrf_fuse_topk_and_empty_input(spark):
     )
     out = rrf_fuse([a], topk=2).collect()
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 6]
+
+
+def _wav_bytes(samples, rate=8000, channels=1):
+    import io
+    import struct as st
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(st.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_features_square_wave_physics(spark):
+    # period-4 square wave at 8 kHz: fundamental = rate/4 = 2000 Hz;
+    # with all energy there, centroid and rolloff land on it exactly.
+    amp = 8192
+    samples = [amp if i % 4 < 2 else -amp for i in range(256)]
+    payload = _wav_bytes(samples, rate=8000)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    from flask_data_pipes_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    r = extract_audio_features(df).collect()[0]
+    assert r["n_samples"] == 256 and r["sample_rate"] == 8000
+    assert abs(r["rms"] - amp / 32768.0) < 1e-6
+    assert abs(r["spectral_centroid_hz"] - 2000.0) < 1.0
+    assert abs(r["spectral_rolloff_hz"] - 2000.0) < 40.0
+    assert 0.45 < r["zcr"] < 0.55
+
+
+def test_audio_features_empty_and_stereo(spark):
+    # 0-frame WAV -> all-zero features, no crash; stereo payloads are
+    # channel-averaged before analysis (L=+a, R=-a cancels to silence).
+    amp = 4096
+    stereo = [amp if i % 2 == 0 else -amp for i in range(128)]
+    df = spark.createDataFrame(
+        [(1, _wav_bytes([], rate=8000)), (2, _wav_bytes(stereo, channels=2))],
+        "doc_id long, payload binary",
+    )
+    from flask_data_pipes_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert out[1]["n_samples"] == 0 and out[1]["rms"] == 0.0
+    assert out[2]["n_samples"] == 64 and out[2]["rms"] == 0.0

@@ -273,6 +273,13 @@ GOLDEN_DIGESTS = {
         500,
         "1fd378ba3aee4b208b2cb57a2f99f062c5684b76f6b1d4ef82561f51a8c75fcd",
     ),
+    # numpy-rfft signal features over the same WAV fixtures; the
+    # period-4 square wave's centroid lands exactly on rate/4 (checked
+    # in test_operators), so the pin guards real spectra, not noise
+    "llm_audio_features": (
+        500,
+        "6bcfcae833862e6a1e44ae04d4bff9ee545d46f51c19fa8d56caa3a3e53dd79e",
+    ),
     "llm_frame_sample": (
         2477,
         "4b26148f443707227771c460d4b8fc1e2adb40533edfcc615c486cb3ce183f32",

@@ -229,3 +229,51 @@ def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "ts", "n_events", "sum_value", "avg_value", "gap_filled"
     )
+
+
+@register(
+    "q_scd2_events",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts, event_id FROM s
+      WHERE prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+    FROM chg
+    """,
+)
+def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators/temporal.py::scd2_build):
+    each user's event_type stream collapsed to versioned validity
+    intervals — consecutive identical states merge, each retained
+    version carries [valid_from, valid_to) with NULL valid_to / 
+    is_current on the open version. The keep-history LOAD sibling of
+    the reference's W4 batched type-1 upsert (SURVEY §2.5).
+
+    Scale: one shuffle on user_id; the change-collapse lag and the
+    interval-cut lead run partition-local over the same sort (single
+    Window block, plan-asserted via the generic exchange budget)."""
+    from ..operators.temporal import scd2_build
+
+    e = load(spark, sf_dir, "events")
+    return scd2_build(
+        e,
+        key_cols="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        order_cols=["event_id"],
+    )

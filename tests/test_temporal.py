@@ -222,3 +222,50 @@ def test_gapfill_plan_no_cartesian(spark, sparse_events):
         aggs={"n": F.count(F.lit(1))}, fill={"n": "zero"},
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_scd2_build_collapse_and_intervals(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: A, A (no-change, collapses), B, B, A -> versions A,B,A
+        (1, t(0), "A"), (1, t(1), "A"), (1, t(2), "B"),
+        (1, t(3), "B"), (1, t(4), "A"),
+        # user 2: single state -> one open version
+        (2, t(0), "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, st string")
+    from flask_data_pipes_spark.operators.temporal import scd2_build
+
+    out = scd2_build(df, "user_id", "ts", ["st"]).collect()
+    u1 = sorted((r for r in out if r["user_id"] == 1), key=lambda r: r["version"])
+    assert [r["st"] for r in u1] == ["A", "B", "A"]
+    assert [r["valid_from"].second for r in u1] == [0, 2, 4]
+    # valid_to chains to the NEXT version's valid_from
+    assert [r["valid_to"].second if r["valid_to"] else None for r in u1] == [2, 4, None]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_scd2_build_null_attrs_and_no_collapse(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(0), None), (1, t(1), None), (1, t(2), "A")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, st string")
+    from flask_data_pipes_spark.operators.temporal import scd2_build
+
+    # null state versions correctly: first null kept, second collapses
+    # (null-safe equality), then the real value opens version 2
+    out = sorted(
+        scd2_build(df, "user_id", "ts", ["st"]).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [r["st"] for r in out] == [None, "A"]
+    # collapse_unchanged=False keeps every observation
+    out2 = scd2_build(
+        df, "user_id", "ts", ["st"], collapse_unchanged=False
+    ).collect()
+    assert len(out2) == 3

@@ -44,6 +44,7 @@ __all__ = [
     "bottomk_sample",
     "bottomk_merge",
     "sample_quantiles",
+    "kmv_overlap",
 ]
 
 
@@ -347,4 +348,85 @@ def sample_quantiles(
     )
     return agg.select(F.explode(picks).alias("__p")).select(
         F.col("__p.q").alias("q"), F.col("__p.value").alias("value")
+    )
+
+
+KMV_HASH_SPACE = float(1 << 60)  # md5_long is 60-bit
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    k: int = 1024,
+    seed: int = 47,
+) -> DataFrame:
+    """Set-OVERLAP estimation from two KMV (bottom-k hash) sketches
+    (Beyer et al. 2007; Cohen & Kaplan 2007): estimate the Jaccard
+    similarity, union cardinality, and intersection size of two sets
+    from O(k) state per side — "how much do these corpora share"
+    without ever joining them. The fourth leg of the mergeable-sketch
+    family: CMS (how often), HLL (how many distinct), bottom-k (how
+    distributed), KMV-overlap (how SHARED).
+
+    Method: the k smallest hashes of A∪B equal the k smallest of the
+    two sketches' union, and within that union-sketch each hash is a
+    uniform sample of A∪B — so the fraction carrying BOTH side-tags
+    estimates J(A,B), and |A∩B| ≈ J · |A∪B| with |A∪B| from the
+    classic KMV estimator (k−1)/max_hash_normalized (exact count when
+    the union has fewer than k distinct elements). Expected relative
+    error ~ 1/√k.
+
+    Output (1 row): k_eff (union-sketch size), n_common,
+    jaccard_est, union_est, intersection_est — every value
+    deterministic (md5 hash + integer selection + one double
+    division), so a DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: each side is `distinct → orderBy(hash).limit(k)` —
+    TakeOrderedAndProject (per-partition partial top-k, one k-row
+    merge; no global sort). Everything after runs on ≤2k rows. The
+    distinct is the only corpus-sized shuffle, and sketches persist /
+    merge across shards exactly like `bottomk_merge`.
+    """
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(T.md5_long(F.col(id_col), seed).alias("__h"))
+            .distinct()
+            .orderBy("__h")
+            .limit(k)
+        )
+
+    sa = sketch(a).select("__h", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    sb = sketch(b).select("__h", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("__h")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+        .orderBy("__h")
+        .limit(k)
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_common"),
+        F.max("__h").alias("__hmax"),
+    )
+    jacc = F.round(
+        F.col("n_common").cast("double") / F.col("k_eff").cast("double"), 6
+    )
+    union_est = F.when(
+        F.col("k_eff") < F.lit(k), F.col("k_eff").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("__hmax").cast("double") / F.lit(KMV_HASH_SPACE)),
+            6,
+        )
+    )
+    return agg.select(
+        F.col("k_eff"),
+        F.col("n_common"),
+        jacc.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        F.round(jacc * union_est, 6).alias("intersection_est"),
     )

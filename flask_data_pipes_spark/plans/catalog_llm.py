@@ -4137,6 +4137,81 @@ def llm_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_quantiles(s, "n_tok", "doc_id", _BK_QS)
 
 
+_KMV_K, _KMV_SEED = 256, 47
+_KMV_SPACE = float(1 << 60)
+
+
+@register(
+    "llm_kmv_overlap",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INT) AS sn,
+             unnest({_DDB_TOKS_LOWER}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    sa AS (SELECT DISTINCT {_ddb_md5_long("tok", _KMV_SEED)} AS h
+           FROM toks WHERE sn < 10 ORDER BY h LIMIT {_KMV_K}),
+    sb AS (SELECT DISTINCT {_ddb_md5_long("tok", _KMV_SEED)} AS h
+           FROM toks WHERE sn >= 10 ORDER BY h LIMIT {_KMV_K}),
+    m AS (
+      SELECT h, MAX(a) AS a, MAX(b) AS b FROM (
+        SELECT h, 1 AS a, 0 AS b FROM sa
+        UNION ALL SELECT h, 0 AS a, 1 AS b FROM sb
+      ) GROUP BY h ORDER BY h LIMIT {_KMV_K}
+    ),
+    agg AS (
+      SELECT COUNT(*) AS k_eff,
+             CAST(SUM(a * b) AS BIGINT) AS n_common,
+             MAX(h) AS hmax
+      FROM m
+    ),
+    est AS (
+      SELECT k_eff, n_common,
+             ROUND(CAST(n_common AS DOUBLE) / CAST(k_eff AS DOUBLE), 6)
+               AS jaccard_est,
+             CASE WHEN k_eff < {_KMV_K} THEN CAST(k_eff AS DOUBLE)
+                  ELSE ROUND({float(_KMV_K - 1)!r}
+                             / (CAST(hmax AS DOUBLE) / {_KMV_SPACE!r}), 6)
+             END AS union_est
+      FROM agg
+    )
+    SELECT k_eff, n_common, jaccard_est, union_est,
+           ROUND(jaccard_est * union_est, 6) AS intersection_est
+    FROM est
+    """,
+)
+def llm_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from KMV sketches
+    (operators/sketches.py::kmv_overlap): how much VOCABULARY the two
+    halves of the source population share — Jaccard, union, and
+    intersection estimates from two 256-hash sketches, never joining
+    the corpora. The fourth mergeable sketch beside CMS / HLL /
+    bottom-k: contamination screening ("does this crawl overlap the
+    eval set's vocabulary?"), shard-affinity ("are these two sources
+    the same site?"), and dedup-rate forecasting all read it with O(k)
+    state per corpus at any scale.
+
+    Scale: per side, one distinct (the only corpus-keyed shuffle) then
+    TakeOrderedAndProject; everything downstream touches ≤2k rows.
+    Every output value is deterministic (md5 hashes + integer
+    selection + one double division) and matched bit-for-bit by the
+    DuckDB oracle."""
+    from ..operators.sketches import kmv_overlap
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        F.substring(F.col("source"), 4, 10).cast("int").alias("sn"),
+        F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    return kmv_overlap(
+        toks.filter(F.col("sn") < 10),
+        toks.filter(F.col("sn") >= 10),
+        "tok",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    )
+
+
 def _ddb_hll_by_source_oracle() -> str:
     two_s = 1 << _HLL_S
     mask = (1 << _HLL_W) - 1

@@ -2484,3 +2484,31 @@ def test_audio_features_empty_and_stereo(spark):
     out = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
     assert out[1]["n_samples"] == 0 and out[1]["rms"] == 0.0
     assert out[2]["n_samples"] == 64 and out[2]["rms"] == 0.0
+
+
+def test_kmv_overlap_exact_when_under_k(spark):
+    # both sets smaller than k: the union sketch IS the union, so
+    # k_eff/union are exact and jaccard is the true 5/15
+    a = spark.range(0, 10).withColumnRenamed("id", "v")
+    b = spark.range(5, 15).withColumnRenamed("id", "v")
+    from flask_data_pipes_spark.operators.sketches import kmv_overlap
+
+    r = kmv_overlap(a, b, "v", k=64).collect()[0]
+    assert r["k_eff"] == 15 and r["n_common"] == 5
+    assert abs(r["jaccard_est"] - round(5 / 15, 6)) < 1e-9
+    assert r["union_est"] == 15.0
+    assert abs(r["intersection_est"] - 5.0) < 0.01
+
+
+def test_kmv_overlap_estimates_within_sketch_error(spark):
+    # A = 0..999, B = 500..1499: true J = 1/3, union 1500, inter 500.
+    # k=512 -> relative error ~ 1/sqrt(512) ~ 4.4%; assert loose bands.
+    a = spark.range(0, 1000).withColumnRenamed("id", "v")
+    b = spark.range(500, 1500).withColumnRenamed("id", "v")
+    from flask_data_pipes_spark.operators.sketches import kmv_overlap
+
+    r = kmv_overlap(a, b, "v", k=512).collect()[0]
+    assert r["k_eff"] == 512
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(r["union_est"] - 1500) / 1500 < 0.15
+    assert abs(r["intersection_est"] - 500) / 500 < 0.3

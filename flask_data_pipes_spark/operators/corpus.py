@@ -46,6 +46,7 @@ __all__ = [
     "dsir_logratios",
     "dsir_weights",
     "dsir_sample",
+    "psi_report",
 ]
 
 
@@ -827,4 +828,114 @@ def dsir_sample(
         )
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def psi_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_term: int = 6,
+) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots/populations: fixed-width bins over [lo, hi), per-side
+    bin shares, and the per-bin PSI contribution
+    (p_a − p_b)·ln(p_a / p_b) — the standard monitoring statistic for
+    "did this feature's distribution move between crawls / before and
+    after a filter" (rule of thumb: PSI < 0.1 stable, > 0.25 shifted).
+
+    `lo`/`hi` are EXPLICIT (not derived) so the binning is stable
+    across runs and shards — drift monitoring needs the grid fixed
+    while the data moves; values outside clamp into the edge bins.
+    Empty-bin shares floor at `eps` (the PSI convention that keeps
+    ln finite while preserving "a bin appeared/vanished" as a large
+    contribution).
+
+    Output: one row per bin — (bin, lo_edge, n_a, n_b, p_a, p_b,
+    psi_term, psi) with `psi` (the total) repeated on every row.
+    Cross-engine: the log ratio is rounded to 9dp, each term to
+    `round_term`, and the total is an exact DECIMAL(38,9) sum —
+    bit-reproducible in the DuckDB oracle.
+
+    Scale shape: per side ONE aggregate with ≤ `bins` groups (partial
+    agg collapses map-side; the shuffle carries bins rows per
+    partition), a bins-row outer join on the bin id, and a broadcast
+    1-row total join. Nothing downstream of the scans exceeds `bins`
+    rows; the two scans are the whole cost at 100 TB.
+    """
+    if hi <= lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / bins
+
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(lo))
+                    / F.lit(width)
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.select(bucket.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca, cb = side_counts(a, "n_a"), side_counts(b, "n_b")
+    grid = ca.sparkSession.range(0, bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        grid.join(ca, "bin", "left")
+        .join(cb, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    p_a = F.greatest(
+        F.lit(float(eps)), F.col("n_a").cast("double") / F.col("__ta")
+    )
+    p_b = F.greatest(
+        F.lit(float(eps)), F.col("n_b").cast("double") / F.col("__tb")
+    )
+    term = F.round(
+        (p_a - p_b) * F.round(F.log(p_a / p_b), 9), round_term
+    )
+    withp = (
+        j.join(F.broadcast(tot))
+        .withColumn("p_a", F.round(p_a, 9))
+        .withColumn("p_b", F.round(p_b, 9))
+        .withColumn("psi_term", term)
+    )
+    total = withp.agg(
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("psi")
+    )
+    return (
+        withp.join(F.broadcast(total))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias(
+                "lo_edge"
+            ),
+            "n_a",
+            "n_b",
+            "p_a",
+            "p_b",
+            "psi_term",
+            "psi",
+        )
     )

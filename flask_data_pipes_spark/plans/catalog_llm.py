@@ -4212,6 +4212,93 @@ def llm_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_LO, _PSI_HI, _PSI_BINS = 0.0, 600.0, 12
+_PSI_W = (_PSI_HI - _PSI_LO) / _PSI_BINS
+
+
+@register(
+    "llm_psi_drift",
+    oracle=rf"""
+    WITH d AS (
+      SELECT CAST(substr(source, 4) AS INT) AS sn, n_chars FROM documents
+    ),
+    ca AS (
+      SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+               CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO!r}) / {_PSI_W!r})
+                    AS INT))) AS bin,
+             COUNT(*) AS n_a
+      FROM d WHERE sn < 10 GROUP BY 1
+    ),
+    cb AS (
+      SELECT LEAST({_PSI_BINS - 1}, GREATEST(0,
+               CAST(FLOOR((CAST(n_chars AS DOUBLE) - {_PSI_LO!r}) / {_PSI_W!r})
+                    AS INT))) AS bin,
+             COUNT(*) AS n_b
+      FROM d WHERE sn >= 10 GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+    j AS (
+      SELECT grid.bin,
+             COALESCE(n_a, 0)::BIGINT AS n_a,
+             COALESCE(n_b, 0)::BIGINT AS n_b
+      FROM grid LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j),
+    wp AS (
+      SELECT bin, n_a, n_b,
+             GREATEST(1e-06, CAST(n_a AS DOUBLE) / ta) AS pa_raw,
+             GREATEST(1e-06, CAST(n_b AS DOUBLE) / tb) AS pb_raw
+      FROM j, tot
+    ),
+    t2 AS (
+      SELECT bin, n_a, n_b,
+             ROUND(pa_raw, 9) AS p_a, ROUND(pb_raw, 9) AS p_b,
+             ROUND((pa_raw - pb_raw) * ROUND(ln(pa_raw / pb_raw), 9), 6)
+               AS psi_term
+      FROM wp
+    ),
+    tot2 AS (
+      SELECT ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(38,9))) AS DOUBLE), 6)
+               AS psi
+      FROM t2
+    )
+    SELECT bin,
+           ROUND(CAST({_PSI_LO!r} AS DOUBLE)
+                 + bin * CAST({_PSI_W!r} AS DOUBLE), 6) AS lo_edge,
+           n_a, n_b, p_a, p_b, psi_term, psi
+    FROM t2, tot2
+    """,
+)
+def llm_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (operators/corpus.py::psi_report):
+    population stability index of the document-length (n_chars)
+    distribution between the two halves of the source population — the
+    "did this crawl/filter move the distribution" statistic every
+    production pipeline alarms on (PSI < 0.1 stable, > 0.25 shifted).
+    Fixed explicit binning (12 × 50 chars over [0, 600)) so the grid
+    never moves with the data; empty bins floor at 1e-6 per the PSI
+    convention.
+
+    Scale: two ≤bins-group aggregates (map-side collapsed), a
+    bins-row grid join, two broadcast 1-row totals — nothing but the
+    scans is corpus-sized. Per-bin terms round (ln at 9dp, term at
+    6dp) and total-sum as DECIMAL(38,9), bit-matching the oracle."""
+    from ..operators.corpus import psi_report
+
+    d = load(spark, sf_dir, "documents").select(
+        F.substring(F.col("source"), 4, 10).cast("int").alias("sn"),
+        "n_chars",
+    )
+    return psi_report(
+        d.filter(F.col("sn") < 10),
+        d.filter(F.col("sn") >= 10),
+        "n_chars",
+        lo=_PSI_LO,
+        hi=_PSI_HI,
+        bins=_PSI_BINS,
+    )
+
+
 def _ddb_hll_by_source_oracle() -> str:
     two_s = 1 << _HLL_S
     mask = (1 << _HLL_W) - 1

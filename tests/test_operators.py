@@ -2512,3 +2512,22 @@ def test_kmv_overlap_estimates_within_sketch_error(spark):
     assert abs(r["jaccard_est"] - 1 / 3) < 0.1
     assert abs(r["union_est"] - 1500) / 1500 < 0.15
     assert abs(r["intersection_est"] - 500) / 500 < 0.3
+
+
+def test_psi_report_identical_and_shifted(spark):
+    from flask_data_pipes_spark.operators.corpus import psi_report
+
+    a = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    # identical distributions -> PSI exactly 0
+    r0 = psi_report(a, a, "v", lo=0.0, hi=100.0, bins=10).collect()
+    assert all(row["psi"] == 0.0 for row in r0) and len(r0) == 10
+    # shifted by half the range -> large PSI, empty bins floored at eps
+    b = spark.range(0, 1000).selectExpr("CAST(50 + id % 100 AS DOUBLE) AS v")
+    r1 = psi_report(a, b, "v", lo=0.0, hi=100.0, bins=10).collect()
+    psi = r1[0]["psi"]
+    assert psi > 0.25  # the "shifted" alarm threshold
+    # clamping: b's values 100..149 land in the top bin
+    top = [row for row in r1 if row["bin"] == 9][0]
+    assert top["n_b"] > top["n_a"]
+    with __import__("pytest").raises(ValueError):
+        psi_report(a, a, "v", lo=1.0, hi=1.0)

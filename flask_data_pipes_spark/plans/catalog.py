@@ -408,7 +408,12 @@ CHECKED_PREFIX = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
-    "q_top3_orders_per_customer",
+    # Round-8 curation: SCD2 history build (load/history family, new)
+    # takes q_top3_orders_per_customer's slot — its row_number-top-k-
+    # per-key window machinery is already gated via llm_bm25_topk's
+    # final window and q_sessionize; scd2 adds the lag/lead interval
+    # cut. The displaced entry stays oracled + swept.
+    "q_scd2_events",
     "q_events_hourly",
     "q_sessionize",
     "q_salted_agg",
@@ -439,10 +444,14 @@ CHECKED_PREFIX = [
     "etl_content_hash",
     "etl_cidr_explode",
     "etl_lenient_flatten",
-    # Text signals
-    "llm_token_stats",
+    # Text signals (token_stats and repetition are zero-shuffle narrow
+    # maps whose per-row text-function machinery is gated via
+    # llm_quality and the fused llm_corpus_clean; both stay oracled +
+    # swept behind the prefix. Their slots go to the round-8 KMV
+    # overlap sketch and PSI drift families.)
+    "llm_kmv_overlap",
     "llm_quality",
-    "llm_repetition",
+    "llm_psi_drift",
     # Dedup families
     "llm_dedup_exact",
     "llm_minhash_pairs",
@@ -453,7 +462,12 @@ CHECKED_PREFIX = [
     # n_planes=4 oracle pin in the gate (the pin stays oracled behind
     # the prefix — VERDICT r4 #2)
     "llm_semdedup_production",
-    "llm_embedding_neardup",
+    # Round-8: hybrid-retrieval RRF (new family) takes
+    # llm_embedding_neardup's slot — embedding-cosine near-dup's
+    # block-equi-join + sim-threshold machinery stays gated via
+    # llm_semdedup_production (same family in the curation test);
+    # embedding_neardup stays oracled + swept.
+    "llm_rrf_fusion",
     # Similarity search
     "llm_cosine_topk",
     "llm_lsh_topk",

@@ -291,6 +291,16 @@ def test_checked_prefix_curated():
         # round-8: script rides the encoding sibling; DSIR gated
         "encoding-and-script": ["llm_encoding_noise"],
         "dsir": ["llm_dsir_weights"],
+        # round-8 additions: SCD2 history, KMV overlap sketch, PSI
+        # drift, hybrid-retrieval RRF (displacing q_top3 / token_stats
+        # / repetition / embedding_neardup — all of whose machinery
+        # remains gated via bm25's window, quality, corpus_clean, and
+        # semdedup_production respectively)
+        "scd2-history": ["q_scd2_events"],
+        "kmv-overlap": ["llm_kmv_overlap"],
+        "drift": ["llm_psi_drift"],
+        "hybrid-retrieval": ["llm_rrf_fusion"],
+        "text-signals": ["llm_quality"],
     }
     for fam, members in families.items():
         assert any(m in CHECKED_PREFIX[:50] for m in members), fam

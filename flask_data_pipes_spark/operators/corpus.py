@@ -47,6 +47,8 @@ __all__ = [
     "dsir_weights",
     "dsir_sample",
     "psi_report",
+    "histogram_counts",
+    "psi_from_counts",
 ]
 
 
@@ -867,28 +869,63 @@ def psi_report(
     1-row total join. Nothing downstream of the scans exceeds `bins`
     rows; the two scans are the whole cost at 100 TB.
     """
+    ca = histogram_counts(a, value_col, lo, hi, bins).withColumnRenamed(
+        "n", "n_a"
+    )
+    cb = histogram_counts(b, value_col, lo, hi, bins).withColumnRenamed(
+        "n", "n_b"
+    )
+    return psi_from_counts(ca, cb, lo, hi, bins, eps, round_term)
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Fixed-grid histogram: (bin, n) with values outside [lo, hi)
+    clamped into the edge bins. The ≤bins-group aggregate `psi_report`
+    bins each side with — public because histograms ADD across shards
+    and micro-batches, so drift monitoring persists these and compares
+    later (`psi_from_counts`, streaming/foreach_batch_histogram)."""
     if hi <= lo:
         raise ValueError("hi must exceed lo")
     width = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
-    def side_counts(df: DataFrame, out: str) -> DataFrame:
-        bucket = F.least(
-            F.lit(bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(value_col).cast("double") - F.lit(lo))
-                    / F.lit(width)
-                ).cast("int"),
-            ),
-        )
-        return (
-            df.select(bucket.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
 
-    ca, cb = side_counts(a, "n_a"), side_counts(b, "n_b")
+def psi_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_term: int = 6,
+) -> DataFrame:
+    """PSI report from two pre-binned histograms (`ca`/`cb`: columns
+    (bin, n_a) / (bin, n_b) on the SAME [lo, hi)×bins grid) — the
+    counts-level core of `psi_report`, reusable when the sides arrive
+    as persisted/merged histograms instead of raw rows (cross-batch
+    streaming drift, shard-merged snapshots)."""
+    if hi <= lo:
+        raise ValueError("hi must exceed lo")
+    width = (hi - lo) / bins
     grid = ca.sparkSession.range(0, bins).select(
         F.col("id").cast("int").alias("bin")
     )

@@ -48,6 +48,8 @@ __all__ = [
     "bottomk_read_merged",
     "foreach_batch_quarantine",
     "quarantine_read",
+    "foreach_batch_histogram",
+    "histogram_read_merged",
 ]
 
 EVENTS_SCHEMA = (
@@ -645,4 +647,59 @@ def bottomk_read_merged(
         id_col,
         k=k,
         seed=seed,
+    )
+
+
+def foreach_batch_histogram(
+    hist_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a CROSS-BATCH fixed-grid histogram
+    (operators/corpus.py::histogram_counts) — the streaming half of
+    PSI drift monitoring: the stream accumulates its distribution in
+    O(bins) state per batch; `histogram_read_merged` + `psi_from_counts`
+    against a frozen reference histogram answers "has the live feed
+    drifted from the corpus we trained on" at any point, without
+    replaying the stream.
+
+    Same partition-per-batch dynamic-overwrite layout as
+    `foreach_batch_cms`, and for the same reason: histograms merge by
+    ADDITION, which double-counts replays — a replayed batch must
+    overwrite its own partition with identical content (idempotent),
+    not append.
+
+    Scale: per batch one ≤bins-group aggregate (map-side collapsed);
+    ≤bins rows written per batch regardless of stream volume.
+    """
+    from ..operators.corpus import histogram_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        h = histogram_counts(batch_df, value_col, lo, hi, bins).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            h.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(hist_path)
+        )
+
+    return sink
+
+
+def histogram_read_merged(spark, hist_path: str) -> DataFrame:
+    """Merge every per-batch histogram partition written by
+    `foreach_batch_histogram` into one (bin, n) table (bin-wise sum).
+    Feed to `operators.corpus.psi_from_counts` (renaming n → n_a/n_b)
+    for the drift check against a reference histogram."""
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
     )

@@ -716,3 +716,53 @@ def test_interval_join_stream_matches_batch_range_join(spark, landing, tmp_path)
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreach_batch_histogram_psi_drift(spark, tmp_path):
+    """Streaming drift: per-batch histograms land in batch_id
+    partitions, replays overwrite idempotently, and the merged
+    histogram fed to psi_from_counts equals the batch psi_report over
+    the same rows vs the same reference."""
+    from flask_data_pipes_spark.operators.corpus import (
+        histogram_counts,
+        psi_from_counts,
+        psi_report,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_histogram,
+        histogram_read_merged,
+    )
+
+    path = str(tmp_path / "hist")
+    sink = foreach_batch_histogram(path, "v", lo=0.0, hi=100.0, bins=10)
+    b0 = [(float(x),) for x in range(0, 50)]
+    b1 = [(float(x),) for x in range(50, 100)]
+    sink(spark.createDataFrame(b0, ["v"]), 0)
+    sink(spark.createDataFrame(b1, ["v"]), 1)
+    sink(spark.createDataFrame(b0, ["v"]), 0)  # replay: must not double
+
+    stream_rows = spark.createDataFrame(b0 + b1, ["v"])
+    ref_rows = spark.createDataFrame(
+        [(float(x % 80),) for x in range(200)], ["v"]
+    )
+    merged = histogram_read_merged(spark, path).withColumnRenamed("n", "n_a")
+    ref = histogram_counts(ref_rows, "v", 0.0, 100.0, 10).withColumnRenamed(
+        "n", "n_b"
+    )
+    got = {
+        r["bin"]: r
+        for r in psi_from_counts(merged, ref, 0.0, 100.0, 10).collect()
+    }
+    want = {
+        r["bin"]: r
+        for r in psi_report(
+            stream_rows, ref_rows, "v", lo=0.0, hi=100.0, bins=10
+        ).collect()
+    }
+    assert set(got) == set(want) == set(range(10))
+    for bin_id in got:
+        assert got[bin_id]["n_a"] == want[bin_id]["n_a"]
+        assert got[bin_id]["psi_term"] == want[bin_id]["psi_term"]
+        assert got[bin_id]["psi"] == want[bin_id]["psi"]
+    # the reference has no mass in bins 8-9 -> nonzero drift signal
+    assert got[9]["psi"] > 0.1

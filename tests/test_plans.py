@@ -482,3 +482,41 @@ def test_bottomk_quantiles_no_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_single_exchange_shared_sort(spark, sf_dir):
+    """SCD2's change-collapse lag and interval-cut lead must share ONE
+    user-keyed Exchange and ONE Sort (two Window blocks over the same
+    ordering) — a second exchange would mean the two window passes
+    re-shuffle the dimension stream."""
+    plan = _plan(spark, sf_dir, "q_scd2_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    n_sorts = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith(("Sort ", "+- Sort "))
+        or "+- Sort [" in ln or ln.strip().startswith("Sort [")
+    )
+    assert n_sorts == 1, f"expected one shared sort, got {n_sorts}"
+    assert plan.count("Window") >= 2
+
+
+def test_kmv_overlap_takeordered_no_global_sort(spark, sf_dir):
+    """Each KMV side must plan orderBy(hash).limit(k) as
+    TakeOrderedAndProject (per-partition partial top-k) — a standalone
+    global Sort would range-shuffle the whole vocabulary. The only
+    hash exchanges allowed are the two per-side distincts."""
+    plan = _plan(spark, sf_dir, "llm_kmv_overlap")
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 sides + union
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-:* ")
+        assert not s.startswith("Sort ["), f"global sort in kmv plan: {ln}"
+
+
+def test_psi_drift_no_sort_no_smj(spark, sf_dir):
+    """PSI is aggregates + tiny grid joins: any SortMergeJoin or Sort
+    means a bins-row frame got shuffled like a corpus."""
+    plan = _plan(spark, sf_dir, "llm_psi_drift")
+    assert "SortMergeJoin" not in plan
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-:* ")
+        assert not s.startswith("Sort ["), f"sort in psi plan: {ln}"

@@ -94,6 +94,16 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # doc rebuild, all map-side-combining shapes
     "q_gapfill_events",
     "llm_line_dedup",
+    # round-8 gated families: scd2 — one user-keyed shuffle + shared
+    # sort (users grow 10x in COUNT, per-user history constant, so the
+    # window sort stays flat per partition); kmv — two vocabulary-
+    # bounded distincts + TakeOrderedAndProject (scan-bound like hll);
+    # psi — two scans into <=bins-group aggregates; rrf — the bm25 +
+    # brute-cosine legs (each already ratio-flat) + Q*k-row fusion
+    "q_scd2_events",
+    "llm_kmv_overlap",
+    "llm_psi_drift",
+    "llm_rrf_fusion",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -49,6 +49,7 @@ __all__ = [
     "psi_report",
     "histogram_counts",
     "psi_from_counts",
+    "group_reservoir",
 ]
 
 
@@ -975,4 +976,53 @@ def psi_from_counts(
             "psi_term",
             "psi",
         )
+    )
+
+
+def group_reservoir(
+    df: DataFrame,
+    by: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 53,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Capped per-group uniform sample: EXACTLY min(k, |group|) rows
+    per group, chosen as the k smallest deterministic hashes — "at
+    most k documents per domain/source/language", the bounded
+    companion to rate-based `llm_stratified_sample` (a rate can't cap
+    a giant group; a cap can't be expressed as a rate when group sizes
+    differ by orders of magnitude). Deterministic: re-runs, engines,
+    and incremental re-processing pick the same rows; growing a group
+    only ever displaces the largest-hash survivor.
+
+    Scale shape — the giant-group trap and its fix: a single window
+    over `by` serializes each group's sort on one task, so a
+    100M-row domain pins one executor. Instead the bottom-k merge
+    property (k smallest of a union = k smallest of the per-shard
+    k-smallest) splits the work: phase 1 ranks within (group, salt) —
+    n_salt× more, n_salt× smaller partitions — and keeps ≤k per
+    shard; phase 2 ranks the ≤ n_salt·k survivors per group. The
+    second shuffle is bounded by groups·n_salt·k rows no matter how
+    skewed the input.
+
+    Output: input columns + `smp_rank` (1..min(k, |group|), the
+    within-group hash order).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = T.md5_long(F.col(id_col).cast("string"), seed)
+    salt = F.pmod(T.md5_long(F.col(id_col).cast("string"), seed + 1),
+                  F.lit(n_salt))
+    w1 = Window.partitionBy(by, "__salt").orderBy("__h", id_col)
+    w2 = Window.partitionBy(by).orderBy("__h", id_col)
+    return (
+        df.withColumns({"__h": h, "__salt": salt})
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("smp_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("smp_rank") <= k)
+        .drop("__h", "__salt", "__r1")
     )

@@ -30,6 +30,7 @@ __all__ = [
     "expectations_report",
     "expect_or_quarantine",
     "failed_checks_expr",
+    "skew_report",
 ]
 
 
@@ -207,3 +208,58 @@ def expect_or_quarantine(
     pass_df = tagged.filter(F.size(F.col(failed_col)) == 0).drop(failed_col)
     quarantine_df = tagged.filter(F.size(F.col(failed_col)) > 0)
     return pass_df, quarantine_df
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew profiler: the `top_n` heaviest keys
+    with their share of all rows and skew factor (count ÷ the mean
+    rows-per-distinct-key) — the MEASURE step before every skew
+    decision (salt this join? cap this bucket? rely on AQE?). A
+    skew_factor of 1 is perfectly uniform; the hot key of a power-law
+    dup graph or a null-heavy foreign key shows up as 100-10000×.
+
+    Output: (key_cols..., cnt, share, skew_factor, rnk), rnk 1..top_n
+    by descending count (key ascending on ties — deterministic).
+
+    Scale shape: ONE groupBy on the key (partial agg map-side, the
+    shuffle carries distinct keys), then `orderBy(cnt desc).limit(n)`
+    — TakeOrderedAndProject, per-partition partial top-n, never a
+    global sort of the key table; totals are a 1-row broadcast and
+    the rank window runs on ≤ top_n rows. Works unchanged at any key
+    cardinality.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), *[F.col(c).asc() for c in keys]
+    ).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in keys])
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            *keys,
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("__total"), 6
+            ).alias("share"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("__n_keys")
+                / F.col("__total"),
+                6,
+            ).alias("skew_factor"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )

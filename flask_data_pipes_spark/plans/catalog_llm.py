@@ -1491,6 +1491,41 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select("doc_id", "lang")
 
 
+_GRSV_K, _GRSV_SEED = 5, 53
+
+
+@register(
+    "llm_group_sample",
+    oracle=rf"""
+    SELECT doc_id, source, smp_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_ddb_md5_long("doc_id::VARCHAR", _GRSV_SEED)}, doc_id
+             ) AS INT) AS smp_rank
+      FROM documents
+    ) WHERE smp_rank <= {_GRSV_K}
+    """,
+)
+def llm_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped per-group sampling (operators/corpus.py::group_reservoir):
+    exactly min(5, |source|) uniformly-hash-chosen documents per
+    source — "at most k per domain", the bounded companion to the
+    rate-based llm_stratified_sample.
+
+    Scale: two-phase salted bottom-k — phase 1 ranks within
+    (source, salt % 16) so a giant domain's sort splits 16 ways,
+    phase 2 ranks the ≤16k survivors per source (bounded shuffle).
+    The salt phase is semantically transparent (bottom-k merge
+    property), so the oracle is the direct one-window SQL."""
+    from ..operators.corpus import group_reservoir
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_reservoir(
+        d, "source", k=_GRSV_K, id_col="doc_id", seed=_GRSV_SEED
+    ).select("doc_id", "source", "smp_rank")
+
+
 @register(
     "llm_tfidf_topterms",
     oracle=r"""
@@ -4529,6 +4564,43 @@ def _ddb_expectations_oracle() -> str:
     )
     {" UNION ALL ".join(legs)}
     """
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM counts
+    ),
+    top AS (
+      SELECT lang, cnt FROM counts ORDER BY cnt DESC, lang LIMIT 5
+    )
+    SELECT lang, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+           ROUND(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS skew_factor,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) AS INT) AS rnk
+    FROM top, tot
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler (operators/expectations.py::skew_report): the
+    5 heaviest `lang` keys with row share and skew factor (count ÷
+    mean-per-key; 1.0 = uniform) — the MEASURE step this repo's own
+    skew defenses (salting in q_salted_agg, max_bucket caps, AQE
+    skew-join) should be driven by, run here on the en-dominant
+    language column.
+
+    Scale: one key-cardinality groupBy (map-side collapsed) →
+    TakeOrderedAndProject top-n (never a global sort of the key
+    table) → broadcast 1-row totals → rank window over ≤n rows."""
+    from ..operators.expectations import skew_report
+
+    return skew_report(
+        load(spark, sf_dir, "documents").select("lang"), ["lang"], top_n=5
+    )
 
 
 @register("q_expectations_orders", oracle=_ddb_expectations_oracle())

@@ -2531,3 +2531,52 @@ def test_psi_report_identical_and_shifted(spark):
     assert top["n_b"] > top["n_a"]
     with __import__("pytest").raises(ValueError):
         psi_report(a, a, "v", lo=1.0, hi=1.0)
+
+
+def test_group_reservoir_caps_and_matches_direct_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from flask_data_pipes_spark.functions import text as T
+    from flask_data_pipes_spark.operators.corpus import group_reservoir
+
+    rows = [(i, "big" if i < 500 else f"tiny{i % 3}") for i in range(520)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_reservoir(df, "source", k=7, id_col="doc_id", seed=53)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes["big"] == 7  # capped
+    for s, n in sizes.items():
+        if s != "big":
+            assert n <= 7  # tiny groups keep everything (<= 7 members)
+    # two-phase salted result == direct one-window bottom-k
+    h = T.md5_long(F.col("doc_id").cast("string"), 53)
+    w = Window.partitionBy("source").orderBy("__h", "doc_id")
+    direct = (
+        df.withColumn("__h", h)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 7)
+    )
+    got = {(r["source"], r["doc_id"], r["smp_rank"]) for r in out.collect()}
+    want = {(r["source"], r["doc_id"], r["r"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_skew_report_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.expectations import skew_report
+
+    # 1000 rows on key 7, one row each on 0..99: hot key share ~0.909
+    rows = [(7,)] * 1000 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long")
+    out = sorted(skew_report(df, ["k"], top_n=3).collect(),
+                 key=lambda r: r["rnk"])
+    assert out[0]["k"] == 7 and out[0]["rnk"] == 1
+    assert abs(out[0]["share"] - 1001 / 1100) < 1e-6
+    # 100 distinct keys (0..99 incl 7) -> mean 11 rows/key -> factor ~91
+    assert abs(out[0]["skew_factor"] - 1001 * 100 / 1100) < 1e-3
+    assert out[1]["cnt"] == 1 and out[1]["k"] == 0  # tie-broken by key
+    with __import__("pytest").raises(ValueError):
+        skew_report(df, [], top_n=3)

@@ -485,3 +485,103 @@ def test_bpe_encode_word_equals_sequential_replay(corpus, word, n_merges):
     merges = _reference_bpe(corpus, n_merges=n_merges, min_count=1)
     ranks = {(a, b): i for i, (a, b, _c) in enumerate(merges)}
     assert encode_word(word, ranks) == _replay_merges(word, merges)
+
+
+# --- SCD2 properties --------------------------------------------------------
+
+_scd_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=50),  # ts (seconds, may tie)
+        st.sampled_from(["A", "B", None]),       # state (incl. null)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_scd_stream)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_intervals_partition_history(spark, rows):
+    """On arbitrary keyed change streams (incl. ties and null states):
+    versions are 1..n contiguous per key, valid_to chains exactly to
+    the next valid_from, exactly one open version per key, and
+    consecutive retained states always differ (collapse contract)."""
+    import datetime as dt
+
+    from flask_data_pipes_spark.operators.temporal import scd2_build
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(seconds=ts), i, s)
+        for i, (k, ts, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k long, ts timestamp, seq long, st string"
+    )
+    out = scd2_build(df, "k", "ts", ["st"], order_cols=["seq"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        opens = [r for r in versions if r["is_current"]]
+        assert len(opens) == 1 and opens[0] is versions[-1]
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["st"] != nxt["st"] or (
+                prev["st"] is None) != (nxt["st"] is None)
+
+
+# --- RRF properties ---------------------------------------------------------
+
+_rank_table = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # qid
+        st.integers(min_value=0, max_value=20),  # doc
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t,
+)
+
+
+@given(_rank_table, _rank_table)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_leg_order_invariant(spark, ta, tb):
+    """Fusion must not depend on the order the legs are passed in, and
+    every fused score must equal the hand-computed Σ 1/(60+rank)."""
+    from flask_data_pipes_spark.operators.corpus import rrf_fuse
+
+    def mk(t):
+        ranked = {}
+        rows = []
+        for qid, doc in t:
+            r = ranked.setdefault(qid, [])
+            if doc not in r:
+                r.append(doc)
+                rows.append((qid, doc, len(r)))
+        return rows
+
+    ra, rb = mk(ta), mk(tb)
+    a = spark.createDataFrame(ra, "qid long, doc_id long, rnk int")
+    b = spark.createDataFrame(rb, "qid long, doc_id long, rnk int")
+    out1 = rrf_fuse([a, b], topk=100).collect()
+    out2 = rrf_fuse([b, a], topk=100).collect()
+    key = lambda r: (r["qid"], r["doc_id"])
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+    s1 = {key(r): (r["rrf_score"], r["n_rankers"]) for r in out1}
+    s2 = {key(r): (r["rrf_score"], r["n_rankers"]) for r in out2}
+    assert s1 == s2
+    want = {}
+    for rows in (ra, rb):
+        for qid, doc, rnk in rows:
+            sc, n = want.get((qid, doc), (0.0, 0))
+            want[(qid, doc)] = (sc + round(1.0 / (60 + rnk), 9), n + 1)
+    for k, (sc, n) in want.items():
+        assert abs(s1[k][0] - round(sc, 9)) < 1e-12 and s1[k][1] == n

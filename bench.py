@@ -469,6 +469,12 @@ SF10_QUERIES = [
     "llm_hll_registers",
     "llm_substring_dedup",
     "llm_semdedup_production",
+    # round-8 gated families at 100x: kmv/psi are scan-bound sketches/
+    # aggregates (hll-like), scd2 is one user-keyed shuffle whose
+    # per-user history stays constant (users grow in COUNT)
+    "llm_kmv_overlap",
+    "llm_psi_drift",
+    "q_scd2_events",
 ]
 # Budgets are sf10/sf1 wall ratios at 10× MORE data (so "3.0" means
 # scaling no worse than 3× when data grows 10×); values sized from the
@@ -489,6 +495,9 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
         "sqrt-N bucketing is ~N^1.5 BY DESIGN: 10^1.5 ≈ 31.6 naive; "
         "round-5 measured 16.6 because non-pairing stages stay linear",
     ),
+    "llm_kmv_overlap": (4.5, None),
+    "llm_psi_drift": (4.5, None),
+    "q_scd2_events": (3.0, None),
 }
 
 

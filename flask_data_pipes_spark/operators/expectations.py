@@ -31,6 +31,7 @@ __all__ = [
     "expect_or_quarantine",
     "failed_checks_expr",
     "skew_report",
+    "table_profile",
 ]
 
 
@@ -262,4 +263,71 @@ def skew_report(
             ).alias("skew_factor"),
         )
         .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+
+
+def table_profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass per-column table statistics — the ANALYZE-TABLE
+    primitive (row count, nulls, null fraction, distinct count per
+    column) that feeds join-strategy choices, expectation thresholds,
+    and "did this load look like the last one" monitoring.
+
+    Output: one row per profiled column —
+    (column, n_rows, n_nulls, null_frac, n_distinct).
+
+    `exact=True` uses count_distinct: Catalyst plans multiple distinct
+    aggregates via Expand (one projection per column — the row stream
+    is replicated |columns|+1 ways before the shuffle), which is fine
+    for dimension-sized tables and is what the DuckDB oracle can match
+    bit-for-bit. At 100 TB profile with `exact=False`:
+    approx_count_distinct (HLL++) keeps the single-pass partial
+    aggregation with NO Expand and ~rsd relative error — the same
+    exact/approx trade `expectations_report(approx_unique=...)` makes.
+
+    The unpivot to rows happens AFTER the 1-row aggregate — it never
+    touches corpus-sized data.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))  # non-null count
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c, rsd)
+            ).alias(f"__nd_{c}")
+        )
+    row = df.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    (F.col("__n") - F.col(f"__nn_{c}"))
+                    .cast("long")
+                    .alias("n_nulls"),
+                    F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return row.select(
+        F.col("__n").cast("long").alias("n_rows"), per_col.alias("__s")
+    ).select(
+        F.col("__s.column").alias("column"),
+        "n_rows",
+        F.col("__s.n_nulls").alias("n_nulls"),
+        F.round(
+            F.col("__s.n_nulls").cast("double") / F.col("n_rows"), 6
+        ).alias("null_frac"),
+        F.col("__s.n_distinct").alias("n_distinct"),
     )

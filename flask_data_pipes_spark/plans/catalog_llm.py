@@ -4603,6 +4603,48 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@register(
+    "q_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS "column", COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) - COUNT({c}))::BIGINT AS n_nulls,
+           ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*), 6)
+             AS null_frac,
+           COUNT(DISTINCT {c})::BIGINT AS n_distinct
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics (operators/expectations.py::
+    table_profile): per-column nulls / null fraction / distinct count
+    for every orders column from ONE aggregate pass — the stats that
+    feed join-strategy choices ("is this key broadcast-able"),
+    expectation thresholds, and load-to-load monitoring.
+
+    Scale: exact=True (oracle-matchable) plans the multi-distinct via
+    Expand — fine at dimension scale; the documented 100 TB path is
+    exact=False (HLL++ approx_count_distinct, single partial-agg pass,
+    no Expand). The unpivot runs on the 1-row aggregate only."""
+    from ..operators.expectations import table_profile
+
+    return table_profile(
+        load(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )
+
+
 @register("q_expectations_orders", oracle=_ddb_expectations_oracle())
 def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over `orders`

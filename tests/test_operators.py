@@ -2580,3 +2580,22 @@ def test_skew_report_hot_key(spark):
     assert out[1]["cnt"] == 1 and out[1]["k"] == 0  # tie-broken by key
     with __import__("pytest").raises(ValueError):
         skew_report(df, [], top_n=3)
+
+
+def test_table_profile_exact_and_approx(spark):
+    from flask_data_pipes_spark.operators.expectations import table_profile
+
+    rows = [(1, "a"), (2, None), (3, "a"), (None, "b")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = {r["column"]: r for r in table_profile(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 3 and out["k"]["null_frac"] == 0.25
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # approx mode: same frame shape, no Expand in the plan
+    ap = table_profile(df, exact=False)
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    got = {r["column"]: r for r in ap.collect()}
+    assert got["k"]["n_nulls"] == 1  # null stats unaffected by mode
+    with __import__("pytest").raises(ValueError):
+        table_profile(df, columns=[])

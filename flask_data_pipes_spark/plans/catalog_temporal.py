@@ -277,3 +277,57 @@ def q_scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["event_type"],
         order_cols=["event_id"],
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    n AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 17 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice
+      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE change_type <> 'unchanged'
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot changeset (operators/temporal.py::snapshot_diff):
+    two deterministic snapshots of `orders` — 'old' drops keys
+    divisible by 13, 'new' drops keys divisible by 17 and bumps
+    totalprice by 10.0 on keys divisible by 5 — diffed into the
+    insert/delete/update rows that a CDC apply or `scd2_build` would
+    consume. The diff-two-full-loads primitive that turns the
+    reference's full-reload pipelines into incremental ones.
+
+    Scale: ONE shuffle — a full-outer sort-merge join on the key; the
+    null-safe struct compare and the change tag are row-local, and
+    unchanged keys are dropped before anything downstream runs. With
+    both snapshots written bucketed on the key the join goes
+    exchange-free (test_plans asserts the bucketed-join shape)."""
+    from ..operators.temporal import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    old = o.where(key % 13 != 0).select("o_orderkey", "o_totalprice")
+    new = o.where(key % 17 != 0).select(
+        "o_orderkey",
+        F.when(key % 5 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])

@@ -332,3 +332,45 @@ def compact_parquet(
     os.rename(tmp, final)
     shutil.rmtree(bak)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    *,
+    sort: bool = True,
+    mode: str = "overwrite",
+    format: str = "parquet",
+    path: Optional[str] = None,
+) -> str:
+    """Bucketed table write: hash-partition rows into `n_buckets`
+    files per partition on `keys` and record the layout in the session
+    catalog, so every LATER equi-join or aggregation on those keys
+    plans with zero Exchange on this side (asserted by
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle). This is
+    the 100 TB answer for fact tables joined repeatedly on the same
+    key — pay the shuffle once at write time, never again at read.
+
+    `sort=True` additionally sorts within buckets, which upgrades the
+    bucketed SortMergeJoin to skip its per-task sort too. `path` makes
+    the table external (data at `path`, metadata-only in the
+    warehouse). Both join sides must use the SAME `n_buckets` (or an
+    exact multiple, with `spark.sql.bucketing.coalesceBucketsInJoin`)
+    for the exchange-free plan to apply.
+
+    Bucketing requires the table catalog (`saveAsTable`) — plain
+    `.parquet(path)` writes cannot carry the layout metadata.
+    """
+    if not keys:
+        raise ValueError("write_bucketed: at least one bucket key")
+    if n_buckets < 1:
+        raise ValueError("write_bucketed: n_buckets must be >= 1")
+    w = df.write.format(format).mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table

@@ -136,12 +136,12 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     warehouse = str(tmp_path / "wh")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{warehouse}'")
     try:
+        from flask_data_pipes_spark.sinks import write_bucketed
+
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .saveAsTable(f"{db}.orders_b"))
-        (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .saveAsTable(f"{db}.lineitem_b"))
+        write_bucketed(orders, f"{db}.orders_b", ["o_orderkey"], 8)
+        write_bucketed(lineitem, f"{db}.lineitem_b", ["l_orderkey"], 8)
         ob = spark.table(f"{db}.orders_b")
         lb = spark.table(f"{db}.lineitem_b")
         # MERGE hint: at test SF the sides fit the broadcast threshold,

@@ -269,3 +269,39 @@ def test_scd2_build_null_attrs_and_no_collapse(spark):
         df, "user_id", "ts", ["st"], collapse_unchanged=False
     ).collect()
     assert len(out2) == 3
+
+
+def test_snapshot_diff_change_kinds_and_null_safety(spark):
+    from flask_data_pipes_spark.operators.temporal import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30.0), (4, None, 41.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    # 1 deleted, 5 inserted; 2 unchanged (NULL == NULL null-safely)
+    assert out[1]["change_type"] == "delete" and out[1]["new_s"] is None
+    assert out[5]["change_type"] == "insert" and out[5]["old_v"] is None
+    assert 2 not in out
+    # 3 updated on the string attr, 4 on the value (NULL-keyed attr ok)
+    assert out[3]["change_type"] == "update" and out[3]["new_s"] == "C"
+    assert out[4]["change_type"] == "update" and out[4]["new_v"] == 41.0
+    assert set(out) == {1, 3, 4, 5}
+
+    kept = snapshot_diff(old, new, "k", keep_unchanged=True).collect()
+    assert {r["k"]: r["change_type"] for r in kept}[2] == "unchanged"
+    assert len(kept) == 5
+
+
+def test_snapshot_diff_validation(spark):
+    from flask_data_pipes_spark.operators.temporal import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="lacks"):
+        snapshot_diff(df, df.select("k"), "k", ["v"])
+    with pytest.raises(ValueError, match="no compare columns"):
+        snapshot_diff(df.select("k"), df.select("k"), "k")

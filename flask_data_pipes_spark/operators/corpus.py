@@ -930,9 +930,13 @@ def psi_from_counts(
     grid = ca.sparkSession.range(0, bins).select(
         F.col("id").cast("int").alias("bin")
     )
+    # ca/cb are ≤bins-row aggregates: broadcast them explicitly so the
+    # grid join never falls back to a SortMergeJoin when Catalyst's
+    # size estimate for the upstream scan is pessimistic (the estimate
+    # is per-plan, so relying on autoBroadcastJoinThreshold is flaky).
     j = (
-        grid.join(ca, "bin", "left")
-        .join(cb, "bin", "left")
+        grid.join(F.broadcast(ca), "bin", "left")
+        .join(F.broadcast(cb), "bin", "left")
         .select(
             "bin",
             F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),

@@ -21,7 +21,7 @@ in one Catalyst plan.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd
@@ -47,6 +47,7 @@ __all__ = [
     "bloom_bitmap",
     "bloom_incremental_dedup",
     "cdc_chunks",
+    "fuzzy_pairs",
 ]
 
 
@@ -1393,5 +1394,74 @@ def cdc_chunks(
             .cast("long")
             .alias("n_tokens"),
             T.md5_long(F.col("__chunk"), 23).alias("chunk_hash"),
+        )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    block: Union[Column, Sequence[Column]],
+    max_dist: int = 2,
+    max_block: Optional[int] = None,
+) -> DataFrame:
+    """Fuzzy record linkage over a string column: distinct (a < b)
+    value pairs within an edit distance of `max_dist`, enumerated only
+    inside caller-chosen blocks — the blocking + edit-distance shape of
+    entity resolution (match near-identical names/titles/URLs before a
+    merge or survivorship step). The string-typo sibling of the
+    set-similarity (`jaccard_pairs`) and bit-similarity
+    (`hamming_pairs`) joins.
+
+    `block` is one or more Column expressions over `col`'s value
+    (e.g. a phonetic key, a trailing token, a length bucket): values
+    sharing a block are compared, values in different blocks are NOT —
+    blocking trades recall for tractability, and the trade is the
+    caller's (an edit at the blocked position escapes its block).
+    Multiple columns are concatenated into one compound key.
+
+    Output: (`<col>_a`, `<col>_b`, dist), a < b lexicographically.
+    Matching is on DISTINCT values — join ids/payloads back on the
+    matched value afterwards (see the `llm_fuzzy_pairs` catalog entry).
+
+    Scale shape: one distinct on the value dictionary (vocabulary-
+    not corpus-sized), then `candidate_pairs`' anchor-split block-local
+    enumeration — a hot block spreads across the cluster and
+    `max_block` drops degenerate blocks outright (same contract as the
+    MinHash band machinery). The edit distance runs with Spark's
+    bounded `levenshtein(l, r, threshold)` which abandons a pair the
+    moment its distance provably exceeds `max_dist` — O(d·min(m,n))
+    per candidate instead of O(m·n). Never an all-pairs product.
+    """
+    if max_dist < 0:
+        raise ValueError("fuzzy_pairs: max_dist must be >= 0")
+    blocks = [block] if isinstance(block, Column) else list(block)
+    if not blocks:
+        raise ValueError("fuzzy_pairs: at least one block expression")
+    vals = (
+        df.select(F.col(col).alias("__fz_val"))
+        .where(F.col("__fz_val").isNotNull())
+        .distinct()
+    )
+    key = (
+        blocks[0].cast("string")
+        if len(blocks) == 1
+        else F.concat_ws("\x1f", *[b.cast("string") for b in blocks])
+    )
+    # re-alias the value into `col` so caller block expressions over
+    # F.col(col) resolve against the distinct dictionary
+    bands = vals.select(
+        F.col("__fz_val").alias(col)
+    ).select(key.alias("band_key"), F.col(col).alias("__fz_val"))
+    pairs = candidate_pairs(bands, id_col="__fz_val", max_bucket=max_block)
+    a, b = F.col("__fz_val_a"), F.col("__fz_val_b")
+    d = F.levenshtein(a, b, max_dist)
+    return (
+        pairs.withColumn("dist", d)
+        .where(F.col("dist") >= 0)  # bounded levenshtein: -1 = above
+        .select(
+            a.alias(f"{col}_a"),
+            b.alias(f"{col}_b"),
+            F.col("dist").cast("int").alias("dist"),
         )
     )

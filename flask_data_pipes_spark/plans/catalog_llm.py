@@ -5122,3 +5122,61 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(lined).select(
         "doc_id", "n_segs", "n_kept", "clean_text"
     )
+
+
+@register(
+    "llm_fuzzy_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name
+    ),
+    b AS (
+      SELECT p_name, n, split_part(p_name, ' ', 2) AS noun FROM names
+    )
+    SELECT a.p_name AS p_name_a, c.p_name AS p_name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist,
+           a.n AS n_a, c.n AS n_b
+    FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    """,
+)
+def llm_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (operators/dedup.py::fuzzy_pairs): part
+    names within edit distance 2, blocked on the trailing token — the
+    entity-resolution primitive (catalog titles, vendor names, typo'd
+    identifiers) completing the similarity-join family: set
+    (jaccard_pairs), bit (hamming_pairs), vector (embedding_neardup),
+    and now string edit distance. Each matched name pair carries both
+    names' record counts (the linkage payload joined back on the
+    value), so a survivorship rule can pick the canonical spelling by
+    frequency.
+
+    Scale: the dictionary distinct is vocabulary-sized, pair
+    enumeration is block-local via the anchor-split machinery (hot
+    blocks spread, `max_block` drops degenerate ones), and the edit
+    distance is Spark's bounded levenshtein(l, r, threshold) — early
+    abandon at O(d·min(m,n)) per candidate. The count join-back is a
+    plain equi-join on the name (AQE-splittable). Never all-pairs.
+    """
+    from ..operators.dedup import fuzzy_pairs
+
+    p = load(spark, sf_dir, "part")
+    counts = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    pairs = fuzzy_pairs(
+        p, "p_name", block=F.split(F.col("p_name"), " ")[1], max_dist=2
+    )
+    return (
+        pairs.join(
+            counts.select(
+                F.col("p_name").alias("p_name_a"), F.col("n").alias("n_a")
+            ),
+            "p_name_a",
+        )
+        .join(
+            counts.select(
+                F.col("p_name").alias("p_name_b"), F.col("n").alias("n_b")
+            ),
+            "p_name_b",
+        )
+        .select("p_name_a", "p_name_b", "dist", "n_a", "n_b")
+    )

@@ -2599,3 +2599,37 @@ def test_table_profile_exact_and_approx(spark):
     assert got["k"]["n_nulls"] == 1  # null stats unaffected by mode
     with __import__("pytest").raises(ValueError):
         table_profile(df, columns=[])
+
+
+def test_fuzzy_pairs_blocking_cap_and_validation(spark):
+    from pyspark.sql import functions as SF
+
+    from flask_data_pipes_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("cold widget",), ("old widget",), ("bold gear",), ("gold gear",),
+         ("xyzzy gear",), (None,), ("cold widget",)],
+        "name string",
+    )
+    blk = SF.split(SF.col("name"), " ")[1]
+    out = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_pairs(df, "name", block=blk, max_dist=2).collect()
+    )
+    # duplicates collapse (distinct dictionary), null values dropped,
+    # cross-block near-matches ("bold gear"/"cold widget") never compared
+    assert out == [
+        ("bold gear", "gold gear", 1),
+        ("cold widget", "old widget", 1),
+    ]
+    # max_block drops the over-populated block entirely (3 gear names)
+    capped = fuzzy_pairs(df, "name", block=blk, max_dist=2, max_block=2)
+    assert sorted(r["name_a"] for r in capped.collect()) == ["cold widget"]
+    # dist 0 pairs can't exist on a distinct dictionary; threshold 0 ok
+    assert fuzzy_pairs(df, "name", block=blk, max_dist=0).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, "name", block=blk, max_dist=-1)
+    with _pt.raises(ValueError, match="block"):
+        fuzzy_pairs(df, "name", block=[])

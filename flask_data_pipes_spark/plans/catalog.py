@@ -519,6 +519,7 @@ def _ordered() -> Dict[str, QuerySpec]:
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: name → (spark, sf_dir) → DataFrame."""
     # Import registers the extension-operator entries too.
+    from . import catalog_analytics  # noqa: F401
     from . import catalog_etl  # noqa: F401
     from . import catalog_llm  # noqa: F401
     from . import catalog_temporal  # noqa: F401
@@ -528,6 +529,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> Dict[str, str]:
     """Driver contract: name → DuckDB oracle SQL (absent → rows-only)."""
+    from . import catalog_analytics  # noqa: F401
     from . import catalog_etl  # noqa: F401
     from . import catalog_llm  # noqa: F401
     from . import catalog_temporal  # noqa: F401

@@ -1,0 +1,190 @@
+"""Behavioral-analytics catalog entries (Spark-native superset,
+SURVEY.md §2.8): ordered funnel, weekly cohort retention, skew-salted
+join, and the storage compaction planner — each DuckDB-oracled.
+
+The reference has no cross-record analytics (one-record-at-a-time ETL,
+`/root/reference` SURVEY §2); these are the standard queries an event
+pipeline serves downstream, built on operators/analytics.py whose
+shapes are designed for the 100 TB case (see that module's header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import (
+    cohort_retention,
+    compaction_plan,
+    funnel,
+    salted_join,
+)
+from .catalog import load, register
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts::TIMESTAMP) AS t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts::TIMESTAMP) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts::TIMESTAMP >= t1.t
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts::TIMESTAMP) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= t2.t
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM t1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+    ) ORDER BY step_idx
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users who
+    viewed, then clicked at-or-after their first view, then purchased
+    at-or-after their earliest qualifying click.
+
+    Scale: the oracle's formulation is one self-join per step (K
+    shuffles + fan-out); the Spark plan is chained running-min window
+    expressions over ONE (user, ts) sort — see
+    operators/analytics.py::funnel.
+    """
+    e = load(spark, sf_dir, "events")
+    return funnel(
+        e,
+        ["view", "click", "purchase"],
+        user_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        order_col="event_id",
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT e.user_id, f.cw::TIMESTAMP AS cohort_week,
+             CAST(floor(date_diff('day', f.cw::DATE, e.ts::DATE) / 7.0)
+                  AS INT) AS week_offset
+      FROM events e JOIN f USING (user_id)
+    ),
+    grid AS (
+      SELECT cohort_week, week_offset,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM t GROUP BY cohort_week, week_offset
+    )
+    SELECT g.cohort_week, g.week_offset, g.n_active,
+           s.n_active AS cohort_size,
+           round(g.n_active / s.n_active, 6) AS retention
+    FROM grid g
+    JOIN (SELECT cohort_week, n_active FROM grid WHERE week_offset = 0) s
+      USING (cohort_week)
+    ORDER BY g.cohort_week, g.week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of each
+    user's first event; n_active distinct users per (cohort_week,
+    week_offset) cell, plus cohort_size and the retention ratio.
+
+    Scale: one shuffle on user_id for the first-event window; the grid
+    key count is O(weeks²) regardless of data volume, and cohort sizes
+    come from the grid's own offset-0 cells (no second event scan).
+    """
+    e = load(spark, sf_dir, "events")
+    return cohort_retention(e, user_col="user_id", ts_col="ts")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the SALTED join path: the
+    fact side fans out over 16 deterministic salts, the dim side is
+    exploded 16×, the equi-join runs on (custkey, salt). The oracle is
+    the PLAIN join — asserting the salt is semantics-free.
+
+    Scale: the structural answer to a hot FK (one giant customer, or a
+    null-heavy key) that pins a reducer where AQE's skew split can't
+    reach (cached inputs, non-SMJ plans). Cost: dim shuffled 16×, fact
+    once — see operators/analytics.py::salted_join.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, on="o_custkey", n_salt=16, salt_src="o_orderkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS before_bytes
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(before_bytes / 2000.0) AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT source, doc_id, n_chars, bin_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source, bin_id
+                                   ORDER BY doc_id) AS INT) AS bin_seq
+    FROM binned
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over the documents table treated as a file
+    listing (doc_id = file, n_chars = size, source = storage
+    partition): next-fit bin-packing into ~2000-byte output bins via a
+    per-scope exclusive prefix sum. Planning never crosses a source
+    boundary — compaction respects partition boundaries by
+    construction.
+
+    Scale: the window partitions by the scope, so a million-partition
+    lake plans in one parallel pass; there is no global sort (the
+    degenerate scope-less plan is rejected by the operator).
+    """
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return compaction_plan(
+        d,
+        size_col="n_chars",
+        target_bytes=2000,
+        scope_cols=["source"],
+        order_col="doc_id",
+    )

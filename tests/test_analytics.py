@@ -1,0 +1,173 @@
+"""Semantics tests for operators/analytics.py beyond what the DuckDB
+oracles assert: funnel ordering edge-cases and conversion windows,
+cohort retention invariants, salted-join equivalence + plan shape,
+compaction-plan bin invariants."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.operators.analytics import (
+    cohort_retention,
+    compaction_plan,
+    funnel,
+    salted_join,
+)
+
+
+def _ts(day, h=0, m=0):
+    return datetime.datetime(2024, 1, day, h, m)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # u1: full ordered funnel. u2: click BEFORE any view (click must
+    # not count). u3: view only. u4: view then purchase (no click —
+    # purchase must not count, funnel is ordered). u5: full funnel but
+    # purchase 10 days after view (trimmed by conversion_window).
+    rows = [
+        (1, "u1", "view", _ts(1)), (2, "u1", "click", _ts(2)),
+        (3, "u1", "purchase", _ts(3)),
+        (4, "u2", "click", _ts(1)), (5, "u2", "view", _ts(2)),
+        (6, "u3", "view", _ts(1)),
+        (7, "u4", "view", _ts(1)), (8, "u4", "purchase", _ts(2)),
+        (9, "u5", "view", _ts(1)), (10, "u5", "click", _ts(2)),
+        (11, "u5", "purchase", _ts(11)),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+
+
+def test_funnel_ordered_semantics(spark, funnel_events):
+    out = funnel(
+        funnel_events, ["view", "click", "purchase"], user_col="user_id",
+        order_col="event_id",
+    ).collect()
+    by_step = {r.step: r.n_users for r in out}
+    assert [r.step_idx for r in out] == [1, 2, 3]
+    # views: u1,u2(view after click still counts as a view),u3,u4,u5
+    assert by_step["view"] == 5
+    # clicks at-or-after first view: u1, u5 (u2's click precedes its view)
+    assert by_step["click"] == 2
+    # purchases after a qualifying click: u1, u5 (u4 never clicked)
+    assert by_step["purchase"] == 2
+
+
+def test_funnel_conversion_window_trims(spark, funnel_events):
+    out = funnel(
+        funnel_events, ["view", "click", "purchase"], user_col="user_id",
+        order_col="event_id", conversion_window=7 * 86400,
+    ).collect()
+    by_step = {r.step: r.n_users for r in out}
+    # u5's purchase lands 10 days after its first view -> outside window
+    assert by_step["purchase"] == 1
+    assert by_step["click"] == 2
+
+
+def test_funnel_validation(spark, funnel_events):
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(funnel_events, ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(funnel_events, ["view", "view"])
+
+
+def test_funnel_single_shuffle_plan(spark, funnel_events):
+    out = funnel(
+        funnel_events, ["view", "click", "purchase"], user_col="user_id",
+        order_col="event_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the per-user groupBy reuses the window's hash partitioning on
+    # user_id: exactly one exchange over the event table (plus the
+    # single-row final aggregate's trivial exchange)
+    n_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, plan
+
+
+def test_cohort_retention_invariants(spark):
+    rows = [
+        # u1 first event Mon Jan 1 week; active weeks 0 and 2
+        (1, "u1", _ts(2)), (2, "u1", _ts(16)),
+        # u2 same cohort, active week 0 only
+        (3, "u2", _ts(3)),
+        # u3 cohort of Jan 8 week, active weeks 0,1
+        (4, "u3", _ts(9)), (5, "u3", _ts(16)),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = cohort_retention(e, user_col="user_id", ts_col="ts").collect()
+    cells = {(r.cohort_week.date(), r.week_offset): r for r in out}
+    w1, w2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 8)
+    assert cells[(w1, 0)].n_active == 2 and cells[(w1, 0)].retention == 1.0
+    assert cells[(w1, 2)].n_active == 1
+    assert cells[(w1, 2)].cohort_size == 2
+    assert cells[(w1, 2)].retention == 0.5
+    assert cells[(w2, 0)].n_active == 1
+    assert cells[(w2, 1)].n_active == 1
+    assert (w1, 1) not in cells  # no activity -> no row (sparse grid)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").orderBy("o_orderkey")
+    salted = salted_join(o, c, on="o_custkey", n_salt=8).orderBy("o_orderkey")
+    assert salted.columns == plain.columns
+    assert salted.collect() == plain.collect()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "k int, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    out = salted_join(big, small, on="k", how="left").orderBy("k").collect()
+    assert len(out) == 3
+    assert out[2].k == 99 and out[2].w is None
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, on="k", how="full")
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = salted_join(big, small, on="k", n_salt=4)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__salt" in plan  # join condition carries the salt key
+    # the exploded small side fans out n_salt ways
+    assert salted_join(big, small.limit(1), on="k", n_salt=4).count() == 1
+    exploded = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    )
+    assert exploded.count() == 4
+
+
+def test_compaction_plan_bins_and_oversize(spark):
+    rows = [
+        ("p1", "f1", 60), ("p1", "f2", 60), ("p1", "f3", 300), ("p1", "f4", 10),
+        ("p2", "f1", 50),
+    ]
+    files = spark.createDataFrame(rows, "part string, path string, size_bytes long")
+    out = compaction_plan(
+        files, size_col="size_bytes", target_bytes=100,
+        scope_cols=["part"], order_col="path",
+    )
+    got = {(r.part, r.path): (r.bin_id, r.bin_seq) for r in out.collect()}
+    # f1 starts bin 0 (before=0); f2 before=60 -> bin 0; f3 before=120
+    # -> bin 1 (oversize, occupies bins 1-3 worth of budget); f4
+    # before=420 -> bin 4: the prefix-sum jump gives the big file its
+    # own bin and never co-locates the next file with it
+    assert got[("p1", "f1")] == (0, 1)
+    assert got[("p1", "f2")] == (0, 2)
+    assert got[("p1", "f3")] == (1, 1)
+    assert got[("p1", "f4")] == (4, 1)
+    assert got[("p2", "f1")] == (0, 1)  # scopes never share bins
+
+
+def test_compaction_plan_requires_scope(spark):
+    files = spark.createDataFrame([("f1", 10)], "path string, size_bytes long")
+    with pytest.raises(ValueError, match="scope_cols"):
+        compaction_plan(files, size_col="size_bytes", target_bytes=100)

@@ -148,6 +148,48 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+             CASE WHEN epoch_us(ts::TIMESTAMP) -
+                       lag(epoch_us(ts::TIMESTAMP)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts::TIMESTAMP, event_id)
+                  >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seq
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+           COUNT(*)::INT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, seq
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window aggregate —
+    the JVM-side twin of q_sessionize's lag+running-sum formulation and
+    of the applyInPandasWithState streaming sessionizer. The oracle
+    reproduces session_window's exclusive-end boundary (break at gap
+    >= 1800 s, end = last event + gap) in exact integer microseconds.
+
+    Scale: one shuffle on user_id, merging inside the aggregate
+    operator — no second window pass, no Python state.
+    """
+    from ..streaming.stream import session_window_agg
+
+    e = load(spark, sf_dir, "events")
+    return session_window_agg(e, gap_seconds=1800)
+
+
+@register(
     "q_compaction_plan",
     oracle="""
     WITH sized AS (

@@ -297,6 +297,72 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def _session_window_agg_exprs():
+    return [
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    ]
+
+
+def session_window_agg(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Sessionization via Spark's NATIVE `session_window` aggregate —
+    the JVM-side alternative to both `sessionize_batch` (lag + running
+    sum, two window passes) and `sessionize_stream`
+    (applyInPandasWithState, Python state in the loop). One shuffle on
+    (user_id), session merging inside the aggregation operator, no
+    Python anywhere.
+
+    Boundary semantics (and the oracle's): an event EXTENDS the session
+    when `ts - last_ts < gap` and STARTS a new one when `>= gap` —
+    session_window's end bound `last_ts + gap` is exclusive. (The
+    lag-based `sessionize_batch` uses `> gap` breaks, i.e. inclusive
+    ends; the two twins differ only on exact-gap ties, which
+    microsecond-resolution event data never produces in practice.)
+
+    Emits (user_id, session_start = first ts, session_end = last ts +
+    gap, n_events, total_value). Prefer this shape at scale; reach for
+    `applyInPandasWithState` only when the per-session logic stops
+    being an aggregate (e.g. pattern matching inside the session).
+    """
+    win = F.session_window("ts", f"{int(gap_seconds)} seconds")
+    out = events.groupBy("user_id", win).agg(*_session_window_agg_exprs())
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of `session_window_agg`: the same native
+    session_window aggregate under an event-time watermark. Sessions
+    emit (append mode) once the watermark passes their end — fully
+    JVM-side streaming state, the scale-preferred path over the
+    `applyInPandasWithState` sessionizer for plain session aggregates.
+    """
+    win = F.session_window("ts", f"{int(gap_seconds)} seconds")
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", win)
+        .agg(*_session_window_agg_exprs())
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def foreach_batch_stage(
     pipeline,
     model_cls,

@@ -52,6 +52,7 @@ __all__ = [
     "ivfpq_save",
     "ivfpq_load",
     "random_projection",
+    "retrieval_metrics",
 ]
 
 
@@ -188,6 +189,70 @@ def cosine_topk_vectorized(
     return (
         partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "qid",
+    id_col: str = "vec_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Ranking-quality evaluation of a retrieval run: per-query
+    recall@k, MRR, and binary-gain nDCG@k of `results` (ranked lists:
+    query_col, id_col, rank_col with rank 1-based) against `relevance`
+    (the ground-truth (query_col, id_col) pairs).
+
+    Definitions (per query):
+      recall@k = |topk ∩ relevant| / min(k, n_relevant)
+      MRR      = 1 / rank of the first relevant hit   (0 if none)
+      nDCG@k   = Σ_hits 1/log2(rank+1)  /  Σ_{i=1..min(k,n_rel)} 1/log2(i+1)
+
+    Queries present in `relevance` but retrieving zero relevant docs
+    get explicit 0.0 rows (left join), so means over the output are
+    unbiased. Doubles are rounded to 6dp for cross-engine stability.
+
+    Scale: one equi-join of the top-k lists (Q×k rows) against the
+    relevance pairs, then two Q-row aggregations — cost is driven by
+    the relevance table's size, never the corpus; the ideal-DCG term is
+    a closed-form fold over sequence(1, min(k, n_rel)), no join.
+    """
+    topk = results.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, rank_col
+    )
+    nrel = relevance.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hits = topk.join(
+        relevance.select(query_col, id_col), [query_col, id_col]
+    )
+    rank_d = F.col(rank_col).cast("double")
+    agg = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__n_hits"),
+        F.min(rank_col).alias("__first"),
+        F.sum(F.lit(1.0) / F.log2(rank_d + F.lit(1.0))).alias("__dcg"),
+    )
+    m = F.least(F.lit(k), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    out = nrel.join(agg, query_col, "left")
+    return out.select(
+        query_col,
+        "n_rel",
+        F.round(
+            F.coalesce(F.col("__n_hits"), F.lit(0)) / m, 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg, 6
+        ).alias("ndcg"),
     )
 
 

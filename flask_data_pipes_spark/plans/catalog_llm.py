@@ -5180,3 +5180,87 @@ def llm_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_name_a", "p_name_b", "dist", "n_a", "n_b")
     )
+
+
+@register(
+    "llm_retrieval_eval",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, label,
+                      embedding::DOUBLE[] AS qv,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])) AS qinv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      1.0 / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])) AS inv
+               FROM embeddings),
+         scored AS (
+           SELECT q.qid, c.vec_id,
+                  list_dot_product(q.qv, c.v) * q.qinv * c.inv AS sim
+           FROM q, c WHERE q.qid <> c.vec_id
+         ),
+         topk AS (
+           SELECT qid, vec_id, rnk FROM (
+             SELECT qid, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY round(sim, 6) DESC,
+                                                vec_id ASC) AS rnk
+             FROM scored
+           ) WHERE rnk <= 10
+         ),
+         rel AS (
+           SELECT q.qid, c.vec_id FROM q JOIN c ON q.label = c.label
+           WHERE q.qid <> c.vec_id
+         ),
+         nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+         hits AS (
+           SELECT t.qid, t.rnk FROM topk t
+           JOIN rel r ON t.qid = r.qid AND t.vec_id = r.vec_id
+         ),
+         agg AS (
+           SELECT qid, COUNT(*) AS n_hits, MIN(rnk) AS first_rnk,
+                  SUM(1.0 / log2(rnk + 1.0)) AS dcg
+           FROM hits GROUP BY qid
+         ),
+         ideal AS (
+           SELECT qid, SUM(1.0 / log2(i + 1.0)) AS idcg FROM (
+             SELECT qid,
+                    unnest(generate_series(1, LEAST(10, n_rel))) AS i
+             FROM nrel
+           ) GROUP BY qid
+         )
+    SELECT n.qid, n.n_rel,
+           round(COALESCE(a.n_hits, 0) / LEAST(10, n.n_rel), 6)
+             AS recall_at_k,
+           round(COALESCE(1.0 / a.first_rnk, 0.0), 6) AS mrr,
+           round(COALESCE(a.dcg, 0.0) / d.idcg, 6) AS ndcg
+    FROM nrel n
+    JOIN ideal d USING (qid)
+    LEFT JOIN agg a USING (qid)
+    """,
+)
+def llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: brute cosine top-10 per query,
+    graded against label-match ground truth — per-query recall@10, MRR,
+    binary-gain nDCG@10. The eval harness every retrieval/dedup config
+    decision in this engine rests on (the ANN recall gauge pins
+    recall-vs-brute; this pins quality-vs-GROUND-TRUTH).
+
+    Scale: the metric join touches Q×k ranked rows against the
+    relevance pairs — never the corpus; ideal DCG is a closed-form fold
+    (operators/similarity.py::retrieval_metrics).
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    res = similarity.cosine_topk(
+        e, q.select(F.col("vec_id").alias("qid"), "embedding"), k=10
+    )
+    rel = (
+        q.select(F.col("vec_id").alias("qid"), "label")
+        .join(e.select("vec_id", "label"), "label")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id")
+    )
+    return similarity.retrieval_metrics(res, rel, k=10)

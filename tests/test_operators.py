@@ -2633,3 +2633,49 @@ def test_fuzzy_pairs_blocking_cap_and_validation(spark):
         fuzzy_pairs(df, "name", block=blk, max_dist=-1)
     with _pt.raises(ValueError, match="block"):
         fuzzy_pairs(df, "name", block=[])
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Hand-computed recall@k / MRR / nDCG on a 3-query fixture:
+    perfect, partial, and zero-hit retrievals."""
+    import math
+
+    from flask_data_pipes_spark.operators import similarity
+
+    results = spark.createDataFrame(
+        # q1: relevant at ranks 1,2 (perfect for n_rel=2)
+        # q2: relevant at rank 3 only
+        # q3: no relevant retrieved
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2), ("q2", "a", 3),
+         ("q3", "x", 1), ("q3", "y", 2)],
+        "qid string, vec_id string, rnk int",
+    )
+    relevance = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"),
+         ("q2", "a"), ("q2", "zz"),
+         ("q3", "zz")],
+        "qid string, vec_id string",
+    )
+    out = {
+        r.qid: r
+        for r in similarity.retrieval_metrics(
+            results, relevance, k=3
+        ).collect()
+    }
+    # q1: n_rel=2, hits at 1,2 -> recall 2/min(3,2)=1.0, mrr 1.0,
+    # dcg = 1/log2(2)+1/log2(3), idcg identical -> ndcg 1.0
+    assert out["q1"].n_rel == 2
+    assert out["q1"].recall_at_k == 1.0
+    assert out["q1"].mrr == 1.0
+    assert out["q1"].ndcg == 1.0
+    # q2: n_rel=2, one hit at rank 3 -> recall 0.5, mrr 1/3,
+    # dcg = 1/log2(4) = 0.5, idcg = 1/log2(2)+1/log2(3)
+    idcg2 = 1.0 + 1.0 / math.log2(3.0)
+    assert out["q2"].recall_at_k == 0.5
+    assert out["q2"].mrr == round(1.0 / 3.0, 6)
+    assert out["q2"].ndcg == round(0.5 / idcg2, 6)
+    # q3: zero hits -> explicit zeros, not a missing row
+    assert out["q3"].recall_at_k == 0.0
+    assert out["q3"].mrr == 0.0
+    assert out["q3"].ndcg == 0.0

@@ -53,6 +53,7 @@ __all__ = [
     "ivfpq_load",
     "random_projection",
     "retrieval_metrics",
+    "cluster_balanced_sample",
 ]
 
 
@@ -189,6 +190,56 @@ def cosine_topk_vectorized(
     return (
         partial.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    per_cluster: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Cluster-balanced curation sample (the DataComp-style diversity
+    sampler): KMeans the corpus into `n_clusters` cells, then take up
+    to `per_cluster` rows per cell in deterministic hash order —
+    a uniform-without-replacement draw within each cell that equalizes
+    semantic-cluster representation instead of following the corpus's
+    natural (usually head-heavy) cluster mass.
+
+    Emits (id_col, cluster int, sample_rank int). Join back to the
+    corpus on id_col for payloads. Deterministic for a fixed seed:
+    the KMeans fit is seeded and the within-cell order is
+    xxhash64(id), not a random().
+
+    Scale: the fit is pyspark.ml's distributed Lloyd's (reused from
+    `ivf_fit` — the same cells can serve ANN search); the quota cut is
+    one row_number window partitioned by cell. For head-heavy corpora
+    the biggest cell dominates its window partition — if a single cell
+    exceeds executor-partition scale, raise n_clusters (cells are the
+    salt) rather than window-salting here.
+    """
+    index = ivf_fit(
+        corpus,
+        n_cells=n_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    w = Window.partitionBy("__cell").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        index.assigned.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_cluster)
+        .select(
+            F.col(id_col),
+            F.col("__cell").cast("int").alias("cluster"),
+            F.col("__r").cast("int").alias("sample_rank"),
+        )
     )
 
 

@@ -5264,3 +5264,22 @@ def llm_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     return similarity.retrieval_metrics(res, rel, k=10)
+
+
+@register("llm_cluster_sample")  # kmeans fit → not SQL-expressible; golden-pinned
+def llm_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced curation sample: KMeans the embedding corpus
+    into 8 cells, keep 20 rows per cell in deterministic hash order —
+    the diversity-equalizing draw (vs mass-proportional sampling) a
+    training-data mixture uses to stop head clusters from dominating.
+
+    Scale: distributed Lloyd's (shared with ivf_fit — the same cells
+    serve ANN search) + one row_number window per cell; see
+    operators/similarity.py::cluster_balanced_sample.
+    """
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        e, n_clusters=8, per_cluster=20, seed=42
+    )

@@ -2679,3 +2679,26 @@ def test_retrieval_metrics_hand_computed(spark):
     assert out["q3"].recall_at_k == 0.0
     assert out["q3"].mrr == 0.0
     assert out["q3"].ndcg == 0.0
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
+    from flask_data_pipes_spark.operators import similarity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cluster_balanced_sample(
+        e, n_clusters=8, per_cluster=5, seed=42
+    )
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.sample_rank)
+    # quota respected, ranks are 1..n within each cell, ids unique
+    for cl, ranks in by_cluster.items():
+        assert len(ranks) <= 5
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert len({r.vec_id for r in rows}) == len(rows)
+    # deterministic re-run (seeded fit + hash order, no random())
+    again = similarity.cluster_balanced_sample(
+        e, n_clusters=8, per_cluster=5, seed=42
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

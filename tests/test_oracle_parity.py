@@ -284,6 +284,13 @@ GOLDEN_DIGESTS = {
         2477,
         "4b26148f443707227771c460d4b8fc1e2adb40533edfcc615c486cb3ce183f32",
     ),
+    # seeded kmeans (shared with ivf_fit) + xxhash64 within-cell order:
+    # fully deterministic; 500 vectors / 8 cells at sf0.001, two cells
+    # are singletons so the draw is 113 rows, not 160
+    "llm_cluster_sample": (
+        113,
+        "ed33bedb99e9712b0f7fd52f0442afadaaab6d027b8c43ad3d08b4a9ed5feff8",
+    ),
     "llm_ivf_topk": (
         40,
         "84364b598b1941733f50d747fa6cb54fffdee2aae3a4b54f2c16a9c272559c43",

@@ -418,9 +418,12 @@ CHECKED_PREFIX = [
     "q_sessionize",
     "q_salted_agg",
     "q_percentiles",
-    # Temporal joins
+    # Temporal joins (round-8: q_funnel — ordered-funnel behavioral
+    # analytics, a new family — takes q_range_join's slot; the
+    # bucketed-interval-join machinery keeps a gated representative in
+    # q_asof_join and range_join stays oracled + swept)
     "q_asof_join",
-    "q_range_join",
+    "q_funnel",
     # Round-6 re-curation (VERDICT r5 #5): the sketch trio, BPE,
     # expectations, and layout families take the gated slots of five
     # redundant relational twins (q_order_priority_rollup,
@@ -468,8 +471,11 @@ CHECKED_PREFIX = [
     # llm_semdedup_production (same family in the curation test);
     # embedding_neardup stays oracled + swept.
     "llm_rrf_fusion",
-    # Similarity search
-    "llm_cosine_topk",
+    # Similarity search (round-8: llm_retrieval_eval — ranking-quality
+    # eval, a new family — takes llm_cosine_topk's slot; retrieval_eval
+    # RUNS cosine_topk at k=10 internally, so the brute top-k path
+    # stays transitively gated and cosine_topk stays oracled + swept)
+    "llm_retrieval_eval",
     "llm_lsh_topk",
     # Continued round 8: gapfill (hypertable rollup family) takes the
     # OR-amplified LSH variant's slot (llm_lsh_topk_multitable is the

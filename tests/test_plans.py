@@ -265,7 +265,10 @@ def test_checked_prefix_curated():
     missing_oracle = [n for n in CHECKED_PREFIX if n not in os_]
     assert not missing_oracle, missing_oracle
     families = {
+        # round-8: q_funnel took q_range_join's slot (asof keeps the
+        # temporal-join machinery gated; range_join oracled + swept)
         "temporal": ["q_asof_join", "q_range_join"],
+        "funnel": ["q_funnel"],
         # round-6 re-curation: sketch trio / BPE / expectations /
         # layout families are driver-gated
         "hll": ["llm_hll_distinct"],
@@ -279,7 +282,11 @@ def test_checked_prefix_curated():
         "simhash": ["llm_simhash_pairs"],
         "clusters": ["llm_dedup_clusters"],
         "semantic-dedup": ["llm_semdedup_production", "llm_embedding_neardup"],
-        "ann": ["llm_cosine_topk", "llm_lsh_topk"],
+        # round-8: llm_retrieval_eval took llm_cosine_topk's slot (it
+        # runs cosine_topk k=10 internally — brute path transitively
+        # gated; cosine_topk stays oracled + swept)
+        "ann": ["llm_retrieval_eval", "llm_lsh_topk"],
+        "retrieval-eval": ["llm_retrieval_eval"],
         "corpus": ["llm_boilerplate_prune"],
         # continued round 8: both repeated-line keep-semantics gated
         "line-dedup-keep-first": ["llm_line_dedup"],

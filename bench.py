@@ -104,6 +104,22 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "llm_kmv_overlap",
     "llm_psi_drift",
     "llm_rrf_fusion",
+    # round-8 session additions: funnel — K chained running-min
+    # windows over ONE user sort (scan-bound; users grow 10x in count,
+    # per-user history stays constant); session_window — native
+    # JVM-side session merge, one user shuffle; cohort — user-window
+    # pass + a weeks^2 grid agg (grid size data-independent);
+    # retrieval_eval — brute cosine legs are QxN linear in the corpus,
+    # metric joins touch Qxk rows only; compaction_plan — per-scope
+    # prefix-sum window (scope count fixed, rows 10x); cluster_sample
+    # — 5-iteration distributed Lloyd's (scan-bound per iteration) +
+    # one per-cell row_number window
+    "q_funnel",
+    "q_session_window",
+    "q_cohort_retention",
+    "llm_retrieval_eval",
+    "q_compaction_plan",
+    "llm_cluster_sample",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------
@@ -475,6 +491,11 @@ SF10_QUERIES = [
     "llm_kmv_overlap",
     "llm_psi_drift",
     "q_scd2_events",
+    # round-8 session additions at 100x: funnel and native session
+    # windows are one user-keyed shuffle each over the events table
+    # (users grow in count, per-user history constant)
+    "q_funnel",
+    "q_session_window",
 ]
 # Budgets are sf10/sf1 wall ratios at 10× MORE data (so "3.0" means
 # scaling no worse than 3× when data grows 10×); values sized from the
@@ -498,6 +519,8 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
     "llm_kmv_overlap": (4.5, None),
     "llm_psi_drift": (4.5, None),
     "q_scd2_events": (3.0, None),
+    "q_funnel": (3.0, None),
+    "q_session_window": (3.0, None),
 }
 
 

@@ -42,7 +42,13 @@ from typing import List, Optional, Sequence, Tuple, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "cohort_retention", "salted_join", "compaction_plan"]
+__all__ = [
+    "funnel",
+    "cohort_retention",
+    "salted_join",
+    "compaction_plan",
+    "bloom_semi_join",
+]
 
 
 def _keys(on: Union[str, Sequence[str]]) -> List[str]:
@@ -256,6 +262,91 @@ def salted_join(
     )
     out = salted_big.join(exploded_small, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Union[str, Sequence[str]],
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction (the distributed-DB classic): cut the fact
+    side down to ~matching rows BEFORE its join shuffle, using a bloom
+    filter of the dim's join keys. Results are identical to
+    `fact.join(dim, on, how)` for `how` in {inner, left_semi} — bloom
+    false negatives are impossible, and false positives die in the
+    exact join that follows.
+
+    Use when the dim is too big to broadcast (so the plain join is a
+    two-sided shuffle) but its KEY SET fits a bloom: the bitmap is
+    m_bits/8 bytes regardless of dim size (default 1 MiB for 2^23
+    bits; size m_bits ≳ 10× the dim's distinct-key count to keep the
+    false-positive rate ≈ (1−e^(−k·n/m))^k low single digits). The
+    fact then ships only ~|fact ⋉ dim| + ε·|fact| rows into the join
+    exchange instead of all of them — at 100 TB the exchange IS the
+    cost, so ε is the fraction of the shuffle you still pay. (Spark's
+    AQE runtime row-filtering plans this automatically in narrow
+    cases; the operator makes it structural and tunable.)
+
+    Probe shape: the dim-key bitmap (built with `dedup.bloom_bitmap`,
+    ≤ m_bits/64 rows) collapses to ONE row holding a map<word→bits>,
+    which broadcasts; every fact row checks its k probe words with map
+    lookups inside a single codegen filter — NO explode, NO
+    per-row aggregation, no shuffle before the filter. Multi-column
+    keys probe on a null-tagged concatenation.
+    """
+    keys = _keys(on)
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_semi_join supports inner/left_semi, got {how!r} "
+            "(a left-outer join must keep non-matching fact rows, which "
+            "the bloom pre-filter would drop)"
+        )
+    from .dedup import _bloom_positions, bloom_bitmap
+
+    def probe_value(df: DataFrame) -> Column:
+        # null-tagged so ("a", null) never collides with ("anull",)
+        return F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in keys
+            ],
+        )
+
+    bitmap = bloom_bitmap(
+        dim.select(probe_value(dim).alias("__bsj_key")), "__bsj_key", m_bits, k
+    )
+    packed = bitmap.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))
+        ).alias("__bsj_map")
+    )
+    pos = _bloom_positions(probe_value(fact), m_bits, k)
+    word = lambda p: (p / 64).cast("long")  # noqa: E731
+    # shiftleft with a COLUMN bit count (the python wrapper only takes
+    # an int literal)
+    mask = lambda p: F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+    )  # noqa: E731
+    hit = None
+    for i in range(k):
+        p = F.element_at(pos, i + 1)
+        probe = (
+            F.coalesce(
+                F.element_at(F.col("__bsj_map"), word(p)), F.lit(0).cast("long")
+            ).bitwiseAND(mask(p))
+            != 0
+        )
+        hit = probe if hit is None else (hit & probe)
+    filtered = (
+        fact.crossJoin(F.broadcast(packed))  # 1-row bitmap side
+        .filter(hit)
+        .drop("__bsj_map")
+    )
+    return filtered.join(dim, keys, how)
 
 
 def compaction_plan(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.analytics import (
+    bloom_semi_join,
     cohort_retention,
     compaction_plan,
     funnel,
@@ -229,4 +230,45 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_bytes=2000,
         scope_cols=["source"],
         order_col="doc_id",
+    )
+
+
+@register(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by priority for high-value orders, with the lineitem
+    fact reduced through the BLOOM SEMI-JOIN path: a 1 MiB bitmap of
+    the qualifying order keys broadcasts, every lineitem row probes it
+    in one codegen filter (k map lookups, no explode, no shuffle), and
+    only the survivors enter the exact join. The oracle is the PLAIN
+    join — bloom false positives die in the join, false negatives are
+    impossible.
+
+    Scale: at 100 TB the join exchange IS the cost; the pre-filter
+    ships ~|matching| + eps*|fact| rows into it instead of all of them,
+    with the dim reduced to a size-independent m/64-word bitmap. See
+    operators/analytics.py::bloom_semi_join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    joined = bloom_semi_join(li, od, on="l_orderkey", m_bits=1 << 20, k=5)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
     )

@@ -171,3 +171,71 @@ def test_compaction_plan_requires_scope(spark):
     files = spark.createDataFrame([("f1", 10)], "path string, size_bytes long")
     with pytest.raises(ValueError, match="scope_cols"):
         compaction_plan(files, size_col="size_bytes", target_bytes=100)
+
+
+def test_bloom_semi_join_matches_plain_join(spark, sf_dir):
+    from flask_data_pipes_spark.operators.analytics import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_totalprice > 300000")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plain = li.join(od, "l_orderkey").orderBy("l_orderkey", "l_partkey")
+    bloomed = bloom_semi_join(li, od, on="l_orderkey").orderBy(
+        "l_orderkey", "l_partkey"
+    )
+    assert bloomed.columns == plain.columns
+    assert bloomed.collect() == plain.collect()
+    # left_semi leg
+    sp = li.join(od, "l_orderkey", "left_semi").count()
+    sb = bloom_semi_join(li, od, on="l_orderkey", how="left_semi").count()
+    assert sp == sb
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_semi_join(li, od, on="l_orderkey", how="left")
+
+
+def test_bloom_semi_join_null_keys_and_multicol(spark):
+    from flask_data_pipes_spark.operators.analytics import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (None, "x", 30), (2, None, 40)],
+        "k int, s string, v int",
+    )
+    dim = spark.createDataFrame(
+        [(1, "x", "a"), (2, None, "b")], "k int, s string, w string"
+    )
+    plain = fact.join(dim, ["k", "s"]).collect()
+    got = bloom_semi_join(fact, dim, on=["k", "s"]).collect()
+    # null keys never match in either path (SQL equi-join semantics)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+
+
+def test_bloom_semi_join_filter_precedes_join_shuffle(spark, sf_dir):
+    """The probe must be a plain Filter over the fact scan (fed by a
+    1-row broadcast) — no explode, no aggregation, no fact-side
+    exchange before the filter."""
+    from flask_data_pipes_spark.operators.analytics import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_totalprice > 300000")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    plan = (
+        bloom_semi_join(li, od, on="l_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # exactly ONE Generate — the dim-side bitmap build explodes the
+    # dim's probe positions; the fact side must never explode (its
+    # probe is k map lookups inside one codegen filter)
+    assert plan.count("Generate explode") == 1, "fact-side explode crept in"
+    assert "__bsj_map" in plan  # the broadcast bitmap feeds the filter
+    # the 1-row bitmap reaches the fact as a broadcast nested loop,
+    # not a cartesian product
+    assert "BroadcastNestedLoopJoin" in plan

@@ -910,6 +910,112 @@ def histogram_counts(
     )
 
 
+def ks_report(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    populations of a numeric column: D = max over observed values of
+    |CDF_a(v) − CDF_b(v)|, the binning-free complement of `psi_report`
+    (PSI needs an explicit grid and answers "how much mass moved";
+    KS is grid-free and answers "are these the same distribution" —
+    critical values: D > 1.63/√n at α=0.01 for equal-size samples).
+
+    Returns ONE row: (ks_d, at_value — the smallest value attaining
+    the max, n_a, n_b). Cross-engine exact: cumulative counts are
+    integers, the per-value CDF gap is one IEEE division + subtraction
+    per side rounded to `round_to` BEFORE the max, ties on the max
+    break toward the smallest value.
+
+    Scale shape: per side one value-keyed count aggregate (partial agg
+    collapses map-side), a full-outer merge on the DISTINCT values,
+    then a DISTRIBUTED prefix sum — range-repartition by value, window
+    cumsum WITHIN each range partition, plus per-partition offsets
+    from a ≤shuffle.partitions-row totals table (its own window is
+    over that tiny table, not the data). No single-partition window
+    ever touches the value table, so a billion-distinct-value column
+    plans the same shape as a ten-value one.
+    """
+    from pyspark.sql import Window
+
+    ca = (
+        a.select(F.col(value_col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        b.select(F.col(value_col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    merged = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .repartitionByRange("v")
+        .withColumn("__pid", F.spark_partition_id())
+        # both the offsets branch and the cumsum branch read this
+        # frame; an eager localCheckpoint (the connected_components
+        # precedent) materializes the tiny distinct-value table ONCE
+        # instead of re-running the upstream scans per branch — and
+        # pins the range partitioning, so the offsets provably
+        # describe the same partition layout the cumsum runs on
+        .localCheckpoint()
+    )
+    # partition offsets: exclusive prefix sums over the tiny
+    # (#partitions)-row totals table; the single-partition window here
+    # is over that table, never the data
+    totals = merged.groupBy("__pid").agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    wp = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "__pid",
+        (F.sum("__ta").over(wp) - F.col("__ta")).alias("__oa"),
+        (F.sum("__tb").over(wp) - F.col("__tb")).alias("__ob"),
+    )
+    wv = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = merged.join(F.broadcast(offsets), "__pid").select(
+        "v",
+        (F.sum("n_a").over(wv) + F.col("__oa")).alias("__ca"),
+        (F.sum("n_b").over(wv) + F.col("__ob")).alias("__cb"),
+    )
+    grand = merged.agg(
+        F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b")
+    )
+    gap = F.round(
+        F.abs(
+            F.col("__ca") / F.col("n_a") - F.col("__cb") / F.col("n_b")
+        ),
+        round_to,
+    )
+    return (
+        cum.crossJoin(F.broadcast(grand))  # 1-row totals
+        .select(gap.alias("__d"), "v", "n_a", "n_b")
+        .agg(
+            F.max("__d").alias("ks_d"),
+            F.min_by("v", F.struct(F.negate(F.col("__d")), F.col("v"))).alias(
+                "at_value"
+            ),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .select("ks_d", "at_value", "n_a", "n_b")
+    )
+
+
 def psi_from_counts(
     ca: DataFrame,
     cb: DataFrame,

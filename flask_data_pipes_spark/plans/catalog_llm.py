@@ -5283,3 +5283,51 @@ def llm_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_balanced_sample(
         e, n_clusters=8, per_cluster=20, seed=42
     )
+
+
+@register(
+    "llm_ks_drift",
+    oracle="""
+    WITH ca AS (SELECT value AS v, COUNT(*) AS n_a FROM events
+                WHERE event_type = 'view' GROUP BY value),
+         cb AS (SELECT value AS v, COUNT(*) AS n_b FROM events
+                WHERE event_type = 'purchase' GROUP BY value),
+         m AS (SELECT COALESCE(ca.v, cb.v) AS v,
+                      COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+               FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                      CAST(SUM(n_b) AS BIGINT) AS nb FROM m),
+         c AS (SELECT v,
+                      CAST(SUM(n_a) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                      CAST(SUM(n_b) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+               FROM m),
+         d AS (SELECT v, round(abs(CAST(cum_a AS DOUBLE) / t.na
+                                 - CAST(cum_b AS DOUBLE) / t.nb), 9) AS d
+               FROM c, t)
+    SELECT (SELECT max(d) FROM d) AS ks_d,
+           (SELECT v FROM d ORDER BY d DESC, v ASC LIMIT 1) AS at_value,
+           (SELECT na FROM t) AS n_a,
+           (SELECT nb FROM t) AS n_b
+    """,
+)
+def llm_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the view-event and
+    purchase-event value distributions — the grid-free companion to
+    llm_psi_drift (PSI needs explicit bins and measures moved mass; KS
+    is the max CDF gap, the "same distribution?" test statistic).
+
+    Scale: value-keyed count aggregates per side, then a DISTRIBUTED
+    prefix sum over the distinct-value table (range partitions +
+    a <=shuffle.partitions-row offsets join) — no single-partition
+    window ever sees the data; see operators/corpus.py::ks_report.
+    """
+    from ..operators.corpus import ks_report
+
+    e = load(spark, sf_dir, "events")
+    return ks_report(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        "value",
+    )

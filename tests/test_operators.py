@@ -2702,3 +2702,69 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
         e, n_clusters=8, per_cluster=5, seed=42
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ks_report_identical_zero_disjoint_one(spark):
+    from flask_data_pipes_spark.operators.corpus import ks_report
+
+    a = spark.createDataFrame([(float(i % 7),) for i in range(100)], "value double")
+    b = spark.createDataFrame([(float(i % 7) + 100.0,) for i in range(50)], "value double")
+    same = ks_report(a, a, "value").collect()[0]
+    assert same.ks_d == 0.0
+    assert same.n_a == 100 and same.n_b == 100
+    far = ks_report(a, b, "value").collect()[0]
+    # disjoint supports: CDF gap hits 1.0 at a's last value
+    assert far.ks_d == 1.0
+    assert far.at_value == 6.0
+
+
+def test_ks_report_matches_brute_cdf(spark, sf_dir):
+    import numpy as np
+
+    from flask_data_pipes_spark.operators.corpus import ks_report
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.filter("event_type = 'view'")
+    b = e.filter("event_type = 'error'")
+    got = ks_report(a, b, "value").collect()[0]
+    va = np.sort(np.array([r.value for r in a.select("value").collect()]))
+    vb = np.sort(np.array([r.value for r in b.select("value").collect()]))
+    vs = np.unique(np.concatenate([va, vb]))
+    d = np.round(
+        np.abs(
+            np.searchsorted(va, vs, side="right") / len(va)
+            - np.searchsorted(vb, vs, side="right") / len(vb)
+        ),
+        9,
+    )
+    assert got.ks_d == d.max()
+    assert got.at_value == vs[int(np.argmax(d))]
+
+
+def test_ks_report_distributed_prefix_sum_plan(spark, sf_dir):
+    """The cumsum over the distinct-value table must be range-
+    partitioned (distributed prefix sum), never a single-partition
+    window over the data."""
+    from flask_data_pipes_spark.operators.corpus import ks_report
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ks_report(
+        e.filter("event_type = 'view'"),
+        e.filter("event_type = 'purchase'"),
+        "value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cumsum window over the distinct-value table is partitioned by
+    # the range-partition id (the range Exchange itself ran eagerly at
+    # checkpoint time, so it doesn't appear in this plan)
+    assert "windowspecdefinition(__pid" in plan, (
+        "data cumsum window lost its partition-local shape"
+    )
+    # the only windows ordered WITHOUT a partition are over the tiny
+    # per-partition totals table (<= shuffle.partitions rows), which sit
+    # under an aggregate of the checkpointed scan — never over raw data
+    for line in plan.splitlines():
+        if "windowspecdefinition(v" in line:
+            raise AssertionError(
+                f"value-ordered window without partition over data: {line}"
+            )

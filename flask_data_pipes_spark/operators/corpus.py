@@ -910,6 +910,65 @@ def histogram_counts(
     )
 
 
+def partitioned_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: "list[str]",
+    prefix: str = "__cum_",
+) -> DataFrame:
+    """Distributed prefix sum: the input plus one running-total column
+    per entry of `sum_cols` (named `<prefix><col>`), cumulative in
+    global `order_col` order — WITHOUT a single-partition window over
+    the data. Shape: range-repartition on `order_col`, one window
+    cumsum WITHIN each range partition, plus per-partition offsets
+    computed from a ≤shuffle.partitions-row totals table (whose own
+    unpartitioned window is over that tiny table only).
+
+    The input is eagerly localCheckpoint-ed: both the offsets branch
+    and the cumsum branch read the materialized frame, which also pins
+    the partition ids the offsets describe. Intended for AGGREGATED
+    inputs (distinct values, counts) — checkpointing a raw 100 TB scan
+    would be wrong; reduce first.
+
+    Rows sharing an `order_col` value may land in either relative
+    order WITHIN the value (range partitioning keeps equal keys
+    together, the window orders by `order_col` alone) — aggregate to
+    one row per value first when per-value cumulative totals must be
+    exact, as ks_report does.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.repartitionByRange(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = base.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    wp = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "__pid",
+        *[
+            (F.sum(f"__t_{c}").over(wp) - F.col(f"__t_{c}")).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    wv = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.sum(c).over(wv) + F.col(f"__o_{c}")
+        )
+    return out.drop("__pid", *[f"__o_{c}" for c in sum_cols])
+
+
 def ks_report(
     a: DataFrame,
     b: DataFrame,
@@ -938,8 +997,6 @@ def ks_report(
     ever touches the value table, so a billion-distinct-value column
     plans the same shape as a ten-value one.
     """
-    from pyspark.sql import Window
-
     ca = (
         a.select(F.col(value_col).cast("double").alias("v"))
         .groupBy("v")
@@ -950,50 +1007,21 @@ def ks_report(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
-    merged = (
-        ca.join(cb, "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        )
-        .repartitionByRange("v")
-        .withColumn("__pid", F.spark_partition_id())
-        # both the offsets branch and the cumsum branch read this
-        # frame; an eager localCheckpoint (the connected_components
-        # precedent) materializes the tiny distinct-value table ONCE
-        # instead of re-running the upstream scans per branch — and
-        # pins the range partitioning, so the offsets provably
-        # describe the same partition layout the cumsum runs on
-        .localCheckpoint()
-    )
-    # partition offsets: exclusive prefix sums over the tiny
-    # (#partitions)-row totals table; the single-partition window here
-    # is over that table, never the data
-    totals = merged.groupBy("__pid").agg(
-        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
-    )
-    wp = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = totals.select(
-        "__pid",
-        (F.sum("__ta").over(wp) - F.col("__ta")).alias("__oa"),
-        (F.sum("__tb").over(wp) - F.col("__tb")).alias("__ob"),
-    )
-    wv = (
-        Window.partitionBy("__pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = merged.join(F.broadcast(offsets), "__pid").select(
+    merged = ca.join(cb, "v", "full_outer").select(
         "v",
-        (F.sum("n_a").over(wv) + F.col("__oa")).alias("__ca"),
-        (F.sum("n_b").over(wv) + F.col("__ob")).alias("__cb"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
-    grand = merged.agg(
-        F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b")
+    cummed = partitioned_cumsum(merged, "v", ["n_a", "n_b"])
+    cum = cummed.select(
+        "v",
+        F.col("__cum_n_a").alias("__ca"),
+        F.col("__cum_n_b").alias("__cb"),
+    )
+    # grand totals = the last cumulative values; reading them off the
+    # cumsum output keeps every branch on the checkpointed frame
+    grand = cum.agg(
+        F.max("__ca").alias("n_a"), F.max("__cb").alias("n_b")
     )
     gap = F.round(
         F.abs(
@@ -1013,6 +1041,61 @@ def ks_report(
             F.first("n_b").alias("n_b"),
         )
         .select("ks_d", "at_value", "n_a", "n_b")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram (quantile binning): split the value
+    distribution into `bins` buckets of ~equal ROW COUNT and report
+    each bucket's (bin, lo, hi, n). The data-driven complement of
+    `histogram_counts`' fixed-width grid — equal-width bins put 90% of
+    a skewed column in one bucket; equal-depth bins are the grid a PSI
+    reference snapshot or a range-partitioner actually wants.
+
+    Semantics: rows are ranked by value (ties share a rank block), and
+    a VALUE's bin is floor(rows_before_it · bins / N) — so all rows of
+    one value land in one bin (bins wobble around N/bins exactly where
+    duplicates straddle a boundary; a value with more rows than N/bins
+    overflows its bin alone, the honest representation of a
+    heavy-hitter under quantile binning).
+
+    Scale: one value-keyed count aggregate, the distributed
+    `partitioned_cumsum` over the distinct-value table, a broadcast
+    1-row total, and a ≤bins-group aggregate. No global sort, no
+    single-partition window over data.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    counts = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cum = partitioned_cumsum(counts, "v", ["n"])
+    total = cum.agg(F.max("__cum_n").alias("__N"))
+    binned = cum.crossJoin(F.broadcast(total)).select(
+        "v",
+        "n",
+        F.floor(
+            (F.col("__cum_n") - F.col("n"))
+            * F.lit(int(bins))
+            / F.col("__N")
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("n").alias("n"),
+        )
+        .orderBy("bin")
     )
 
 

@@ -5331,3 +5331,45 @@ def llm_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase"),
         "value",
     )
+
+
+@register(
+    "llm_equidepth_bins",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, n,
+             CAST(SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_n
+      FROM c
+    ),
+    t AS (SELECT CAST(MAX(cum_n) AS BIGINT) AS total FROM cum),
+    b AS (
+      SELECT v, n,
+             CAST(floor((cum_n - n) * 10 / CAST(t.total AS DOUBLE))
+                  AS INT) AS bin
+      FROM cum, t
+    )
+    SELECT bin, MIN(v) AS lo, MAX(v) AS hi,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def llm_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of document lengths in 10
+    buckets of ~equal row count — the data-driven grid that a PSI
+    reference snapshot or a range partitioner wants, where the
+    fixed-width llm_length_histogram puts most of a skewed column in
+    one bucket.
+
+    Scale: distinct-value counts → distributed prefix sum (range
+    partitions + tiny offsets) → broadcast total → ≤bins-group
+    aggregate; see operators/corpus.py::equidepth_histogram.
+    """
+    from ..operators.corpus import equidepth_histogram
+
+    d = load(spark, sf_dir, "documents")
+    return equidepth_histogram(d, "n_chars", bins=10)

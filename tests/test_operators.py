@@ -2768,3 +2768,53 @@ def test_ks_report_distributed_prefix_sum_plan(spark, sf_dir):
             raise AssertionError(
                 f"value-ordered window without partition over data: {line}"
             )
+
+
+def test_partitioned_cumsum_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+
+    from flask_data_pipes_spark.operators.corpus import partitioned_cumsum
+
+    rng = random.Random(7)
+    rows = [(float(rng.randint(0, 500)), rng.randint(1, 9), rng.randint(1, 9))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "v double, x long, y long").groupBy(
+        "v"
+    ).agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+    got = {
+        r["v"]: (r["__cum_x"], r["__cum_y"])
+        for r in partitioned_cumsum(df, "v", ["x", "y"]).collect()
+    }
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.v: (r.cx, r.cy)
+        for r in df.select(
+            "v", F.sum("x").over(w).alias("cx"), F.sum("y").over(w).alias("cy")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_equidepth_histogram_depth_and_ties(spark):
+    from flask_data_pipes_spark.operators.corpus import equidepth_histogram
+
+    # 100 distinct values, one row each -> exactly 10 per bin
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = equidepth_histogram(df, "v", bins=10).collect()
+    assert [r.n for r in out] == [10] * 10
+    assert [r.bin for r in out] == list(range(10))
+    assert out[0].lo == 0.0 and out[9].hi == 99.0
+    # a heavy hitter (60% of rows share one value) overflows its bin
+    # alone; ties never split across bins
+    heavy = spark.createDataFrame(
+        [(5.0,)] * 60 + [(float(i),) for i in range(10)], "v double"
+    )
+    hout = equidepth_histogram(heavy, "v", bins=5)
+    hrows = {r.bin: r for r in hout.collect()}
+    five_bins = [b for b, r in hrows.items() if r.lo <= 5.0 <= r.hi]
+    assert len(five_bins) == 1  # the 60-row value sits in exactly one bin
+    assert hrows[five_bins[0]].n >= 60
+    with pytest.raises(ValueError, match="bins"):
+        equidepth_histogram(df, "v", bins=0)

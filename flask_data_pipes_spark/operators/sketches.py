@@ -45,6 +45,7 @@ __all__ = [
     "bottomk_merge",
     "sample_quantiles",
     "kmv_overlap",
+    "kmv_overlap_matrix",
 ]
 
 
@@ -430,3 +431,101 @@ def kmv_overlap(
         union_est.alias("union_est"),
         F.round(jacc * union_est, 6).alias("intersection_est"),
     )
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    by: str,
+    k: int = 256,
+    seed: int = 47,
+) -> DataFrame:
+    """Pairwise set-overlap matrix over GROUPS: for every unordered
+    pair of `by` values, the KMV Jaccard / union / intersection
+    estimates of their `id_col` sets — `kmv_overlap` generalized from
+    two corpora to a G-way population (cross-SOURCE vocabulary
+    duplication screening: "which crawl sources are mirrors of each
+    other", the input to source-level dedup priorities).
+
+    Output: one row per pair (g_a < g_b lexicographically) —
+    (g_a, g_b, k_eff, n_common, jaccard_est, union_est,
+    intersection_est) — every value deterministic and DuckDB-matchable
+    (md5 hashes, integer selection, one double division per estimate).
+
+    Scale shape: ONE corpus-keyed shuffle (the (group, hash) distinct),
+    then a per-group bottom-k window over the ≤distinct-values rows;
+    everything pairwise runs on sketches only: G·k sketch rows fan out
+    to at most (G−1)·G·k/2 · 2 tagged rows (k is small — 256 default —
+    and no corpus data is touched). For thousands of groups, shrink k
+    or pre-block pairs (e.g. only pairs sharing a sketch-minimum
+    bucket) — the matrix itself is inherently G²-sized.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            F.col(by).alias("__g"),
+            T.md5_long(F.col(id_col), seed).alias("__h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__g").orderBy("__h")
+    sketches = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        # three consumers (group list + both pair legs): materialize
+        # the G*k-row sketch table once instead of re-running the
+        # corpus distinct per branch
+        .localCheckpoint()
+    )
+    groups = sketches.select("__g").distinct()
+    pairs = groups.select(F.col("__g").alias("g_a")).join(
+        groups.select(F.col("__g").alias("g_b")),
+        F.col("g_a") < F.col("g_b"),
+    )
+    sa = pairs.join(
+        sketches.withColumnRenamed("__g", "g_a"), "g_a"
+    ).select(
+        "g_a", "g_b", "__h", F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    )
+    sb = pairs.join(
+        sketches.withColumnRenamed("__g", "g_b"), "g_b"
+    ).select(
+        "g_a", "g_b", "__h", F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    )
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("g_a", "g_b", "__h")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+    )
+    wk = Window.partitionBy("g_a", "g_b").orderBy("__h")
+    union_sketch = merged.withColumn(
+        "__rn", F.row_number().over(wk)
+    ).filter(F.col("__rn") <= k)
+    agg = union_sketch.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_common"),
+        F.max("__h").alias("__hmax"),
+    )
+    jacc = F.round(
+        F.col("n_common").cast("double") / F.col("k_eff").cast("double"), 6
+    )
+    union_est = F.when(
+        F.col("k_eff") < F.lit(k), F.col("k_eff").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            / (F.col("__hmax").cast("double") / F.lit(KMV_HASH_SPACE)),
+            6,
+        )
+    )
+    return agg.select(
+        "g_a",
+        "g_b",
+        "k_eff",
+        "n_common",
+        jacc.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        F.round(jacc * union_est, 6).alias("intersection_est"),
+    ).orderBy("g_a", "g_b")

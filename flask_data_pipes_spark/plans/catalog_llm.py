@@ -5373,3 +5373,86 @@ def llm_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return equidepth_histogram(d, "n_chars", bins=10)
+
+
+_OVM_K = 128
+
+
+@register(
+    "llm_source_overlap",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source AS g, unnest({_DDB_TOKS_LOWER}) AS tok
+      FROM documents
+      WHERE trim(text) <> '' AND CAST(substr(source, 4) AS INT) < 6
+    ),
+    base AS (
+      SELECT DISTINCT g, {_ddb_md5_long("tok", _KMV_SEED)} AS h FROM toks
+    ),
+    s AS (
+      SELECT g, h FROM base
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= {_OVM_K}
+    ),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b
+      FROM (SELECT DISTINCT g FROM s) a, (SELECT DISTINCT g FROM s) b
+      WHERE a.g < b.g
+    ),
+    tagged AS (
+      SELECT p.g_a, p.g_b, s.h, 1 AS a, 0 AS b
+      FROM pairs p JOIN s ON s.g = p.g_a
+      UNION ALL
+      SELECT p.g_a, p.g_b, s.h, 0 AS a, 1 AS b
+      FROM pairs p JOIN s ON s.g = p.g_b
+    ),
+    m AS (
+      SELECT g_a, g_b, h, MAX(a) AS a, MAX(b) AS b
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT * FROM m
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h)
+              <= {_OVM_K}
+    ),
+    agg AS (
+      SELECT g_a, g_b, COUNT(*) AS k_eff,
+             CAST(SUM(a * b) AS BIGINT) AS n_common, MAX(h) AS hmax
+      FROM u GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT g_a, g_b, k_eff, n_common,
+             ROUND(CAST(n_common AS DOUBLE) / CAST(k_eff AS DOUBLE), 6)
+               AS jaccard_est,
+             CASE WHEN k_eff < {_OVM_K} THEN CAST(k_eff AS DOUBLE)
+                  ELSE ROUND({float(_OVM_K - 1)!r}
+                             / (CAST(hmax AS DOUBLE) / {_KMV_SPACE!r}), 6)
+             END AS union_est
+      FROM agg
+    )
+    SELECT g_a, g_b, k_eff, n_common, jaccard_est, union_est,
+           ROUND(jaccard_est * union_est, 6) AS intersection_est
+    FROM est
+    """,
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source vocabulary-overlap matrix from per-source
+    KMV sketches (operators/sketches.py::kmv_overlap_matrix): for every
+    pair of the first six sources, Jaccard / union / intersection
+    estimates of their token vocabularies — the mirror-site /
+    duplicated-crawl screen that prioritizes source-level dedup,
+    computed without ever joining the corpora.
+
+    Scale: one (source, hash) distinct is the only corpus-keyed
+    shuffle; the pairwise stage touches only G·k sketch rows.
+    """
+    from ..operators.sketches import kmv_overlap_matrix
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.trim(F.col("text")) != "")
+        & (F.substring(F.col("source"), 4, 10).cast("int") < 6)
+    )
+    toks = d.select(
+        "source",
+        F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    return kmv_overlap_matrix(toks, "tok", by="source", k=_OVM_K, seed=_KMV_SEED)

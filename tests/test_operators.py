@@ -2818,3 +2818,39 @@ def test_equidepth_histogram_depth_and_ties(spark):
     assert hrows[five_bins[0]].n >= 60
     with pytest.raises(ValueError, match="bins"):
         equidepth_histogram(df, "v", bins=0)
+
+
+def test_kmv_overlap_matrix_pairwise_consistency(spark, sf_dir):
+    """Each matrix cell must equal the two-corpus kmv_overlap run on
+    the same pair, and self-similar groups must score high."""
+    from flask_data_pipes_spark.functions import text as T
+    from flask_data_pipes_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_overlap_matrix,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("trim(text) <> '' AND CAST(substr(source, 4, 10) AS INT) < 3")
+    )
+    toks = d.select(
+        "source",
+        F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    matrix = {
+        (r.g_a, r.g_b): (r.k_eff, r.n_common, r.jaccard_est)
+        for r in kmv_overlap_matrix(
+            toks, "tok", by="source", k=64, seed=47
+        ).collect()
+    }
+    assert set(matrix) == {("src0", "src1"), ("src0", "src2"), ("src1", "src2")}
+    pair = kmv_overlap(
+        toks.filter("source = 'src0'"),
+        toks.filter("source = 'src1'"),
+        "tok",
+        k=64,
+        seed=47,
+    ).collect()[0]
+    assert matrix[("src0", "src1")] == (
+        pair.k_eff, pair.n_common, pair.jaccard_est,
+    )

@@ -120,6 +120,13 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "llm_retrieval_eval",
     "q_compaction_plan",
     "llm_cluster_sample",
+    # round-8 drift/sketch additions: ks — distinct-value counts + the
+    # distributed prefix sum (value cardinality grows sublinearly);
+    # equidepth — same shape + a <=bins agg; source_overlap — one
+    # (source, hash) distinct then G*k sketch rows only
+    "llm_ks_drift",
+    "llm_equidepth_bins",
+    "llm_source_overlap",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -272,3 +272,52 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_event_outliers_mad",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM p GROUP BY user_id
+    ),
+    d AS (
+      SELECT p.event_id, p.user_id, p.value, m.med,
+             abs(p.value - m.med) AS dev
+      FROM p JOIN m USING (user_id)
+    ),
+    md AS (
+      SELECT user_id, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id, d.value, d.med, md.mad,
+           round(0.6745 * (d.value - d.med) / md.mad, 6) AS robust_z
+    FROM d JOIN md USING (user_id)
+    WHERE md.mad > 0
+      AND abs(0.6745 * (d.value - d.med) / md.mad) > 3.5
+    """,
+)
+def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ROBUST outliers (modified z-score, Iglewicz–Hoaglin):
+    purchases more than 3.5 MAD-scaled units from the user's median —
+    the breakdown-resistant sibling of q_event_outliers' mean/stddev
+    gauge (one giant anomaly inflates a stddev enough to mask its
+    siblings; it cannot move a median).
+
+    Scale: ONE shuffle — median and MAD both run as exact-percentile
+    window aggregates over the same user partitioning (the oracle's
+    two-join formulation is the proof of equivalence); see
+    operators/expectations.py::robust_outliers.
+    """
+    from ..operators.expectations import robust_outliers
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    return robust_outliers(e, "value", by="user_id")

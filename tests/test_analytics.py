@@ -239,3 +239,41 @@ def test_bloom_semi_join_filter_precedes_join_shuffle(spark, sf_dir):
     # the 1-row bitmap reaches the fact as a broadcast nested loop,
     # not a cartesian product
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_robust_outliers_masks_nothing_and_single_shuffle(spark):
+    """A giant anomaly inflates stddev enough to hide a second outlier
+    from the z-score; the MAD gauge flags both. Plan: one Exchange."""
+    from flask_data_pipes_spark.operators.expectations import robust_outliers
+
+    rows = (
+        [(i, "u1", 10.0 + (i % 3) * 0.1) for i in range(20)]
+        + [(100, "u1", 10_000.0), (101, "u1", 50.0)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, user_id string, value double")
+    flagged = robust_outliers(df, "value", by="user_id")
+    # read the plan BEFORE executing (post-collect, AQE's finalized
+    # tree repeats the exchange in the string)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    ids = {r.event_id for r in flagged.collect()}
+    assert {100, 101} <= ids  # both anomalies flagged
+    assert not (ids & set(range(20)))  # no normal row flagged
+    # mean/stddev z-score at the same data: the 10k point drags the
+    # stddev so far that 50.0 scores under 2.5 sigma — masked
+    import statistics
+
+    vals = [v for _, _, v in rows]
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert abs((50.0 - mu) / sd) < 2.5
+
+
+def test_robust_outliers_zero_mad_group_skipped(spark):
+    from flask_data_pipes_spark.operators.expectations import robust_outliers
+
+    df = spark.createDataFrame(
+        [(1, "u", 5.0), (2, "u", 5.0), (3, "u", 5.0), (4, "u", 9.0)],
+        "event_id long, user_id string, value double",
+    )
+    # median 5, over half the rows equal -> MAD 0 -> group skipped
+    assert robust_outliers(df, "value", by="user_id").count() == 0

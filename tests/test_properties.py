@@ -585,3 +585,127 @@ def test_rrf_fuse_leg_order_invariant(spark, ta, tb):
             want[(qid, doc)] = (sc + round(1.0 / (60 + rnk), 9), n + 1)
     for k, (sc, n) in want.items():
         assert abs(s1[k][0] - round(sc, 9)) < 1e-12 and s1[k][1] == n
+
+
+# --- round-8 analytics properties -------------------------------------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 7),  # user
+        st.sampled_from(["a", "b", "c", "x"]),  # event type (x = noise)
+        st.integers(0, 10_000),  # ts seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_funnel_events)
+@settings(**_SETTINGS)
+def test_funnel_matches_sequential_model_and_monotone(spark, events):
+    """The chained-window funnel must equal a per-user sequential scan
+    (the semantics a product analyst would write in plain Python), and
+    step counts must be non-increasing."""
+    import datetime as dt
+
+    from flask_data_pipes_spark.operators.analytics import funnel
+
+    rows = [
+        (i, f"u{u}", t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+        for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel(
+            df, ["a", "b", "c"], user_col="user_id", order_col="event_id"
+        ).collect()
+    }
+
+    # sequential reference: earliest qualifying time per step per user
+    per_user = {}
+    for i, (u, t, s) in enumerate(events):
+        per_user.setdefault(u, []).append((s, i, t))
+    want = {"a": 0, "b": 0, "c": 0}
+    for evs in per_user.values():
+        evs.sort()
+        t_prev = None
+        for step in ["a", "b", "c"]:
+            t_step = None
+            for s, _, t in evs:
+                if t == step and (t_prev is None or s >= t_prev):
+                    t_step = s
+                    break
+            if step == "a":
+                t_cur = t_step if t_step is not None else None
+            else:
+                t_cur = t_step
+            if t_cur is None:
+                break
+            want[step] += 1
+            t_prev = t_cur
+    assert got == want
+    assert got["a"] >= got["b"] >= got["c"]
+
+
+_join_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 100)), min_size=0, max_size=40
+)
+
+
+@given(_join_rows, _join_rows, st.integers(2, 9))
+@settings(**_SETTINGS)
+def test_salted_and_bloom_joins_match_plain(spark, big_rows, small_rows, n_salt):
+    """Both skew-join paths are semantics-free: identical multiset of
+    results to the plain inner join for ANY input, salt count, and
+    bitmap size."""
+    from flask_data_pipes_spark.operators.analytics import (
+        bloom_semi_join,
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(k, v) for k, v in big_rows] or [(None, None)], "k int, v int"
+    )
+    small = spark.createDataFrame(
+        [(k, v) for k, v in small_rows] or [(None, None)], "k int, w int"
+    )
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    assert sorted(map(tuple, salted_join(big, small, "k", n_salt=n_salt).collect())) == plain
+    assert sorted(
+        map(tuple, bloom_semi_join(big, small, "k", m_bits=1 << 12, k=3).collect())
+    ) == plain
+
+
+@given(
+    st.lists(st.integers(1, 300), min_size=1, max_size=30),
+    st.integers(50, 200),
+)
+@settings(**_SETTINGS)
+def test_compaction_plan_next_fit_invariant(spark, sizes, target):
+    """Next-fit invariant: within a scope, a bin other than a file's own
+    never receives a file while under-capacity space remains earlier —
+    equivalently, bin_id is non-decreasing in file order and equals the
+    exclusive-prefix-sum formula exactly."""
+    from flask_data_pipes_spark.operators.analytics import compaction_plan
+
+    files = spark.createDataFrame(
+        [("s", f"f{i:03d}", sz) for i, sz in enumerate(sizes)],
+        "scope string, path string, size_bytes long",
+    )
+    out = sorted(
+        compaction_plan(
+            files, size_col="size_bytes", target_bytes=target,
+            scope_cols=["scope"], order_col="path",
+        ).collect(),
+        key=lambda r: r.path,
+    )
+    before = 0
+    prev_bin = -1
+    for r, sz in zip(out, sizes):
+        assert r.bin_id == before // target
+        assert r.bin_id >= prev_bin  # monotone in layout order
+        prev_bin = r.bin_id
+        before += sz

@@ -1007,6 +1007,23 @@ def ks_report(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
+    return ks_from_counts(ca, cb, round_to=round_to)
+
+
+def ks_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    round_to: int = 9,
+) -> DataFrame:
+    """KS statistic from two pre-aggregated value-count tables (`ca`:
+    columns (v, n_a); `cb`: (v, n_b)) — the counts-level core of
+    `ks_report`, reusable when the sides arrive as persisted or merged
+    count tables instead of raw rows (value counts ADD across shards
+    and micro-batches exactly like `histogram_counts` bins, so a
+    cross-batch drift monitor can accumulate per-shard counts and KS
+    them against a frozen reference later; for UNBOUNDED value
+    domains, bin first — KS over `histogram_counts` bin labels is the
+    standard binned-KS compromise and keeps streaming state O(bins))."""
     merged = ca.join(cb, "v", "full_outer").select(
         "v",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),

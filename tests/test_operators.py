@@ -2854,3 +2854,38 @@ def test_kmv_overlap_matrix_pairwise_consistency(spark, sf_dir):
     assert matrix[("src0", "src1")] == (
         pair.k_eff, pair.n_common, pair.jaccard_est,
     )
+
+
+def test_ks_from_counts_merged_shards_equals_whole(spark):
+    """Value counts add across shards: KS over summed shard counts must
+    equal KS over the whole population (the cross-batch monitor
+    contract, mirroring histogram/psi_from_counts)."""
+    from flask_data_pipes_spark.operators.corpus import ks_from_counts, ks_report
+
+    a_rows = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(200)], "id long, value double"
+    )
+    a = a_rows.select("value")
+    b = spark.createDataFrame(
+        [(float((i * 7) % 17),) for i in range(150)], "value double"
+    )
+    whole = ks_report(a, b, "value").collect()[0]
+    # shard a by id parity, count each shard, merge by addition
+    half1 = a_rows.filter("id % 2 = 0").select("value")
+    half2 = a_rows.filter("id % 2 = 1").select("value")
+    def counts(df, name):
+        return (
+            df.select(F.col("value").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    merged_a = (
+        counts(half1, "n_a")
+        .unionByName(counts(half2, "n_a"))
+        .groupBy("v")
+        .agg(F.sum("n_a").alias("n_a"))
+    )
+    got = ks_from_counts(merged_a, counts(b, "n_b")).collect()[0]
+    assert (got.ks_d, got.at_value, got.n_a, got.n_b) == (
+        whole.ks_d, whole.at_value, whole.n_a, whole.n_b,
+    )

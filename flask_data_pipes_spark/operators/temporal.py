@@ -58,29 +58,47 @@ def asof_join(
     right_ts: Optional[str] = None,
     right_cols: Optional[Sequence[str]] = None,
     tolerance: Optional[float] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row
-    with the greatest `right_ts <= left_ts` among rows sharing the `on`
-    keys (inclusive match, like DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
-    and pandas `merge_asof(direction='backward')`). Left rows with no
-    match keep nulls (left-outer semantics).
+    """As-of join with pandas `merge_asof` direction parity: for every
+    left row, attach ONE right row sharing the `on` keys —
+
+    - `backward` (default): greatest `right_ts <= left_ts` (DuckDB
+      `ASOF JOIN ... ON l.ts >= r.ts`);
+    - `forward`: smallest `right_ts >= left_ts` (DuckDB `ON l.ts <=
+      r.ts`);
+    - `nearest`: whichever of the two sits closer in time; EQUAL
+      distances break toward the backward match (pandas' rule,
+      pinned in the property test).
+
+    All matches are inclusive at equality; left rows with no match
+    keep nulls (left-outer semantics).
 
     `right_cols` are the payload columns pulled from the right side
     (default: everything but keys and timestamp); they must not collide
     with left column names — rename beforehand. The matched right
     timestamp is emitted as `<right_ts>` (rename it on the right frame
     if the left has the same name). `tolerance` (seconds) nulls the
-    payload when the match is older than `left_ts - tolerance`.
+    payload when the match is further than `tolerance` from `left_ts`
+    (in the direction's sense; for `nearest` it applies to each leg
+    BEFORE choosing).
 
     Ties: if several right rows share the exact same (keys, ts), which
     one wins is tie-broken by the last payload column — dedup the right
     side per (keys, ts) upstream if that matters.
 
-    Implementation: tag sides, union, and take a running `last(payload,
-    ignorenulls=True)` over (keys) ordered by (ts, side) — right rows
-    sort before left rows at equal ts, which is what makes the match
-    inclusive. One shuffle per side, partition-local sort, no fan-out.
+    Implementation: tag sides, union, and take a running
+    `last(payload, ignorenulls=True)` over (keys) ordered by
+    (ts, side) — right rows sort before left rows at equal ts, which
+    is what makes the match inclusive. `forward` is the mirror image
+    (ts DESC); `nearest` evaluates both windows over the SAME union —
+    one Exchange, two partition-local sorts — and picks the smaller
+    gap. Never a range fan-out, never a per-row right-side scan.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     keys = _keys(on)
     rts = right_ts or left_ts
     payload_cols = list(
@@ -107,23 +125,64 @@ def asof_join(
     # unionByName with missing columns: left's own columns become null
     # on right rows and vice versa; payload carries the right side.
     u = lt.unionByName(rt, allowMissingColumns=True)
-    w = (
+    # backward: ascending (ts, side) — rights sort before lefts at
+    # equal ts, so the running last() is inclusive. forward: the exact
+    # mirror (ts DESC, side) — rights still first at equal ts.
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col(left_ts), F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last(_PAYLOAD, ignorenulls=True).over(w)
-    out = (
-        u.withColumn(_PAYLOAD, matched)
-        .filter(F.col(_SIDE) == 1)
-        .drop(_SIDE)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts).desc(), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if tolerance is not None:
-        tol_us = int(round(tolerance * 1_000_000))
-        fresh = epoch_us(F.col(left_ts)) - epoch_us(
-            F.col(_PAYLOAD)[rts_out]
-        ) <= F.lit(tol_us)
-        out = out.withColumn(_PAYLOAD, F.when(fresh, F.col(_PAYLOAD)))
+    tol_us = (
+        int(round(tolerance * 1_000_000)) if tolerance is not None else None
+    )
+
+    def leg(col_name: str, window) -> "DataFrame":
+        nonlocal u
+        u = u.withColumn(
+            col_name, F.last(_PAYLOAD, ignorenulls=True).over(window)
+        )
+
+    def gated(leg_col):
+        """Null out a leg whose match is beyond tolerance."""
+        if tol_us is None:
+            return F.col(leg_col)
+        gap = F.abs(
+            epoch_us(F.col(left_ts)) - epoch_us(F.col(leg_col)[rts_out])
+        )
+        return F.when(gap <= F.lit(tol_us), F.col(leg_col))
+
+    if direction in ("backward", "nearest"):
+        leg("__asof_b", wb)
+    if direction in ("forward", "nearest"):
+        leg("__asof_f", wf)
+
+    if direction == "backward":
+        chosen = gated("__asof_b")
+    elif direction == "forward":
+        chosen = gated("__asof_f")
+    else:
+        b, f = gated("__asof_b"), gated("__asof_f")
+        ts_us = epoch_us(F.col(left_ts))
+        gap_b = ts_us - epoch_us(b[rts_out])
+        gap_f = epoch_us(f[rts_out]) - ts_us
+        # equal gaps break toward the backward match (pandas rule)
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(gap_f < gap_b, f)
+            .otherwise(b)
+        )
+    out = (
+        u.withColumn(_PAYLOAD, chosen)
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, "__asof_b", "__asof_f")
+    )
     return out.select(
         *[c for c in left.columns],
         F.col(_PAYLOAD)[rts_out].alias(rts_out),

@@ -331,3 +331,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+
+
+@register(
+    "q_asof_join_forward",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id, ts::TIMESTAMP AS view_ts,
+               value AS view_value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts,
+           epoch_us(v.view_ts) - epoch_us(p.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts <= v.view_ts
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each purchase, the user's next view at-or-
+    after it (the post-purchase-behavior question; DuckDB `ASOF ... ON
+    p.ts <= v.view_ts` is the oracle). Completes pandas-merge_asof
+    direction parity alongside q_asof_join's backward leg; `nearest`
+    is property-tested against pandas directly.
+
+    Scale: identical shape to the backward leg — union-tag + one
+    running window over a (ts DESC, side) sort, one shuffle per side,
+    no range fan-out.
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        direction="forward",
+    )
+    gap = epoch_us(F.col("view_ts")) - epoch_us(F.col("ts"))
+    return out.select(
+        "event_id", "user_id", "ts", "view_id", "view_ts", gap.alias("gap_us")
+    )

@@ -709,3 +709,69 @@ def test_compaction_plan_next_fit_invariant(spark, sizes, target):
         assert r.bin_id >= prev_bin  # monotone in layout order
         prev_bin = r.bin_id
         before += sz
+
+
+@given(
+    _asof_events,
+    _asof_events,
+    st.sampled_from(["forward", "nearest"]),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=2000)),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_directions_match_pandas(spark, lefts, rights, direction, tol):
+    """forward/nearest (with and without tolerance) ≡ pandas merge_asof
+    at the same direction — including the nearest equal-distance
+    tie-break toward the backward match."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flask_data_pipes_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    rseen, runiq = set(), []
+    for k, s in rights:
+        if (k, s) not in rseen:
+            rseen.add((k, s))
+            runiq.append((k, s))
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), float(i)) for i, (k, s) in enumerate(runiq)],
+        "k long, rts timestamp, payload double",
+    )
+    got = {
+        r["lid"]: (r["rts"], r["payload"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            direction=direction,
+            tolerance=float(tol) if tol is not None else None,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        columns=["lid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, ts(s), float(i)) for i, (k, s) in enumerate(runiq)],
+        columns=["k", "rts", "payload"],
+    ).sort_values("rts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="rts", by="k", direction=direction,
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+    )
+    for _, row in merged.iterrows():
+        want_rts = None if pd.isna(row["rts"]) else row["rts"].to_pydatetime()
+        want_pay = None if pd.isna(row["payload"]) else row["payload"]
+        assert got[row["lid"]] == (want_rts, want_pay), (
+            direction, tol, row["lid"], got[row["lid"]], (want_rts, want_pay),
+        )

@@ -48,6 +48,7 @@ __all__ = [
     "salted_join",
     "compaction_plan",
     "bloom_semi_join",
+    "ohlc_bars",
 ]
 
 
@@ -399,3 +400,45 @@ def compaction_plan(
     )
     w2 = Window.partitionBy(*(scopes + ["bin_id"])).orderBy(order)
     return out.withColumn("bin_seq", F.row_number().over(w2).cast("int"))
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    by: Optional[str] = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Time-bar resampling (the market-data classic): per `unit` bucket
+    (and per `by` group when given), the Open/High/Low/Close of
+    `price_col` plus event count and decimal-exact sum — one
+    aggregation pass, no window, no sort.
+
+    Open/Close are `min_by`/`max_by` on the timestamp — a single
+    aggregate buffer each, NOT a sort-within-group — so the plan is an
+    ordinary partial-aggregable groupBy: the map side collapses each
+    bucket to one candidate row before the shuffle, and the shuffle
+    carries ≤ groups·buckets rows per partition regardless of event
+    volume. Ties on the exact same timestamp are nondeterministic —
+    dedup or sub-order upstream if the feed has same-instant prints
+    (the test feeds are microsecond-unique).
+
+    `unit` is any `date_trunc` unit (minute/hour/day/week/...).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bar_start")
+    keys = ([F.col(by)] if by else []) + [bucket]
+    price = F.col(price_col)
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.min_by(price, F.col(ts_col)).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, F.col(ts_col)).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(price.cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(*([by] if by else []), "bar_start")
+    )

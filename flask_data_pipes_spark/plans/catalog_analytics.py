@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.analytics import (
     bloom_semi_join,
+    ohlc_bars,
     cohort_retention,
     compaction_plan,
     funnel,
@@ -321,3 +322,34 @@ def q_event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value")
     )
     return robust_outliers(e, "value", by="user_id")
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts::TIMESTAMP) AS bar_start,
+           arg_min(value, ts::TIMESTAMP) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts::TIMESTAMP) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts::TIMESTAMP)
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the market-data resample (the
+    reference is Nasdaq's pipeline; this is the query its downstream
+    serves). Open/Close are min_by/max_by aggregate buffers, NOT a
+    sort-within-group, so the whole thing is one partial-aggregable
+    groupBy: map side collapses each bar to one candidate row before
+    the shuffle (timestamps are microsecond-unique, so open/close are
+    deterministic).
+
+    Scale: shuffle carries <= types*hours rows per partition at any
+    event volume; see operators/analytics.py::ohlc_bars.
+    """
+    e = load(spark, sf_dir, "events")
+    return ohlc_bars(e, ts_col="ts", price_col="value", by="event_type", unit="hour")

@@ -277,3 +277,26 @@ def test_robust_outliers_zero_mad_group_skipped(spark):
     )
     # median 5, over half the rows equal -> MAD 0 -> group skipped
     assert robust_outliers(df, "value", by="user_id").count() == 0
+
+
+def test_ohlc_bars_hand_fixture_and_partial_agg(spark):
+    from flask_data_pipes_spark.operators.analytics import ohlc_bars
+
+    rows = [
+        ("A", _ts(1, 9, 5), 10.0), ("A", _ts(1, 9, 20), 30.0),
+        ("A", _ts(1, 9, 40), 5.0), ("A", _ts(1, 10, 1), 7.0),
+        ("B", _ts(1, 9, 30), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, value double")
+    out = ohlc_bars(df, ts_col="ts", price_col="value", by="sym", unit="hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # ordinary partial-aggregable groupBy: map-side HashAggregate
+    # before the exchange, no Window/Sort-within-group
+    assert "Window" not in plan
+    bars = {(r.sym, r.bar_start.hour): r for r in out.collect()}
+    a9 = bars[("A", 9)]
+    assert (a9.open, a9.high, a9.low, a9.close, a9.n_events) == (
+        10.0, 30.0, 5.0, 5.0, 3,
+    )
+    assert bars[("A", 10)].open == bars[("A", 10)].close == 7.0
+    assert bars[("B", 9)].n_events == 1

@@ -127,6 +127,9 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "llm_ks_drift",
     "llm_equidepth_bins",
     "llm_source_overlap",
+    # round-8: OHLC resample — one partial-aggregable groupBy whose
+    # shuffle carries <= types*hours rows at any event volume
+    "q_ohlc_bars",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

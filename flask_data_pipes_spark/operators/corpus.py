@@ -50,6 +50,11 @@ __all__ = [
     "histogram_counts",
     "psi_from_counts",
     "group_reservoir",
+    "partitioned_cumsum",
+    "ks_report",
+    "ks_from_counts",
+    "equidepth_histogram",
+    "score_calibrate",
 ]
 
 
@@ -1235,4 +1240,31 @@ def group_reservoir(
         .withColumn("smp_rank", F.row_number().over(w2).cast("int"))
         .where(F.col("smp_rank") <= k)
         .drop("__h", "__salt", "__r1")
+    )
+
+
+def score_calibrate(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Per-group percentile-rank calibration: map each group's scores
+    onto [0, 1] by rank — percent_rank = (rank − 1)/(n − 1), ties
+    share a rank. The cross-source THRESHOLDING fix for quality
+    filtering: a trained scorer's raw distribution differs by source
+    (boilerplate-heavy crawls score systematically lower), so "keep
+    the top 30%" must be a per-source percentile, not one global raw
+    cutoff — calibrate first, then threshold `out_col` globally.
+
+    Scale: one shuffle on `by`, one partition-local sort; percent_rank
+    is rank arithmetic (integer ops + one division), bit-identical
+    cross-engine. A group's rows must fit its window partition — for a
+    single giant group, pre-bin scores (equidepth_histogram) instead.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(score_col)
+    return df.withColumn(
+        out_col, F.round(F.percent_rank().over(w), 6)
     )

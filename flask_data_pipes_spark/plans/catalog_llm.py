@@ -5456,3 +5456,58 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"),
     )
     return kmv_overlap_matrix(toks, "tok", by="source", k=_OVM_K, seed=_KMV_SEED)
+
+
+def _score_calibrate_oracle(n_features: int = 64, seed: int = 29) -> str:
+    from ..functions.text import pseudo_weights
+
+    w = pseudo_weights(n_features, 5)
+    wlit = "[" + ",".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, source, {_DDB_TOKS_LOWER} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n,
+             list_sum(list_transform(
+               toks, t -> ({wlit})[({_ddb_md5_long("t", seed)} % {n_features})::INT + 1]
+             )) AS total
+      FROM base
+    ),
+    s2 AS (
+      SELECT doc_id, source,
+             round(1.0 / (1.0 + exp(-(total / n))), 6) AS score
+      FROM scored
+    )
+    SELECT doc_id, source, score,
+           round(PERCENT_RANK() OVER (PARTITION BY source ORDER BY score),
+                 6) AS calibrated
+    FROM s2
+    """
+
+
+@register("llm_score_calibrate", oracle=_score_calibrate_oracle())
+def llm_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile calibration of the hashed quality score
+    (operators/corpus.py::score_calibrate): raw classifier scores are
+    not comparable across sources — a boilerplate-heavy crawl scores
+    systematically lower — so the keep-top-X% decision ranks WITHIN
+    each source first, then thresholds the calibrated column globally.
+
+    Scale: the scoring fold costs the scan (no explode/UDF); the
+    calibration is one shuffle on source + a partition-local sort,
+    rank arithmetic only. Scores are rounded to 6dp BEFORE ranking in
+    both engines, so rank ties are engine-identical.
+    """
+    from ..functions.text import hashed_linear_score, pseudo_weights
+    from ..operators.corpus import score_calibrate
+
+    w = pseudo_weights(64, 5)
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    scored = d.select(
+        "doc_id",
+        "source",
+        hashed_linear_score("text", w, seed=29).alias("score"),
+    )
+    return score_calibrate(scored, "score", by="source")

@@ -363,6 +363,47 @@ def session_window_stream(
     )
 
 
+def ohlc_stream(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    by: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the tumbling-window twin of
+    `operators.analytics.ohlc_bars` — per (group, window) open/high/
+    low/close + count + decimal-exact sum under an event-time
+    watermark (bars emit in append mode once the watermark passes the
+    window end). min_by/max_by are ordinary aggregate buffers, so the
+    streaming state per open bar is O(1), exactly like the batch twin's
+    map-side candidate row.
+    """
+    win = F.window("ts", window_duration)
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col(by), win)
+        .agg(
+            F.min_by(F.col("value"), F.col("ts")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), F.col("ts")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return out.select(
+        by,
+        F.col("window.start").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "total_value",
+    )
+
+
 def foreach_batch_stage(
     pipeline,
     model_cls,

@@ -2889,3 +2889,19 @@ def test_ks_from_counts_merged_shards_equals_whole(spark):
     assert (got.ks_d, got.at_value, got.n_a, got.n_b) == (
         whole.ks_d, whole.at_value, whole.n_a, whole.n_b,
     )
+
+
+def test_score_calibrate_rank_semantics(spark):
+    from flask_data_pipes_spark.operators.corpus import score_calibrate
+
+    rows = [
+        ("s1", "a", 0.9), ("s1", "b", 0.5), ("s1", "c", 0.1),
+        ("s2", "x", 0.11), ("s2", "y", 0.12),  # low raw scores ...
+    ]
+    df = spark.createDataFrame(rows, "source string, doc string, score double")
+    out = {r.doc: r.calibrated for r in score_calibrate(df, "score", "source").collect()}
+    # per-source percentile rank: (rank-1)/(n-1)
+    assert out["c"] == 0.0 and out["b"] == 0.5 and out["a"] == 1.0
+    # cross-source comparability: s2's best doc calibrates to 1.0 even
+    # though its raw score is below every s1 doc — the whole point
+    assert out["y"] == 1.0 and out["x"] == 0.0

@@ -827,3 +827,34 @@ def test_session_window_agg_vs_lag_formulation(spark, landing):
         for r in sessionize_batch(df, gap_seconds=1800).collect()
     }
     assert native == lagged
+
+
+def test_ohlc_stream_matches_batch_twin(spark, landing, tmp_path):
+    from flask_data_pipes_spark.operators.analytics import ohlc_bars
+    from flask_data_pipes_spark.streaming.stream import ohlc_stream
+
+    events = read_jsonl_stream(spark, landing, EVENTS_SCHEMA)
+    bars = ohlc_stream(events, window_duration="1 hour", watermark="100 days")
+    _drain(bars, str(tmp_path), "ohlc_out")
+    got = {
+        (r["event_type"], str(r["bar_start"])): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], round(r["total_value"], 6),
+        )
+        for r in spark.sql("select * from ohlc_out").collect()
+    }
+    batch = {
+        (r["event_type"], str(r["bar_start"])): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], round(r["total_value"], 6),
+        )
+        for r in ohlc_bars(
+            spark.read.schema(EVENTS_SCHEMA).json(landing),
+            ts_col="ts", price_col="value", by="event_type", unit="hour",
+        ).collect()
+    }
+    # append mode under a 100-day watermark: whatever emitted must
+    # match the batch twin exactly (no bar can emit twice)
+    assert len(got) == len(set(got))
+    for key, vals in got.items():
+        assert batch[key] == vals

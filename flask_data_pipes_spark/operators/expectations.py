@@ -33,6 +33,7 @@ __all__ = [
     "skew_report",
     "table_profile",
     "robust_outliers",
+    "correlation_matrix",
 ]
 
 
@@ -381,4 +382,75 @@ def robust_outliers(
         (F.col("mad") > 0) & (F.abs(score) > threshold)
     ).select(
         *df.columns, "med", "mad", F.round(score, 6).alias("robust_z")
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE pass:
+    (col_a, col_b, corr, n) for every unordered pair — the profiling
+    companion to `table_profile` (which column REDUNDANCIES exist;
+    feature screening before training a quality classifier).
+
+    Engine-exact by construction: every moment (Σx, Σx², Σxy) is an
+    exact DECIMAL(38,6)/(38,12) sum, and the correlation assembles
+    from those fixed sums in doubles —
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²̂)(n·Σy² − Σy²̂)) —
+    so a SQL oracle using the same sums matches bit-for-bit after
+    rounding (the same decimal-moment trick as the z-score gauge).
+    Zero-variance columns yield NULL correlations (0/0 guarded).
+
+    Scale: ONE aggregation over the scan — k(k+1)/2 + k moment
+    buffers for k columns, all partial-aggregable map-side; the
+    result is k²-sized, data-independent. Rows where ANY of `cols` is
+    null are excluded (listwise deletion) so every pair shares one n.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    clean = df.dropna(subset=cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,6)")).cast("double").alias(f"__s_{c}")
+        )
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"__ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"__sp_{a}_{b}")
+            )
+    agg = clean.agg(*aggs)
+    n = F.col("__n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = n * F.col(f"__sp_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            corr = F.when(
+                (va > 0) & (vb > 0),
+                F.round(cov / F.sqrt(va * vb), round_to),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    corr.alias("corr"),
+                    F.col("__n").alias("n"),
+                )
+            )
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("__p"))
+        .select("__p.*")
+        .orderBy("col_a", "col_b")
     )

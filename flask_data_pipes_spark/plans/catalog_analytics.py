@@ -353,3 +353,66 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     return ohlc_bars(e, ts_col="ts", price_col="value", by="event_type", unit="hour")
+
+
+@register(
+    "q_corr_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT l_quantity AS q, l_extendedprice AS p, l_discount AS d
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(q * q AS DECIMAL(38,12))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(p * p AS DECIMAL(38,12))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(q * p AS DECIMAL(38,12))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(q * d AS DECIMAL(38,12))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(p * d AS DECIMAL(38,12))) AS DOUBLE) AS spd
+      FROM c
+    )
+    SELECT * FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             CASE WHEN (n*sqq - sq*sq) > 0 AND (n*spp - sp*sp) > 0 THEN
+               round((n*sqp - sq*sp)
+                     / sqrt((n*sqq - sq*sq) * (n*spp - sp*sp)), 6)
+             END AS corr, n FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             CASE WHEN (n*sqq - sq*sq) > 0 AND (n*sdd - sd*sd) > 0 THEN
+               round((n*sqd - sq*sd)
+                     / sqrt((n*sqq - sq*sq) * (n*sdd - sd*sd)), 6)
+             END, n FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             CASE WHEN (n*spp - sp*sp) > 0 AND (n*sdd - sd*sd) > 0 THEN
+               round((n*spd - sp*sd)
+                     / sqrt((n*spp - sp*sp) * (n*sdd - sd*sd)), 6)
+             END, n FROM m
+    ) ORDER BY col_a, col_b
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Pearson correlation matrix over lineitem's
+    quantity/price/discount — column-redundancy profiling beside
+    q_table_profile. Every moment is an exact decimal sum, so the
+    assembled correlations match the oracle bit-for-bit after 6dp
+    rounding (the z-score gauge's decimal-moment trick, generalized
+    to k(k+1)/2 pair buffers in one partial-aggregable statement).
+
+    Scale: one scan, one 1-row aggregate; the unpivot to pair rows
+    runs on that single row. See
+    operators/expectations.py::correlation_matrix.
+    """
+    from ..operators.expectations import correlation_matrix
+
+    li = load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

@@ -300,3 +300,45 @@ def test_ohlc_bars_hand_fixture_and_partial_agg(spark):
     )
     assert bars[("A", 10)].open == bars[("A", 10)].close == 7.0
     assert bars[("B", 9)].n_events == 1
+
+
+def test_correlation_matrix_known_values(spark):
+    from flask_data_pipes_spark.operators.expectations import (
+        correlation_matrix,
+    )
+
+    rows = [(float(i), 2.0 * i + 1.0, -3.0 * i, 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, c double")
+    out = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()
+    }
+    assert out[("x", "y")] == 1.0    # perfect positive
+    assert out[("x", "z")] == -1.0   # perfect negative
+    assert out[("x", "c")] is None   # zero-variance column -> NULL
+    assert out[("y", "z")] == -1.0
+    with pytest.raises(ValueError, match=">= 2"):
+        correlation_matrix(df, ["x"])
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from flask_data_pipes_spark.operators.expectations import (
+        correlation_matrix,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount"]
+        ).collect()
+    }
+    pdf = li.select("l_quantity", "l_extendedprice", "l_discount").toPandas()
+    m = np.corrcoef(pdf.values.T)
+    names = ["l_quantity", "l_extendedprice", "l_discount"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            key = (names[i], names[j])
+            assert abs(got[key] - m[i, j]) < 1e-6, (key, got[key], m[i, j])

@@ -130,6 +130,9 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # round-8: OHLC resample — one partial-aggregable groupBy whose
     # shuffle carries <= types*hours rows at any event volume
     "q_ohlc_bars",
+    # round-8: correlation matrix — one scan into a 1-row aggregate
+    # (k(k+1)/2+k decimal moment buffers), psi-like scan-bound shape
+    "q_corr_matrix",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -416,3 +416,52 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@register(
+    "q_cumulative_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts::TIMESTAMP)::DATE AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM f GROUP BY first_day
+    )
+    SELECT day::TIMESTAMP AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+    FROM per_day
+    """,
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve every event
+    pipeline reports. COUNT(DISTINCT) OVER (ORDER BY day) is not
+    window-expressible in either engine; the scalable identity is
+    first-seen attribution: cumulative uniques at day D = count of
+    users whose FIRST event is <= D, i.e. a per-day count of first
+    appearances plus a running sum over the (tiny) day table.
+
+    Scale: one user-keyed shuffle for the first-event min; the day
+    table is calendar-sized regardless of event volume, so its window
+    cumsum is trivially cheap (days, not rows). Day emitted as
+    midnight timestamp for cross-engine pandas dtype parity.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    per_day = f.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").cast("timestamp").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )

@@ -342,3 +342,18 @@ def test_correlation_matrix_matches_numpy(spark, sf_dir):
         for j in range(i + 1, 3):
             key = (names[i], names[j])
             assert abs(got[key] - m[i, j]) < 1e-6, (key, got[key], m[i, j])
+
+
+def test_correlation_matrix_single_pass_plan(spark, sf_dir):
+    """One scan into a 1-row aggregate: no hash-partitioned exchange
+    anywhere (the only exchange is the SinglePartition final-aggregate
+    merge), and the unpivot to pair rows runs on that single row."""
+    from flask_data_pipes_spark.operators.expectations import (
+        correlation_matrix,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -77,9 +77,13 @@ def funnel(
     definition).
 
     Semantics: "at-or-after" is `ts >= previous step's earliest
-    qualifying ts` with ties broken by `order_col` (default: ts only —
-    pass an id column when timestamps can collide). A user who does
-    step B before ever doing step A does NOT count for B.
+    qualifying ts` — a step-k event at EXACTLY the same timestamp as
+    the user's earliest qualifying step-(k-1) event counts (pure
+    `>=`, the product-analytics convention and what the DuckDB oracle
+    computes). A user who does step B strictly before ever doing step
+    A does NOT count for B. `order_col` only disambiguates the sort
+    among same-step same-ts rows; it never changes which events
+    qualify.
 
     Implementation: running-min window expressions chained over ONE
     (user, ts) sort:
@@ -94,6 +98,13 @@ def funnel(
     final per-user step timestamps are then a plain groupBy(user) min
     over the per-row qualifying candidates — same hash partitioning as
     the window, no second shuffle.
+
+    Tie handling (ADVICE round 8): the window sort breaks equal-ts
+    ties by funnel step index (earlier steps first), so a step-k row
+    at the same ts as the earliest step-(k-1) row sees t(k-1)_run
+    already set — exactly the `>=` semantics above. Without the
+    tiebreaker, sort order among equal-ts rows was arbitrary and a
+    step-k row could sort before its qualifying predecessor.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -102,7 +113,16 @@ def funnel(
             "funnel steps must be distinct (a repeated step would let one "
             "event satisfy two consecutive steps under >= semantics)"
         )
-    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    # equal-ts tiebreaker: earlier funnel steps sort first (non-step
+    # rows get array_position 0 — they qualify for nothing, so their
+    # position among ties is irrelevant)
+    step_rank = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(type_col)
+    )
+    order = (
+        [F.col(ts_col), step_rank]
+        + ([F.col(order_col)] if order_col else [])
+    )
     w = (
         Window.partitionBy(user_col)
         .orderBy(*order)

@@ -273,12 +273,15 @@ def retrieval_metrics(
     topk = results.filter(F.col(rank_col) <= k).select(
         query_col, id_col, rank_col
     )
+    # Ground truth is a SET of (query, id) pairs: dedup defensively so
+    # duplicate relevance rows can't fan out the hits join (inflating
+    # n_hits/dcg past 1.0) or double-count n_rel (ADVICE round 8). The
+    # distinct costs one pass over the Q-scale relevance table only.
+    relevance = relevance.select(query_col, id_col).distinct()
     nrel = relevance.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("n_rel")
     )
-    hits = topk.join(
-        relevance.select(query_col, id_col), [query_col, id_col]
-    )
+    hits = topk.join(relevance, [query_col, id_col])
     rank_d = F.col(rank_col).cast("double")
     agg = hits.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("__n_hits"),

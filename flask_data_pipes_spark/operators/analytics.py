@@ -42,6 +42,8 @@ from typing import List, Optional, Sequence, Tuple, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._guards import reject_reserved
+
 __all__ = [
     "funnel",
     "cohort_retention",
@@ -113,6 +115,12 @@ def funnel(
             "funnel steps must be distinct (a repeated step would let one "
             "event satisfy two consecutive steps under >= semantics)"
         )
+    reject_reserved(
+        "funnel",
+        [f"__cand_{k}" for k in range(len(steps))]
+        + [f"__run_{k}" for k in range(len(steps))],
+        events=events,
+    )
     # equal-ts tiebreaker: earlier funnel steps sort first (non-step
     # rows get array_position 0 — they qualify for nothing, so their
     # position among ties is irrelevant)
@@ -271,6 +279,7 @@ def salted_join(
     keys = _keys(on)
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    reject_reserved("salted_join", ["__salt"], big=big, small=small)
     src_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in big.columns]
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*src_cols), F.lit(n_salt)).cast("int")
@@ -325,6 +334,7 @@ def bloom_semi_join(
             "(a left-outer join must keep non-matching fact rows, which "
             "the bloom pre-filter would drop)"
         )
+    reject_reserved("bloom_semi_join", ["__bsj_map"], fact=fact, dim=dim)
     from .dedup import _bloom_positions, bloom_bitmap
 
     def probe_value(df: DataFrame) -> Column:

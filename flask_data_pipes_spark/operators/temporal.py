@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import epoch_us
+from ._guards import reject_reserved
 
 __all__ = ["asof_join", "range_join", "gapfill", "scd2_build", "snapshot_diff"]
 
@@ -462,6 +463,9 @@ def snapshot_diff(
     cmp_cols = list(compare_cols)
     if not cmp_cols:
         raise ValueError("snapshot_diff: no compare columns")
+    reject_reserved(
+        "snapshot_diff", ["__sd_in_old", "__sd_in_new"], old=old, new=new
+    )
     for side_name, side in (("old", old), ("new", new)):
         missing = [c for c in [*keys, *cmp_cols] if c not in side.columns]
         if missing:

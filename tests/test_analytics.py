@@ -357,3 +357,110 @@ def test_correlation_matrix_single_pass_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+# --- round-10: deterministic regression pins for the round-9 fixes ----------
+
+
+def test_funnel_equal_ts_tie_counts(spark):
+    """Deterministic pin of the round-9 tie fix (analytics.py step_rank
+    tiebreaker): a step-k event at EXACTLY the ts of the user's earliest
+    qualifying step-(k-1) event counts (pure `>=`). The event_ids are
+    chosen so that WITHOUT the step-index tiebreaker the order_col would
+    sort the later step first (run_prev still null -> the step would be
+    lost), making this test red on a revert.
+    """
+    T = _ts(1)
+    rows = [
+        # u1: the ADVICE repro — 'b' and 'a' at the identical ts, with
+        # 'b' carrying the LOWER event_id. n_b must still be 1.
+        (1, "u1", "b", T), (2, "u1", "a", T),
+        # u2: 3-step same-ts chain, event_ids reversed (c, b, a).
+        (3, "u2", "c", T), (4, "u2", "b", T), (5, "u2", "a", T),
+        # u3: control — 'b' strictly BEFORE 'a' must NOT count for b.
+        (6, "u3", "b", _ts(1)), (7, "u3", "a", _ts(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+    out = {
+        r.step: r.n_users
+        for r in funnel(
+            df, ["a", "b", "c"], user_col="user_id", order_col="event_id"
+        ).collect()
+    }
+    assert out == {"a": 3, "b": 2, "c": 1}
+    # and without order_col the tiebreaker alone must settle the ties
+    out2 = {
+        r.step: r.n_users
+        for r in funnel(df, ["a", "b", "c"], user_col="user_id").collect()
+    }
+    assert out2 == {"a": 3, "b": 2, "c": 1}
+
+
+def test_funnel_tie_dense_corpus_matches_sequential_model(spark):
+    """Seeded tie-dense corpus (many users, ts drawn from only 3
+    distinct values, shuffled event_ids) vs the same pure-Python
+    sequential `>=` model the property test and the DuckDB oracle
+    compute — deterministic, so a tiebreaker revert fails every run."""
+    import random
+
+    rng = random.Random(1009)
+    events = []
+    for i in range(400):
+        events.append(
+            (i, f"u{rng.randrange(40)}", rng.choice(["a", "b", "c", "x"]),
+             rng.choice([_ts(1), _ts(2), _ts(3)]))
+        )
+    df = spark.createDataFrame(
+        events, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel(
+            df, ["a", "b", "c"], user_col="user_id", order_col="event_id"
+        ).collect()
+    }
+    per_user = {}
+    for i, u, t, ts in events:
+        per_user.setdefault(u, []).append((ts, i, t))
+    want = {"a": 0, "b": 0, "c": 0}
+    for evs in per_user.values():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        t_prev = None
+        for step in ["a", "b", "c"]:
+            t_step = None
+            for ts, _, t in evs:
+                if t == step and (t_prev is None or ts >= t_prev):
+                    t_step = ts
+                    break
+            if t_step is None:
+                break
+            want[step] += 1
+            t_prev = t_step
+    assert got == want
+
+
+def test_reserved_column_guards(spark, funnel_events):
+    """Inputs already carrying an operator's internal scratch-column
+    names must error, not silently corrupt (round-8 ADVICE #4)."""
+    from flask_data_pipes_spark.operators.analytics import bloom_semi_join
+
+    with pytest.raises(ValueError, match="__run_0"):
+        funnel(
+            funnel_events.withColumn("__run_0", F.lit(1)),
+            ["view", "click"], user_col="user_id",
+        )
+    with pytest.raises(ValueError, match="__cand_1"):
+        funnel(
+            funnel_events.withColumn("__cand_1", F.lit(1)),
+            ["view", "click"], user_col="user_id",
+        )
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "d")], "k int, d string")
+    with pytest.raises(ValueError, match="'big'.*__salt"):
+        salted_join(big.withColumn("__salt", F.lit(0)), small, "k")
+    with pytest.raises(ValueError, match="'small'.*__salt"):
+        salted_join(big, small.withColumn("__salt", F.lit(0)), "k")
+    with pytest.raises(ValueError, match="__bsj_map"):
+        bloom_semi_join(big.withColumn("__bsj_map", F.lit(0)), small, "k")

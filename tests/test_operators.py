@@ -2905,3 +2905,48 @@ def test_score_calibrate_rank_semantics(spark):
     # cross-source comparability: s2's best doc calibrates to 1.0 even
     # though its raw score is below every s1 doc — the whole point
     assert out["y"] == 1.0 and out["x"] == 0.0
+
+
+def test_retrieval_metrics_duplicated_relevance_rows(spark):
+    """Regression pin for the round-9 relevance-dedup fix
+    (similarity.py retrieval_metrics): duplicate (query, id) ground-
+    truth rows must not fan out the hits join (recall/nDCG > 1.0) or
+    double-count n_rel. Metrics must equal the deduped-input run and
+    stay <= 1.0."""
+    from flask_data_pipes_spark.operators import similarity
+
+    results = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "a", 2)],
+        "qid string, vec_id string, rnk int",
+    )
+    clean = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q2", "a"), ("q2", "z")],
+        "qid string, vec_id string",
+    )
+    # every pair repeated 3x, plus one 5x-repeated hot pair
+    dup = clean.union(clean).union(clean).union(
+        spark.createDataFrame(
+            [("q1", "a")] * 4, "qid string, vec_id string"
+        )
+    )
+    want = {
+        r.qid: r for r in similarity.retrieval_metrics(
+            results, clean, k=3
+        ).collect()
+    }
+    got = {
+        r.qid: r for r in similarity.retrieval_metrics(
+            results, dup, k=3
+        ).collect()
+    }
+    assert set(got) == set(want) == {"q1", "q2"}
+    for qid in got:
+        g, w = got[qid], want[qid]
+        # n_rel is DISTINCT-counted, metrics identical to the clean run
+        assert g.n_rel == w.n_rel
+        assert g.recall_at_k == w.recall_at_k <= 1.0
+        assert g.mrr == w.mrr <= 1.0
+        assert g.ndcg == w.ndcg <= 1.0
+    assert got["q1"].n_rel == 2 and got["q1"].recall_at_k == 1.0
+    assert got["q2"].n_rel == 2 and got["q2"].recall_at_k == 0.5

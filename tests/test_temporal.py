@@ -305,3 +305,17 @@ def test_snapshot_diff_validation(spark):
         snapshot_diff(df, df.select("k"), "k", ["v"])
     with pytest.raises(ValueError, match="no compare columns"):
         snapshot_diff(df.select("k"), df.select("k"), "k")
+
+
+def test_snapshot_diff_reserved_column_guard(spark):
+    from flask_data_pipes_spark.operators.temporal import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([(1, "a")], "k int, v string")
+    new = spark.createDataFrame([(1, "b")], "k int, v string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="'old'.*__sd_in_old"):
+        snapshot_diff(old.withColumn("__sd_in_old", F.lit(True)), new, "k")
+    with _pt.raises(ValueError, match="'new'.*__sd_in_new"):
+        snapshot_diff(old, new.withColumn("__sd_in_new", F.lit(True)), "k")

@@ -230,7 +230,41 @@ def _sf1_verdicts(ratios: dict) -> dict:
     return out
 
 
-def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
+def _merge_retry(first_ratio, retry_ratio, has_band):
+    """Flake-retry merge policy (VERDICT r9 #4): the first measurement
+    of this entry FAILED its budget and was re-measured once.
+
+    Entries with a DOCUMENTED noise band (an exemption/reason string in
+    their budget entry recording measured cross-round spreads) keep the
+    BETTER (min) ratio — the legacy lenient policy, justified by the
+    recorded band: these entries are known to flip under VM steal and a
+    real plan regression (2x+) still trips their widened budget.
+
+    All other entries keep the WORSE (max) ratio — the retry must
+    CONFIRM the failure is spurious, i.e. a pass requires BOTH
+    measurements under budget, so a genuine ~15-30% marginal regression
+    cannot slip through because one of two draws landed low. A flake on
+    an undocumented entry therefore goes red; the remedy is to record
+    its band (budget + reason) with evidence, not to average it away.
+
+    None ratios (first-pass base rounded to 0.0) count as infinity, so
+    any finite measurement replaces them under min and wins under max.
+    Returns the merged ratio (None if both are None/unmeasurable).
+    """
+    inf = float("inf")
+    a = inf if first_ratio is None else first_ratio
+    b = inf if retry_ratio is None else retry_ratio
+    merged = min(a, b) if has_band else max(a, b)
+    return None if merged == inf else merged
+
+
+def _synth_sf1(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    copies: int = 10,
+    tables: tuple = ("documents", "embeddings", "events", "lineitem"),
+) -> None:
     import functools
 
     from pyspark.sql import functions as F
@@ -239,21 +273,30 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     meta = {
         "src": os.path.abspath(src_dir),
         "copies": copies,
-        "tables": ["documents", "embeddings", "events", "lineitem"],
+        "tables": sorted(tables),
     }
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as fh:
                 cached = json.load(fh)
-            # The meta must match AND every table dir must actually be
-            # on disk — BENCH_r08 crashed because a meta written by an
-            # older synth (3-table list) validated while q_corr_matrix
-            # read the never-synthesized lineitem copy.
-            if cached == meta and all(
-                os.path.isdir(os.path.join(dst_dir, f"{t}.parquet"))
-                for t in meta["tables"]
+            # src+copies must match, the cached table set must COVER
+            # the requested one, and every requested table dir must
+            # actually be on disk — BENCH_r08 crashed because a meta
+            # written by an older synth (3-table list) validated while
+            # q_corr_matrix read the never-synthesized lineitem copy.
+            # (Superset accept: a dir synthesized with more tables than
+            # this run needs is still valid — per-table recipes are
+            # independent.)
+            if (
+                cached.get("src") == meta["src"]
+                and cached.get("copies") == meta["copies"]
+                and set(cached.get("tables", [])) >= set(meta["tables"])
+                and all(
+                    os.path.isdir(os.path.join(dst_dir, f"{t}.parquet"))
+                    for t in meta["tables"]
+                )
             ):
-                return  # cached synth is current
+                return  # cached synth covers this run
         except Exception:
             pass
     import shutil
@@ -262,18 +305,30 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     os.makedirs(dst_dir, exist_ok=True)
 
     vows = "aeiou"
-    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
-    doc_copies = []
-    for c in range(copies):
-        rot = vows[c % 5 :] + vows[: c % 5]
-        doc_copies.append(
-            docs.withColumn("text", F.translate(F.col("text"), vows, rot))
-            .withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
-        )
-    functools.reduce(lambda a, b: a.unionByName(b), doc_copies).write.mode(
-        "overwrite"
-    ).parquet(f"{dst_dir}/documents.parquet")
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+        doc_copies = []
+        for c in range(copies):
+            rot = vows[c % 5 :] + vows[: c % 5]
+            doc_copies.append(
+                docs.withColumn("text", F.translate(F.col("text"), vows, rot))
+                .withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+            )
+        functools.reduce(lambda a, b: a.unionByName(b), doc_copies).write.mode(
+            "overwrite"
+        ).parquet(f"{dst_dir}/documents.parquet")
 
+    if "embeddings" in tables:
+        _synth_embeddings(spark, src_dir, dst_dir, copies, F, functools)
+    if "events" in tables:
+        _synth_events(spark, src_dir, dst_dir, copies, F, functools)
+    if "lineitem" in tables:
+        _synth_lineitem(spark, src_dir, dst_dir, copies, F, functools)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+
+def _synth_embeddings(spark, src_dir, dst_dir, copies, F, functools):
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
     emb_copies = []
@@ -305,6 +360,9 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     functools.reduce(lambda a, b: a.unionByName(b), emb_copies).write.mode(
         "overwrite"
     ).parquet(f"{dst_dir}/embeddings.parquet")
+
+
+def _synth_events(spark, src_dir, dst_dir, copies, F, functools):
     # events: 10x the rows over the SAME time range (ids/users shifted,
     # ts nudged by c microseconds so copies aren't identical rows) —
     # the honest scale shape for gapfill, whose grid size must stay
@@ -322,6 +380,9 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     functools.reduce(lambda a, b: a.unionByName(b), ev_copies).write.mode(
         "overwrite"
     ).parquet(f"{dst_dir}/events.parquet")
+
+
+def _synth_lineitem(spark, src_dir, dst_dir, copies, F, functools):
     # lineitem: key-shifted copies, values untouched — q_corr_matrix is
     # a scan-bound 1-row aggregate, so identical value distributions
     # are exactly the honest scale shape (ratio must track scan cost).
@@ -333,8 +394,6 @@ def _synth_sf1(spark, src_dir: str, dst_dir: str, copies: int = 10) -> None:
     functools.reduce(lambda a, b: a.unionByName(b), li_copies).write.mode(
         "overwrite"
     ).parquet(f"{dst_dir}/lineitem.parquet")
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
 
 
 def _sf1_direct_queries():
@@ -458,32 +517,35 @@ def _run_sf1_stage(spark, qs, sf_dir: str, headline_timings: dict) -> dict:
     }
     verdicts = _sf1_verdicts(ratios)
 
-    # Flake-retry (round 8): on this virtualized box a heavy entry
-    # occasionally lands 15-30% above its cross-round band from VM
-    # steal — four same-code runs each tripped a DIFFERENT entry.
-    # Re-measure ONLY the failing entries once, fresh min-of-N on BOTH
-    # sides, and keep the better (smaller-ratio) measurement. A real
-    # plan regression fails both measurements; a one-run outlier does
-    # not. Retried entries are marked so the record shows which
-    # verdicts needed the second look.
-    retried = []
+    # Flake-retry (round 8, policy tightened round 10): on this
+    # virtualized box a heavy entry occasionally lands 15-30% above
+    # its cross-round band from VM steal — four same-code runs each
+    # tripped a DIFFERENT entry. Re-measure ONLY the failing entries
+    # once, fresh min-of-N on BOTH sides, then merge per
+    # `_merge_retry`: documented-band entries keep the better ratio,
+    # everything else keeps the WORSE one (retry must confirm the
+    # failure was spurious — both runs under budget). Retried entries
+    # are marked and carry both ratios so the record shows the
+    # evidence.
+    retried = {}
     for name, v in verdicts.items():
         if v["ok"]:
             continue
         fn = entries[name]
         b2 = time_one(fn, sf_dir)
         g2 = time_one(fn, sf1_dir)
-        # ratios[name] is None when the first-pass base rounded to 0.0
-        # (the entry is not-ok, so it lands here) — treat None as
-        # infinity so any finite re-measurement replaces it.
-        if b2 > 0 and (ratios[name] is None or g2 / b2 < ratios[name]):
+        r2 = round(g2 / b2, 2) if b2 > 0 else None
+        has_band = SF1_BUDGETS.get(name, (SF1_DEFAULT_BUDGET, None))[1] is not None
+        merged = _merge_retry(ratios[name], r2, has_band)
+        if merged is not None and merged == r2 and r2 != ratios[name]:
             base[name], big[name] = b2, g2
-            ratios[name] = round(g2 / b2, 2)
-        retried.append(name)
+        retried[name] = r2
+        ratios[name] = merged
     if retried:
         verdicts = _sf1_verdicts(ratios)
-        for name in retried:
+        for name, r2 in retried.items():
             verdicts[name]["retried"] = True
+            verdicts[name]["retry_ratio"] = r2
 
     return {
         "copies": 10,
@@ -667,24 +729,27 @@ def _run_sf10_ratio_stage(spark, qs, sf1_dir: str, sf10_dir: str) -> dict:
 
     verdicts = {name: verdict_of(name, r) for name, r in ratios.items()}
 
-    # Flake-retry, same discipline as the sf1 stage (round 8): under
-    # VM steal a marginal entry occasionally lands 30%+ above its
-    # band (two same-code runs flipped q_session_window between 2.38
-    # and 4.06); re-measure ONLY failing entries once, keep the
-    # better measurement, mark them retried. Real regressions fail
-    # both measurements.
+    # Flake-retry, same discipline as the sf1 stage (round 8; policy
+    # tightened round 10 — see _merge_retry): under VM steal a
+    # marginal entry occasionally lands 30%+ above its band (two
+    # same-code runs flipped q_session_window between 2.38 and 4.06);
+    # re-measure ONLY failing entries once. Documented-band entries
+    # keep the better measurement; the rest keep the worse (the retry
+    # must CONFIRM the failure was spurious).
     for name, v in list(verdicts.items()):
         if v["ok"]:
             continue
         b2 = time_one(qs[name], sf1_dir)
         g2 = time_one(qs[name], sf10_dir)
-        # None ratio (base rounded to 0.0) counts as infinity — see
-        # the sf1 retry loop.
-        if b2 > 0 and (ratios[name] is None or g2 / b2 < ratios[name]):
+        r2 = round(g2 / b2, 2) if b2 > 0 else None
+        has_band = SF10_BUDGETS[name][1] is not None
+        merged = _merge_retry(ratios[name], r2, has_band)
+        if merged is not None and merged == r2 and r2 != ratios[name]:
             base[name], big[name] = b2, g2
-            ratios[name] = round(g2 / b2, 2)
+        ratios[name] = merged
         verdicts[name] = verdict_of(name, ratios[name])
         verdicts[name]["retried"] = True
+        verdicts[name]["retry_ratio"] = r2
 
     return {
         "queries_sf1": base,
@@ -877,7 +942,13 @@ def run_sf10() -> None:
         "SPARK_GRAFT_BENCH_SF10_DIR", os.path.join(here, ".bench_sf10")
     )
     _synth_sf1(spark, sf_dir, sf1_dir, copies=10)
-    _synth_sf1(spark, sf_dir, sf10_dir, copies=100)
+    # no SF10_QUERIES entry reads lineitem — synthesizing the ~60M-row
+    # 100x copy was pure wasted wall (ADVICE r9); the sf1 dir keeps all
+    # four tables because the --sf1 stage (q_corr_matrix) shares it.
+    _synth_sf1(
+        spark, sf_dir, sf10_dir, copies=100,
+        tables=("documents", "embeddings", "events"),
+    )
 
     out = {"metric": "sf10_stage", "sf_base": sf_dir}
     try:

@@ -1,4 +1,4 @@
-from . import corpus, dedup, multimodal, similarity, temporal  # noqa: F401
+from . import corpus, dedup, multimodal, similarity, temporal, unigram  # noqa: F401
 from .corpus import shuffle_shards, unigram_logprob  # noqa: F401
 from .dedup import (  # noqa: F401
     bloom_bitmap,

@@ -1,0 +1,371 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — the companion
+of `bpe.py` and the algorithm most production LLM tokenizers actually
+use (Kudo 2018, "Subword Regularization"; the SentencePiece `unigram`
+model). The reference (`/root/reference`) has no tokenizer at all
+(SURVEY.md §2); this belongs to the engine's LLM-pipeline superset next
+to `bpe_train`/`bpe_encode`.
+
+Same corpus-scale economy as BPE: everything trains on the DISTINCT
+word-frequency table (`bpe.word_counts` — Heaps-bounded), never the
+corpus. The EM loop is hard (Viterbi) EM:
+
+  seed    one substring-count aggregation over the word table (pure
+          Catalyst: nested transform + flatten + groupBy), top-N by
+          count plus every single character — collected to the driver
+          (≤ seed_size rows, the vocabulary IS driver-sized state).
+  E-step  broadcast {piece: logprob}; Viterbi-segment each DISTINCT
+          word (Arrow-batched pandas UDF, O(len·max_piece_len) dict
+          lookups per word); explode + groupBy piece → expected counts
+          weighted by word frequency. One vocabulary-sized aggregation
+          per round; the collect is ≤ vocab_size rows — the algorithm's
+          inherent sync point, exactly like BPE's argmax.
+  M-step  driver-side renormalize; PRUNE by expected count: keep all
+          single characters (coverage guarantee) plus the top pieces by
+          count up to vocab_size, drop pieces under min_count.
+
+Hard EM instead of forward-backward: deterministic (no float-posterior
+ties), parity-testable round-for-round against a pure-Python reference,
+and the standard approximation when the goal is the final vocabulary
+rather than subword-regularization sampling. The full lattice E-step
+drops in later behind the same estep interface if posterior counts are
+ever needed.
+
+Scale: a 100 TB corpus is scanned ONCE (word_counts). Every EM round
+costs one narrow Python pass over the distinct-word table plus a
+vocabulary-keyed aggregation — cost ∝ vocabulary, not corpus, and the
+broadcast vocabulary is ≤ a few MB at a 100k-piece target. Encoding
+(`unigram_encode`) joins per-word token counts back to the corpus: a
+plain shuffle hash join on `word` that survives a 10^8-word vocabulary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bpe import word_counts
+
+__all__ = [
+    "seed_vocab",
+    "viterbi_segment",
+    "segment_word_table",
+    "unigram_estep_counts",
+    "unigram_train",
+    "unigram_encode",
+]
+
+# Log-prob floor for characters absent from the vocabulary at encode
+# time (unseen script at inference): worse than any trained piece so it
+# is only used when nothing else covers the position.
+UNK_LOGP = -100.0
+
+
+def seed_vocab(
+    words: DataFrame,
+    max_piece_len: int = 6,
+    seed_size: int = 2000,
+) -> List[Tuple[str, int]]:
+    """Seed vocabulary from the word-frequency table: every substring
+    of length 1..max_piece_len of every distinct word, weighted by the
+    word's corpus count; returns the top `seed_size` by (count desc,
+    piece asc) UNIONED with every single character (characters are the
+    coverage floor and are never pruned). Driver-resident result
+    (≤ seed_size + alphabet rows).
+
+    The substring explosion is pure Catalyst — a nested transform over
+    start positions × lengths, flattened — so the only Spark cost is
+    one word-table scan into a substring-keyed aggregation whose key
+    space is the (Heaps-bounded) piece vocabulary.
+    """
+    if max_piece_len < 1:
+        raise ValueError("max_piece_len must be >= 1")
+    if seed_size < 1:
+        raise ValueError("seed_size must be >= 1")
+    w = F.col("word")
+    n = F.length(w)
+    # positions i=1..len, lengths l=1..min(max_piece_len, len-i+1)
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), n - i + 1)
+                ),
+                lambda l: F.substring(w, i, l),
+            ),
+        )
+    )
+    counts = (
+        words.filter(n > 0)
+        .select(F.col("cnt"), F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("piece")
+    ).limit(seed_size)
+    chars = counts.filter(F.length("piece") == 1)
+    rows = (
+        top.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    )
+    return sorted(((r["piece"], r["cnt"]) for r in rows), key=lambda t: (-t[1], t[0]))
+
+
+def viterbi_segment(
+    word: str, logp: Dict[str, float], max_piece_len: int
+) -> List[str]:
+    """Pure-Python Viterbi segmentation of one word under a unigram LM:
+    the piece sequence maximizing Σ logp(piece). Characters absent from
+    the vocabulary fall back to UNK_LOGP single-char pieces, so every
+    word is segmentable.
+
+    Deterministic tie-break: candidate pieces are scanned LONGEST
+    FIRST and a candidate replaces the incumbent only on a strictly
+    greater score — equal-scoring segmentations resolve to the one
+    using the longest piece at each boundary (scanning right to left).
+    Parity with the distributed E-step is pinned round-for-round in
+    tests against an independent reference implementation.
+    """
+    n = len(word)
+    if n == 0:
+        return []
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)  # start index of the piece ending at i
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        lo = max(0, i - max_piece_len)
+        # longest candidate first: j ascending from lo
+        for j in range(lo, i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = UNK_LOGP  # unseen character fallback
+                else:
+                    continue
+            score = best[j] + lp
+            if score > best[i]:
+                best[i] = score
+                back[i] = j
+    out: List[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def segment_word_table(
+    words: DataFrame,
+    logp: Dict[str, float],
+    max_piece_len: int,
+    word_col: str = "word",
+) -> DataFrame:
+    """Viterbi-segment a DISTINCT-word table under a broadcast unigram
+    LM: adds `pieces array<string>`. Python cost ∝ vocabulary (the
+    Heaps-law economy `encode_word_table` proved for BPE); the logprob
+    dict ships as a real Spark broadcast, and the kernel memoizes per
+    Arrow batch so the same function is safe on non-distinct input."""
+    import pandas as pd  # noqa: F401 — anchors the Arrow path
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    b_logp = spark.sparkContext.broadcast(dict(logp))
+    mpl = int(max_piece_len)
+
+    # no type hints: PEP 563 stringifies them under the module-level
+    # `annotations` import and pyspark's hint introspection rejects that
+    def seg(ws):
+        lp = b_logp.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                t = viterbi_segment(w, lp, mpl)
+                memo[w] = t
+            return t
+
+        return ws.map(one)
+
+    pieces = pandas_udf(seg, "array<string>")(F.col(word_col))
+    return words.withColumn("pieces", pieces)
+
+
+def unigram_estep_counts(
+    words: DataFrame, logp: Dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """One hard-EM E-step: expected piece counts over the word table —
+    (piece, cnt) with each Viterbi piece occurrence weighted by its
+    word's corpus count. Explode + one vocabulary-keyed groupBy (the
+    partial aggregate collapses map-side; the shuffle carries at most
+    piece-vocabulary rows per input partition)."""
+    seg = segment_word_table(words, logp, max_piece_len)
+    return (
+        seg.select("cnt", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _mstep_prune(
+    counts: List[Tuple[str, int]],
+    vocab_size: int,
+    min_count: int,
+) -> List[Tuple[str, int]]:
+    """M-step pruning on driver-side (piece, expected_count) rows: keep
+    every single character (floored at count 1 so coverage survives a
+    zero-count round), drop multi-char pieces under `min_count`, then
+    keep the top pieces by (count desc, piece asc) up to `vocab_size`
+    (characters always survive, even past the cap)."""
+    chars = [(p, max(c, 1)) for p, c in counts if len(p) == 1]
+    multi = [
+        (p, c) for p, c in counts if len(p) > 1 and c >= min_count
+    ]
+    multi.sort(key=lambda t: (-t[1], t[0]))
+    room = max(0, vocab_size - len(chars))
+    kept = chars + multi[:room]
+    kept.sort(key=lambda t: (-t[1], t[0]))
+    return kept
+
+
+def unigram_train(
+    df: Optional[DataFrame] = None,
+    text_col: str = "text",
+    vocab_size: int = 300,
+    n_iters: int = 3,
+    max_piece_len: int = 6,
+    seed_size: int = 2000,
+    min_count: int = 2,
+    shrink_factor: float = 0.75,
+    words: Optional[DataFrame] = None,
+    on_iter=None,
+) -> List[Tuple[str, float, int]]:
+    """Train a unigram-LM vocabulary: seed → `n_iters` hard-EM rounds
+    (E-step on the cluster, M-step + expected-count pruning on the
+    driver) → final list of (piece, logprob, expected_count) sorted by
+    (count desc, piece asc).
+
+    Pruning schedule (SentencePiece's): each round keeps
+    max(vocab_size, shrink_factor · current) pieces by expected count,
+    so the vocabulary shrinks GRADUALLY from the seed and EM re-ranks
+    survivors between cuts — a one-shot cut to vocab_size would freeze
+    the seed's raw-substring ranking. The final round always lands on
+    exactly ≤ vocab_size.
+
+    `on_iter(i, vocab, seconds)` observes each round with the PRUNED
+    (piece, expected_count) list (the BPE trainers' `on_merge`
+    discipline — the cost-curve hook, and what the round-for-round
+    parity test pins against the pure-Python reference).
+
+    Scale: the corpus is scanned once (`word_counts`); the word table
+    is persisted and every round costs one Arrow pass over it plus a
+    vocabulary-sized aggregation; driver state is the ≤ seed_size
+    vocabulary. Characters are never pruned, so segmentation coverage
+    is total at every round.
+    """
+    import time as _time
+
+    from pyspark import StorageLevel
+
+    if not 0.0 < shrink_factor <= 1.0:
+        raise ValueError("shrink_factor must be in (0, 1]")
+    if words is None:
+        if df is None:
+            raise ValueError("unigram_train needs df or words")
+        words = word_counts(df, text_col)
+    words = words.persist(StorageLevel.DISK_ONLY)
+    vocab = seed_vocab(words, max_piece_len, seed_size)
+    vocab = _mstep_prune(vocab, len(vocab), min_count=1)
+    # the corpus alphabet: characters re-enter every round even when a
+    # round's Viterbi paths cover them only inside multi-char pieces
+    # (expected count 0) — otherwise they'd silently leave the vocab
+    # and the coverage guarantee would be one unlucky round deep
+    alphabet = [p for p, _ in vocab if len(p) == 1]
+    for i in range(n_iters):
+        t0 = _time.perf_counter()
+        total = float(sum(c for _, c in vocab))
+        logp = {p: math.log(c / total) for p, c in vocab}
+        counts = {
+            r["piece"]: r["cnt"]
+            for r in unigram_estep_counts(words, logp, max_piece_len).collect()
+        }
+        for ch in alphabet:
+            counts.setdefault(ch, 0)
+        target = (
+            vocab_size
+            if i == n_iters - 1
+            else max(vocab_size, int(len(vocab) * shrink_factor))
+        )
+        vocab = _mstep_prune(list(counts.items()), target, min_count)
+        if on_iter is not None:
+            on_iter(i, list(vocab), _time.perf_counter() - t0)
+    words.unpersist()
+    total = float(sum(c for _, c in vocab))
+    return [(p, math.log(c / total), c) for p, c in vocab]
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: List[Tuple[str, float, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 6,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED unigram vocabulary →
+    per-document (id_col, n_words, n_unigram_tokens, n_chars_tokenized)
+    — `bpe_encode`'s exact contract, so the two tokenizers' fertility
+    is directly comparable (the llm_bpe_encode / llm_unigram_encode
+    catalog rows share the per-language rollup).
+
+    Shape: one corpus scan explodes words (same lower/whitespace
+    vocabulary as `word_counts`, so train and encode agree on what a
+    word is); the DISTINCT word table Viterbi-segments in Python
+    (vocabulary-sized, Arrow-batched, broadcast logprobs); per-word
+    token counts join back and aggregate per document. Documents with
+    no words survive with zero counts.
+    """
+    from ..functions import text as T
+
+    logp = {p: lp for p, lp, *_rest in vocab}
+    tokens_words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("word"),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    distinct_words = tokens_words.select("word").distinct()
+    seg = segment_word_table(
+        distinct_words, logp, max_piece_len
+    ).select(
+        "word",
+        F.size("pieces").alias("n_tokens"),
+        F.length("word").alias("n_word_chars"),
+    )
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
+    per_doc = (
+        tokens_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_unigram_tokens"),
+            F.sum("n_word_chars").cast("long").alias("n_chars_tokenized"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .na.fill(
+            {"n_words": 0, "n_unigram_tokens": 0, "n_chars_tokenized": 0}
+        )
+    )

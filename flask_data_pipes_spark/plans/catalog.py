@@ -404,9 +404,13 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # swapped-out entries remain fully value-checked by the
 # test_oracle_parity sweep.
 CHECKED_PREFIX = [
-    # Relational core
+    # Relational core (round-10 curation: q_corr_matrix — the round-8
+    # single-pass exact-decimal profiling family — takes
+    # q3_top_orders's slot; q3's join+agg+top-k machinery stays gated
+    # via q5_nation_revenue (join+agg) and llm_bottomk_quantiles
+    # (TakeOrderedAndProject), and q3 stays oracled + swept)
     "q1_pricing_summary",
-    "q3_top_orders",
+    "q_corr_matrix",
     "q5_nation_revenue",
     # Round-8 curation: SCD2 history build (load/history family, new)
     # takes q_top3_orders_per_customer's slot — its row_number-top-k-

@@ -5511,3 +5511,103 @@ def llm_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_linear_score("text", w, seed=29).alias("score"),
     )
     return score_calibrate(scored, "score", by="source")
+
+
+# --- round 10: unigram-LM tokenizer + KLL quantile sketch -------------------
+#
+# Both families are iterative/UDF-segmented (Viterbi EM, sketch
+# compaction cascades) — not SQL-expressible, so like the other
+# trainer/codec entries they are rows-only at the driver gate and
+# value-pinned by GOLDEN_DIGESTS at sf0.001 (the full-value sha256
+# discipline of llm_bpe_encode / llm_ivf_topk).
+
+_UNIGRAM_PARAMS = dict(
+    vocab_size=120, n_iters=3, max_piece_len=5, seed_size=800, min_count=2
+)
+
+
+@register("llm_unigram_vocab")  # hard-EM trainer → rows-only + golden pin
+def llm_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary training
+    (operators/unigram.py::unigram_train): 3 hard-EM rounds over the
+    distinct-word table — seed substring counts, Viterbi E-step
+    (Arrow-batched, broadcast logprobs), driver M-step with
+    expected-count pruning on the SentencePiece shrink schedule —
+    returning the final (piece, cnt, logprob) vocabulary. The modern
+    companion of llm_bpe_pair_counts/llm_bpe_encode: most production
+    LLM tokenizers are unigram, not BPE.
+
+    Scale: the corpus is scanned once (word_counts); every EM round is
+    one vocabulary-proportional Arrow pass + one vocabulary-keyed
+    aggregation whose collect is ≤ seed_size rows (the algorithm's
+    sync point, like BPE's argmax). EM-round-for-round parity vs a
+    pure-Python reference is pinned in tests/test_unigram.py.
+    """
+    from ..operators.unigram import unigram_train
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    return spark.createDataFrame(
+        [(p, int(c), round(lp, 6)) for p, lp, c in vocab],
+        "piece string, cnt long, logprob double",
+    ).orderBy(F.col("cnt").desc(), F.col("piece"))
+
+
+@register("llm_unigram_encode")  # EM-trained vocab → rows-only + golden pin
+def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer INFERENCE fertility, per language — the exact
+    llm_bpe_encode contract ((lang, n_docs, n_words, n_unigram_tokens,
+    fertility)) so BPE-vs-unigram fertility is a one-join comparison
+    on the same corpus. Train the vocabulary, Viterbi-segment the
+    DISTINCT word table under it, join counts back, roll up per lang.
+
+    Scale: same economy as bpe_encode — Python cost ∝ vocabulary, the
+    corpus pays one word explode + a shuffle hash join on `word` + one
+    per-doc groupBy; vocabulary logprobs broadcast (≤ a few MB at a
+    100k-piece target)."""
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    enc = unigram_encode(
+        d, vocab, max_piece_len=_UNIGRAM_PARAMS["max_piece_len"]
+    )
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_unigram_tokens").cast("long").alias("n_unigram_tokens"),
+            F.round(
+                F.sum("n_unigram_tokens") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+@register("llm_kll_quantiles")  # compaction cascade → rows-only + golden pin
+def llm_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rank-error-bounded quantile sketch (operators/
+    sketches.py::KLLSketch, deterministic-compactor KLL): per-partition
+    sketches over document text length, merged to one, queried at 4
+    quantiles → (q, value, n). Completes the sketch quartet: CMS "how
+    often", HLL "how many distinct", bottom-k "how distributed
+    (probabilistic)", KLL "how distributed, GUARANTEED" — the
+    certified |rank error| ≤ err_bound ≤ O((n/k)·log(n/k)) property a
+    100 TB profiling pass wants under shard merges.
+
+    Deterministic mode (id_col): values hash-route to a FIXED
+    partition count and sort within, so the sketch — and this pin —
+    is identical at any parallelism. n is the exact row count
+    (compaction preserves total weight; asserted here by the driver's
+    rows check and exactly in tests)."""
+    from ..operators.sketches import kll_build, kll_merge, kll_quantiles
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    sk = kll_merge(
+        kll_build(d, "len", k=128, id_col="doc_id", partitions=16), k=128
+    )
+    return kll_quantiles(sk, (0.25, 0.5, 0.9, 0.99))

@@ -818,3 +818,52 @@ def histogram_read_merged(spark, hist_path: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def foreach_batch_kll(
+    sketch_path: str,
+    value_col: str,
+    k: int = 200,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining CROSS-BATCH KLL quantile sketch
+    rows (operators/sketches.py::kll_build) — streaming quantile
+    tracking with an a-priori rank-error certificate in O(k·log n)
+    state per batch, completing the CMS/HLL/bottom-k/histogram sink
+    quartet with "how distributed, GUARANTEED".
+
+    Exactly-once discipline is the CMS sink's, NOT the HLL/bottom-k
+    one: KLL merge ADDS weight (a replayed batch merged twice
+    double-counts), so the per-batch partition + dynamic overwrite IS
+    the correctness guard — a replay overwrites its own partition.
+    Query-time merge is `kll_read_merged`; per batch the write is the
+    per-partition sketch rows (≤ partitions·k·log n tiny rows, no
+    shuffle — kll_build's default mode)."""
+    from ..operators.sketches import kll_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = kll_build(batch_df, value_col, k=k).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            sk.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    return sink
+
+
+def kll_read_merged(spark, sketch_path: str, k: int = 200) -> DataFrame:
+    """Merge every per-batch KLL partition written by
+    `foreach_batch_kll` into one sketch (order-insensitive rebuild +
+    compaction). Feed to `operators.sketches.kll_quantiles` for the
+    certified quantile estimates."""
+    from ..operators.sketches import kll_merge
+
+    return kll_merge(
+        spark.read.parquet(sketch_path).select("level", "value"), k=k
+    )

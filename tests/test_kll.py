@@ -1,0 +1,194 @@
+"""KLL-shape quantile sketch tests (operators/sketches.py): the
+tracked error bound is CERTIFIED (every rank estimate within
+err_bound, property-tested), the bound stays within the deterministic
+worst-case formula, total weight is exact under build and merge, and
+the distributed build/merge/quantile path agrees with the pure-Python
+sketch exactly in deterministic mode.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from flask_data_pipes_spark.operators.sketches import (
+    KLLSketch,
+    kll_build,
+    kll_merge,
+    kll_quantiles,
+)
+
+_SETTINGS = dict(max_examples=25, deadline=None)
+
+
+def _true_rank(data, x):
+    return sum(1 for v in data if v <= x)
+
+
+def _valid_quantile(data, v, target, err):
+    """v is a valid ±err q-quantile iff some rank of v — the interval
+    [#(x < v) + 1, #(x <= v)] (duplicates give v a rank RANGE) —
+    intersects [target - err, target + err]."""
+    lo = sum(1 for x in data if x < v) + 1
+    hi = sum(1 for x in data if x <= v)
+    return lo <= target + err and hi >= target - err
+
+
+_values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    min_size=1,
+    max_size=800,
+)
+
+
+@given(_values, st.integers(8, 64))
+@settings(**_SETTINGS)
+def test_kll_certified_rank_bound_and_weight(data, k):
+    s = KLLSketch(k)
+    s.extend(data)
+    # total weight is EXACT (compactions only promote even counts)
+    assert sum(1 << l for l, _ in s.items()) == s.n == len(data)
+    # every rank estimate is within the sketch's own tracked bound
+    probes = data[:50] + [min(data) - 1, max(data) + 1]
+    for x in probes:
+        assert abs(s.rank(x) - _true_rank(data, x)) <= s.err_bound, (
+            x, s.rank(x), _true_rank(data, x), s.err_bound,
+        )
+    # the tracked bound respects the deterministic worst case
+    n = len(data)
+    cap = (math.log2(max(n, 2)) + 1) * n / (k - 1)
+    assert s.err_bound <= cap + 1e-9
+    # quantile estimates carry their certificate (rank-estimate error
+    # + cumulative-weight overshoot of the selection rule)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        v = s.quantile(q)
+        target = int(q * (n - 1)) + 1
+        assert _valid_quantile(data, v, target, s.quantile_err_bound()), (
+            q, v, target, s.quantile_err_bound(),
+        )
+
+
+@given(_values, _values, st.integers(8, 48))
+@settings(**_SETTINGS)
+def test_kll_merge_preserves_guarantee(a, b, k):
+    sa, sb = KLLSketch(k), KLLSketch(k)
+    sa.extend(a)
+    sb.extend(b)
+    ea, eb = sa.err_bound, sb.err_bound
+    sa.merge(sb)
+    data = a + b
+    assert sa.n == len(data)
+    assert sum(1 << l for l, _ in sa.items()) == len(data)
+    # merged bound = parts + merge compactions, and still certifies
+    assert sa.err_bound >= ea + eb
+    for x in data[:40]:
+        assert abs(sa.rank(x) - _true_rank(data, x)) <= sa.err_bound
+
+
+def test_kll_determinism_and_order_insensitive_rebuild():
+    rng = random.Random(11)
+    data = [rng.uniform(0, 1000) for _ in range(5000)]
+    s1, s2 = KLLSketch(64), KLLSketch(64)
+    s1.extend(data)
+    s2.extend(data)
+    assert list(s1.items()) == list(s2.items())
+    assert s1.err_bound == s2.err_bound
+    rows = list(s1.items())
+    r1 = KLLSketch.from_rows(rows, 64)
+    rng.shuffle(rows)
+    r2 = KLLSketch.from_rows(rows, 64)
+    assert sorted(r1.items()) == sorted(r2.items())
+    assert r1.n == r2.n == len(data)
+
+
+def test_kll_validation():
+    with pytest.raises(ValueError, match=">= 8"):
+        KLLSketch(4)
+    s = KLLSketch(8)
+    with pytest.raises(ValueError, match="empty"):
+        s.quantile(0.5)
+    s.update(1.0)
+    with pytest.raises(ValueError, match="q must be"):
+        s.quantile(1.5)
+    with pytest.raises(ValueError, match="equal k"):
+        s.merge(KLLSketch(16))
+
+
+def test_kll_error_decays_with_k():
+    rng = random.Random(3)
+    data = [rng.gauss(0, 1) for _ in range(20000)]
+    errs = {}
+    for k in (16, 64, 256):
+        s = KLLSketch(k)
+        s.extend(data)
+        worst = max(
+            abs(_true_rank(data, s.quantile(q)) - (int(q * (len(data) - 1)) + 1))
+            for q in (0.1, 0.5, 0.9, 0.99)
+        )
+        errs[k] = worst
+    assert errs[256] < errs[16]
+    # and the k=256 sketch is genuinely tight (< 1% rank error here)
+    assert errs[256] < 0.01 * len(data)
+
+
+# --- distributed path ---------------------------------------------------------
+
+
+def test_kll_spark_matches_pure_python(spark):
+    rng = random.Random(23)
+    rows = [(i, rng.uniform(0, 10000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    sk = kll_merge(kll_build(df, "x", k=96, id_col="id", partitions=8), k=96)
+    got = {
+        r["q"]: (r["value"], r["n"])
+        for r in kll_quantiles(sk, (0.1, 0.5, 0.9, 0.99)).collect()
+    }
+    # rebuild the identical sketch in pure Python: replicate the BUILD
+    # path's actual routing (repartition(n, expr) HASHES the expr, so
+    # read the physical partition id back from Spark rather than
+    # assuming expr == partition), same within-partition order, same
+    # order-insensitive merge
+    from flask_data_pipes_spark.functions.text import md5_long
+    import pyspark.sql.functions as F
+
+    routed = (
+        df.select("x", md5_long(F.col("id"), 7).alias("h"))
+        .repartition(8, F.pmod(F.col("h"), F.lit(8)))
+        .sortWithinPartitions("h")
+        .withColumn("pid", F.spark_partition_id())
+        .collect()  # preserves partition order + within-partition order
+    )
+    parts: dict = {}
+    for r in routed:
+        parts.setdefault(r["pid"], []).append(r["x"])
+    shards = []
+    for p in sorted(parts):
+        s = KLLSketch(96)
+        s.extend(parts[p])
+        shards.append(s)
+    merged = KLLSketch.from_rows(
+        [it for s in shards for it in s.items()], 96
+    )
+    data = [x for _, x in rows]
+    for q in (0.1, 0.5, 0.9, 0.99):
+        v, n = got[q]
+        assert n == len(rows)
+        assert v == merged.quantile(q)
+        # certified bound vs exact data
+        target = int(q * (len(data) - 1)) + 1
+        assert _valid_quantile(data, v, target, merged.quantile_err_bound())
+
+
+def test_kll_build_default_mode_no_shuffle(spark):
+    df = spark.range(10000).selectExpr(
+        "id", "cast(id % 997 as double) as x"
+    )
+    out = kll_build(df, "x", k=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # merged result still counts every row exactly
+    n = kll_quantiles(kll_merge(out, k=64), (0.5,)).collect()[0]["n"]
+    assert n == 10000

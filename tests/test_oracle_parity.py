@@ -320,6 +320,25 @@ GOLDEN_DIGESTS = {
         435,
         "24a502015658032b756f8838a9c228fc50435531e1dd110c6fd1a5be5349bbbe",
     ),
+    # round 10 — unigram-LM trainer (hard EM is deterministic: integer
+    # expected counts, driver-side math.log, longest-piece Viterbi
+    # tie-break) and its fertility rollup; digests verified identical
+    # across local[8]/shuffle=8 and local[*]/shuffle=32 + tz
+    # Australia/Eucla
+    "llm_unigram_vocab": (
+        55,
+        "2a592a5786449479a7a26e91bc5b356d386e45943596ab8f7efa006564cc675d",
+    ),
+    "llm_unigram_encode": (
+        5,
+        "91f77e5a9a39cb3979b740095b6d464d4e7cb1f42b81a1ed4a04f0246db02c47",
+    ),
+    # KLL quantile sketch in deterministic mode (fixed hash routing +
+    # within-partition sort + order-insensitive merge)
+    "llm_kll_quantiles": (
+        4,
+        "ee5adbf38d8cf012d8c1b8cb1f2800dc47e11243277835cd3308ebbe8cb1a028",
+    ),
 }
 
 

@@ -308,6 +308,10 @@ def test_checked_prefix_curated():
         "drift": ["llm_psi_drift"],
         "hybrid-retrieval": ["llm_rrf_fusion"],
         "text-signals": ["llm_quality"],
+        # round-10: single-pass moment profiling gated (q3 displaced —
+        # its join+agg+top-k machinery rides q5 + bottomk; q3 stays
+        # oracled + swept)
+        "profiling-moments": ["q_corr_matrix"],
     }
     for fam, members in families.items():
         assert any(m in CHECKED_PREFIX[:50] for m in members), fam

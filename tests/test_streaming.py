@@ -858,3 +858,46 @@ def test_ohlc_stream_matches_batch_twin(spark, landing, tmp_path):
     assert len(got) == len(set(got))
     for key, vals in got.items():
         assert batch[key] == vals
+
+
+def test_foreach_batch_kll_cross_batch_and_replay_exactly_once(spark, tmp_path):
+    """Streaming KLL: per-batch sketch rows land in batch_id
+    partitions, the merged sketch counts every stream row EXACTLY once
+    (total weight == n even after a batch replay, thanks to dynamic
+    partition overwrite — KLL merge adds weight, so the partition IS
+    the exactly-once guard), and the merged quantiles are certified
+    within the pure-Python sketch's error bound."""
+    import random
+
+    from flask_data_pipes_spark.operators.sketches import (
+        KLLSketch,
+        kll_quantiles,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_kll,
+        kll_read_merged,
+    )
+
+    rng = random.Random(5)
+    b0 = [(float(rng.uniform(0, 100)),) for _ in range(400)]
+    b1 = [(float(rng.uniform(50, 150)),) for _ in range(300)]
+    path = str(tmp_path / "kll")
+    sink = foreach_batch_kll(path, "x", k=64)
+    sink(spark.createDataFrame(b0, "x double"), 0)
+    sink(spark.createDataFrame(b1, "x double"), 1)
+    sink(spark.createDataFrame(b0, "x double"), 0)  # replay of batch 0
+
+    merged = kll_read_merged(spark, path, k=64)
+    rows = kll_quantiles(merged, (0.1, 0.5, 0.9)).collect()
+    data = sorted(x for (x,) in b0 + b1)
+    n = len(data)
+    assert all(r["n"] == n for r in rows)  # exactly-once despite replay
+    # certify each estimate against a generous deterministic bound
+    # (k=64 on 700 items: err_bound <= (log2(n)+1)*n/(k-1) ~ 115)
+    import math
+
+    cap = (math.log2(n) + 1) * n / 63
+    for r in rows:
+        true_rank = sum(1 for v in data if v <= r["value"])
+        target = int(r["q"] * (n - 1)) + 1
+        assert abs(true_rank - target) <= cap, (r, true_rank, target)

@@ -1,0 +1,238 @@
+"""Unigram-LM tokenizer trainer tests (operators/unigram.py): hand
+cases for the Viterbi segmenter, EM-round-for-round parity of the
+distributed trainer against an INDEPENDENT pure-Python reference, and
+encode semantics/fertility.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.operators.unigram import (
+    UNK_LOGP,
+    seed_vocab,
+    segment_word_table,
+    unigram_encode,
+    unigram_train,
+    viterbi_segment,
+)
+
+
+# --- pure-Python reference (written independently of the operator) ----------
+
+
+def _ref_seed(word_cnt: dict, max_len: int, seed_size: int):
+    sub = {}
+    for w, c in word_cnt.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                sub[p] = sub.get(p, 0) + c
+    ranked = sorted(sub.items(), key=lambda t: (-t[1], t[0]))
+    keep = dict(ranked[:seed_size])
+    for p, c in sub.items():
+        if len(p) == 1:
+            keep[p] = c
+    return keep
+
+
+def _ref_viterbi(word: str, logp: dict, max_len: int):
+    # longest-piece-wins ties, same contract as the operator but coded
+    # forward over explicit piece choices
+    n = len(word)
+    best = {0: (0.0, None)}
+    for i in range(1, n + 1):
+        cand = None
+        for plen in range(min(max_len, i), 0, -1):
+            j = i - plen
+            if j not in best:
+                continue
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if plen != 1:
+                    continue
+                lp = UNK_LOGP
+            sc = best[j][0] + lp
+            if cand is None or sc > cand[0]:
+                cand = (sc, j)
+        if cand is not None:
+            best[i] = cand
+    pieces = []
+    i = n
+    while i > 0:
+        j = best[i][1]
+        pieces.append(word[j:i])
+        i = j
+    return list(reversed(pieces))
+
+
+def _ref_prune(counts: dict, target: int, min_count: int):
+    chars = {p: max(c, 1) for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1 and c >= min_count),
+        key=lambda t: (-t[1], t[0]),
+    )
+    room = max(0, target - len(chars))
+    out = dict(chars)
+    out.update(dict(multi[:room]))
+    return out
+
+
+def _ref_train(word_cnt: dict, vocab_size, n_iters, max_len, seed_size,
+               min_count, shrink=0.75):
+    vocab = _ref_prune(_ref_seed(word_cnt, max_len, seed_size),
+                       10**9, min_count=1)
+    alphabet = [p for p in vocab if len(p) == 1]
+    rounds = []
+    for i in range(n_iters):
+        total = float(sum(vocab.values()))
+        logp = {p: math.log(c / total) for p, c in vocab.items()}
+        counts = {}
+        for w, c in word_cnt.items():
+            for piece in _ref_viterbi(w, logp, max_len):
+                counts[piece] = counts.get(piece, 0) + c
+        for ch in alphabet:
+            counts.setdefault(ch, 0)
+        target = vocab_size if i == n_iters - 1 else max(
+            vocab_size, int(len(vocab) * shrink)
+        )
+        vocab = _ref_prune(counts, target, min_count)
+        rounds.append(sorted(vocab.items(), key=lambda t: (-t[1], t[0])))
+    return rounds
+
+
+# --- hand cases --------------------------------------------------------------
+
+
+def test_viterbi_hand_cases():
+    logp = {"a": -3.0, "b": -3.0, "ab": -2.0, "abc": -1.5, "c": -3.0}
+    # one big piece beats char splits
+    assert viterbi_segment("abc", logp, 3) == ["abc"]
+    # 'ab'+'c' (-5.0) beats 'a'+'b'+'c' (-9.0)
+    assert viterbi_segment("abca", logp, 2) == ["ab", "c", "a"]
+    # unseen char falls back to UNK single-char pieces
+    assert viterbi_segment("axb", logp, 3) == ["a", "x", "b"]
+    assert viterbi_segment("", logp, 3) == []
+    # tie-break: {'aa': -2.0} vs {'a','a'} summing to -2.0 → longer wins
+    tie = {"a": -1.0, "aa": -2.0}
+    assert viterbi_segment("aa", tie, 2) == ["aa"]
+
+
+def test_viterbi_matches_reference_randomized():
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    pieces = {"a", "b", "c", "d", "ab", "bc", "cd", "abc", "bcd", "abcd"}
+    logp = {p: round(rng.uniform(-5, -1), 6) for p in pieces}
+    for _ in range(300):
+        w = "".join(rng.choice(alphabet + "x") for _ in range(rng.randrange(0, 12)))
+        got = viterbi_segment(w, logp, 4)
+        want = _ref_viterbi(w, logp, 4)
+        assert got == want, (w, got, want)
+        assert "".join(got) == w
+
+
+# --- distributed parity -------------------------------------------------------
+
+
+WORD_CNT = {
+    "low": 5, "lower": 2, "lowest": 6, "newer": 6, "wider": 3,
+    "new": 2, "widely": 2, "newest": 4, "slower": 1, "aaa": 7,
+}
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame(
+        [(w, c, list(w)) for w, c in WORD_CNT.items()],
+        "word string, cnt long, symbols array<string>",
+    )
+
+
+def test_seed_vocab_matches_reference(spark, words_df):
+    got = seed_vocab(words_df, max_piece_len=4, seed_size=30)
+    ref = _ref_seed(WORD_CNT, 4, 30)
+    assert dict(got) == ref
+    # sorted by (cnt desc, piece asc)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_unigram_em_round_for_round_parity(spark, words_df):
+    seen = []
+    unigram_train(
+        words=words_df, vocab_size=18, n_iters=3, max_piece_len=4,
+        seed_size=30, min_count=2,
+        on_iter=lambda i, vocab, dt: seen.append(list(vocab)),
+    )
+    ref_rounds = _ref_train(WORD_CNT, 18, 3, 4, 30, 2)
+    assert len(seen) == len(ref_rounds) == 3
+    for got, want in zip(seen, ref_rounds):
+        assert got == want
+
+
+def test_unigram_train_output_contract(spark, words_df):
+    vocab = unigram_train(
+        words=words_df, vocab_size=15, n_iters=2, max_piece_len=4,
+        seed_size=30, min_count=2,
+    )
+    pieces = [p for p, _, _ in vocab]
+    chars = {ch for w in WORD_CNT for ch in w}
+    # characters are never pruned (coverage guarantee)
+    assert chars <= set(pieces)
+    # size cap holds (chars can exceed it; here they don't)
+    assert len(vocab) <= max(15, len(chars))
+    # probabilities normalize
+    assert abs(sum(math.exp(lp) for _, lp, _ in vocab) - 1.0) < 1e-9
+    # deterministic ordering by (count desc, piece asc)
+    cnts = [(p, c) for p, _, c in vocab]
+    assert cnts == sorted(cnts, key=lambda t: (-t[1], t[0]))
+
+
+def test_segment_word_table_roundtrip(spark, words_df):
+    logp = {"l": -2.0, "o": -2.0, "w": -2.0, "low": -1.0, "e": -2.0,
+            "r": -2.0, "er": -1.5, "s": -2.0, "t": -2.0, "est": -1.2,
+            "n": -2.0, "i": -2.0, "d": -2.0, "a": -2.0, "y": -2.0}
+    out = {
+        r["word"]: r["pieces"]
+        for r in segment_word_table(words_df, logp, 4).collect()
+    }
+    for w in WORD_CNT:
+        assert "".join(out[w]) == w
+        assert out[w] == viterbi_segment(w, logp, 4)
+    assert out["lowest"] == ["low", "est"]
+
+
+def test_unigram_encode_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lowest"), (2, ""), (3, "newer zz")],
+        "doc_id long, text string",
+    )
+    vocab = [("low", -1.0, 10), ("est", -1.2, 5), ("new", -1.1, 6),
+             ("er", -1.5, 4)] + [
+        (ch, -3.0, 1) for ch in "lowestnrz"
+    ]
+    out = {r.doc_id: r for r in unigram_encode(docs, vocab, max_piece_len=3).collect()}
+    # doc 1: low(1) + low(1) + low|est(2) = 4 tokens over 3 words
+    assert out[1].n_words == 3 and out[1].n_unigram_tokens == 4
+    assert out[1].n_chars_tokenized == len("lowlowlowest")
+    # empty doc survives with zeros
+    assert out[2].n_words == 0 and out[2].n_unigram_tokens == 0
+    # 'zz' segments as chars (in-vocab singles)
+    assert out[3].n_words == 2
+    assert out[3].n_unigram_tokens == 2 + 2  # new|er + z|z
+
+
+def test_unigram_train_validation(spark, words_df):
+    with pytest.raises(ValueError, match="df or words"):
+        unigram_train()
+    with pytest.raises(ValueError, match="shrink_factor"):
+        unigram_train(words=words_df, shrink_factor=0.0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        seed_vocab(words_df, max_piece_len=0)
+    with pytest.raises(ValueError, match="seed_size"):
+        seed_vocab(words_df, seed_size=0)

@@ -133,6 +133,13 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # round-8: correlation matrix — one scan into a 1-row aggregate
     # (k(k+1)/2+k decimal moment buffers), psi-like scan-bound shape
     "q_corr_matrix",
+    # round-10: unigram-LM trainer+encode — EM rounds are vocabulary-
+    # proportional (Heaps-bounded even on the rotated-copy corpus) and
+    # the encode join is word-keyed, so 10x data should ratio near the
+    # corpus scan (measured 1.3x); KLL — per-partition O(k log n)
+    # sketches, no shuffle in the build, scan-bound (measured ~1.0x)
+    "llm_unigram_encode",
+    "llm_kll_quantiles",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -209,8 +209,16 @@ def unigram_estep_counts(
     partial aggregate collapses map-side; the shuffle carries at most
     piece-vocabulary rows per input partition)."""
     seg = segment_word_table(words, logp, max_piece_len)
+    # explode_outer, NOT explode: the plain explode's implicit
+    # `size(pieces) > 0` pre-filter gets pushed below the projection
+    # and DUPLICATES the Viterbi UDF (two ArrowEvalPython passes per
+    # E-step — caught by the plan test); outer adds no pre-filter, and
+    # the null guard after the generate cannot push through the UDF.
+    # (Empty arrays only arise from empty words, which word_counts
+    # already drops — the guard is belt-and-braces.)
     return (
-        seg.select("cnt", F.explode("pieces").alias("piece"))
+        seg.select("cnt", F.explode_outer("pieces").alias("piece"))
+        .where(F.col("piece").isNotNull())
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
     )

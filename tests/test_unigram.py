@@ -236,3 +236,37 @@ def test_unigram_train_validation(spark, words_df):
         seed_vocab(words_df, max_piece_len=0)
     with pytest.raises(ValueError, match="seed_size"):
         seed_vocab(words_df, seed_size=0)
+
+
+def test_unigram_estep_plan_shape(spark, words_df):
+    """E-step plan: ONE Arrow pass (the Viterbi pandas UDF) and ONE
+    hash-partitioned exchange (the piece-keyed aggregation, partial
+    map-side combine before it)."""
+    import re
+
+    from flask_data_pipes_spark.operators.unigram import (
+        unigram_estep_counts,
+    )
+
+    logp = {"a": -1.0, "b": -1.0}
+    out = unigram_estep_counts(words_df, logp, 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_unigram_encode_plan_shape(spark):
+    """Encode plan: the Viterbi kernel runs ONCE, over the DISTINCT
+    word table only — one ArrowEvalPython downstream of the distinct,
+    never over the exploded corpus."""
+    import re
+
+    from flask_data_pipes_spark.operators.unigram import unigram_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low low lowest")], "doc_id long, text string"
+    )
+    vocab = [("low", -1.0, 10)] + [(ch, -3.0, 1) for ch in "lowest"]
+    out = unigram_encode(docs, vocab, max_piece_len=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan

@@ -36,6 +36,8 @@ __all__ = [
     "encode_word",
     "encode_word_table",
     "bpe_encode",
+    "merges_save",
+    "merges_load",
 ]
 
 
@@ -407,3 +409,22 @@ def bpe_encode(
         .join(per_doc, id_col, "left")
         .na.fill({"n_words": 0, "n_bpe_tokens": 0, "n_chars_tokenized": 0})
     )
+
+
+def merges_save(spark, merges: list, path: str) -> None:
+    """Persist a trained BPE merge list as parquet (rank, a, b, cnt) —
+    train once, encode across sessions (the unigram `vocab_save`
+    discipline; rank preserves training order, which IS the tokenizer)."""
+    spark.createDataFrame(
+        [(i, a, b, int(c)) for i, (a, b, c, *_rest) in enumerate(
+            (m if len(m) >= 3 else (*m, 0)) for m in merges
+        )],
+        "rank int, a string, b string, cnt long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def merges_load(spark, path: str) -> list:
+    """Reload a `merges_save`d merge list in training (rank) order —
+    encode parity with the in-session list is round-trip-tested."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"], r["cnt"]) for r in rows]

@@ -23,12 +23,14 @@ corpus. The EM loop is hard (Viterbi) EM:
           single characters (coverage guarantee) plus the top pieces by
           count up to vocab_size, drop pieces under min_count.
 
-Hard EM instead of forward-backward: deterministic (no float-posterior
-ties), parity-testable round-for-round against a pure-Python reference,
-and the standard approximation when the goal is the final vocabulary
-rather than subword-regularization sampling. The full lattice E-step
-drops in later behind the same estep interface if posterior counts are
-ever needed.
+Hard (Viterbi) EM is the DEFAULT: deterministic (integer expected
+counts, no float-posterior ties), parity-testable round-for-round
+against a pure-Python reference, golden-pinnable. The paper-faithful
+FULL-LATTICE E-step (forward-backward posterior expected counts,
+`em="full"` / `unigram_estep_posterior_counts`) shares the same
+distributed shape — one Arrow pass + one vocabulary-keyed aggregation
+— and is reference-tested against exhaustive segmentation enumeration;
+its float counts make it tolerance-tested rather than pinned.
 
 Scale: a 100 TB corpus is scanned ONCE (word_counts). Every EM round
 costs one narrow Python pass over the distinct-word table plus a
@@ -50,10 +52,14 @@ from .bpe import word_counts
 __all__ = [
     "seed_vocab",
     "viterbi_segment",
+    "posterior_piece_counts",
     "segment_word_table",
     "unigram_estep_counts",
+    "unigram_estep_posterior_counts",
     "unigram_train",
     "unigram_encode",
+    "vocab_save",
+    "vocab_load",
 ]
 
 # Log-prob floor for characters absent from the vocabulary at encode
@@ -163,6 +169,69 @@ def viterbi_segment(
     return out
 
 
+def posterior_piece_counts(
+    word: str, logp: Dict[str, float], max_piece_len: int
+) -> Dict[str, float]:
+    """Pure-Python FULL-LATTICE E-step for one word: expected piece
+    counts under the posterior over ALL segmentations (forward-backward
+    on the segmentation lattice) — SentencePiece's paper-faithful
+    E-step, where hard EM uses only the Viterbi path.
+
+    count(piece at [j, i)) = exp(fwd[j] + logp(piece) + bwd[i] - Z)
+    with fwd/bwd the log-sum-exp prefix/suffix totals and Z = fwd[n]
+    the word's total likelihood. Unseen single characters participate
+    with UNK_LOGP, matching `viterbi_segment`'s coverage rule. Returns
+    {} for the empty word.
+    """
+    n = len(word)
+    if n == 0:
+        return {}
+    NEG = float("-inf")
+
+    def lse(acc: float, x: float) -> float:
+        if acc == NEG:
+            return x
+        if x == NEG:
+            return acc
+        m = acc if acc > x else x
+        return m + math.log(math.exp(acc - m) + math.exp(x - m))
+
+    def piece_lp(j: int, i: int):
+        piece = word[j:i]
+        lp = logp.get(piece)
+        if lp is None and i - j == 1:
+            lp = UNK_LOGP
+        return piece, lp
+
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            _, lp = piece_lp(j, i)
+            if lp is not None and fwd[j] != NEG:
+                fwd[i] = lse(fwd[i], fwd[j] + lp)
+    bwd = [NEG] * (n + 1)
+    bwd[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(n, j + max_piece_len) + 1):
+            _, lp = piece_lp(j, i)
+            if lp is not None and bwd[i] != NEG:
+                bwd[j] = lse(bwd[j], lp + bwd[i])
+    z = fwd[n]
+    out: Dict[str, float] = {}
+    if z == NEG:  # unreachable given the UNK fallback, kept defensive
+        return out
+    for j in range(n):
+        for i in range(j + 1, min(n, j + max_piece_len) + 1):
+            piece, lp = piece_lp(j, i)
+            if lp is None or fwd[j] == NEG or bwd[i] == NEG:
+                continue
+            out[piece] = out.get(piece, 0.0) + math.exp(
+                fwd[j] + lp + bwd[i] - z
+            )
+    return out
+
+
 def segment_word_table(
     words: DataFrame,
     logp: Dict[str, float],
@@ -224,6 +293,55 @@ def unigram_estep_counts(
     )
 
 
+def unigram_estep_posterior_counts(
+    words: DataFrame, logp: Dict[str, float], max_piece_len: int
+) -> DataFrame:
+    """FULL-EM E-step: posterior expected piece counts over the word
+    table — (piece, cnt double), each word's forward-backward counts
+    weighted by its corpus count. Same shape as the hard E-step (one
+    Arrow pass over the distinct-word table + one vocabulary-keyed
+    aggregation); the per-word kernel is `posterior_piece_counts`.
+
+    Expected counts are floats, so unlike the hard E-step the
+    aggregation's sum order wiggles the last ulp — full-EM results are
+    reference-tested with tolerance rather than golden-pinned."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    b_logp = spark.sparkContext.broadcast(dict(logp))
+    mpl = int(max_piece_len)
+
+    def post(ws):
+        lp = b_logp.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                t = [
+                    {"piece": p, "c": c}
+                    for p, c in sorted(
+                        posterior_piece_counts(w, lp, mpl).items()
+                    )
+                ]
+                memo[w] = t
+            return t
+
+        return ws.map(one)
+
+    pc = pandas_udf(post, "array<struct<piece:string,c:double>>")(
+        F.col("word")
+    )
+    seg = words.withColumn("__pc", pc)
+    return (
+        seg.select("cnt", F.explode_outer("__pc").alias("__p"))
+        .where(F.col("__p").isNotNull())
+        .groupBy(F.col("__p.piece").alias("piece"))
+        .agg(F.sum(F.col("__p.c") * F.col("cnt")).alias("cnt"))
+    )
+
+
 def _mstep_prune(
     counts: List[Tuple[str, int]],
     vocab_size: int,
@@ -254,6 +372,7 @@ def unigram_train(
     seed_size: int = 2000,
     min_count: int = 2,
     shrink_factor: float = 0.75,
+    em: str = "hard",
     words: Optional[DataFrame] = None,
     on_iter=None,
 ) -> List[Tuple[str, float, int]]:
@@ -286,6 +405,11 @@ def unigram_train(
 
     if not 0.0 < shrink_factor <= 1.0:
         raise ValueError("shrink_factor must be in (0, 1]")
+    if em not in ("hard", "full"):
+        raise ValueError("em must be 'hard' (Viterbi) or 'full' (lattice)")
+    estep = (
+        unigram_estep_counts if em == "hard" else unigram_estep_posterior_counts
+    )
     if words is None:
         if df is None:
             raise ValueError("unigram_train needs df or words")
@@ -304,7 +428,7 @@ def unigram_train(
         logp = {p: math.log(c / total) for p, c in vocab}
         counts = {
             r["piece"]: r["cnt"]
-            for r in unigram_estep_counts(words, logp, max_piece_len).collect()
+            for r in estep(words, logp, max_piece_len).collect()
         }
         for ch in alphabet:
             counts.setdefault(ch, 0)
@@ -377,3 +501,24 @@ def unigram_encode(
             {"n_words": 0, "n_unigram_tokens": 0, "n_chars_tokenized": 0}
         )
     )
+
+
+def vocab_save(spark, vocab: List[Tuple[str, float, int]], path: str) -> None:
+    """Persist a trained unigram vocabulary as parquet (piece, logprob,
+    cnt) — the `ivf_save` discipline for tokenizers: train once, encode
+    across sessions/jobs without re-paying the EM rounds. Works on any
+    Hadoop-compatible FS (no driver-local path assumption)."""
+    spark.createDataFrame(
+        [(p, float(lp), int(c)) for p, lp, c in vocab],
+        "piece string, logprob double, cnt long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def vocab_load(spark, path: str) -> List[Tuple[str, float, int]]:
+    """Reload a `vocab_save`d vocabulary in `unigram_train`'s output
+    order ((count desc, piece asc)), byte-identical logprobs — encode
+    parity with the in-session vocabulary is round-trip-tested."""
+    rows = spark.read.parquet(path).collect()
+    out = [(r["piece"], r["logprob"], r["cnt"]) for r in rows]
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out

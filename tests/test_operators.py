@@ -2950,3 +2950,25 @@ def test_retrieval_metrics_duplicated_relevance_rows(spark):
         assert g.ndcg == w.ndcg <= 1.0
     assert got["q1"].n_rel == 2 and got["q1"].recall_at_k == 1.0
     assert got["q2"].n_rel == 2 and got["q2"].recall_at_k == 0.5
+
+
+def test_bpe_merges_save_load_roundtrip_and_encode_parity(spark, tmp_path):
+    from flask_data_pipes_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        merges_load,
+        merges_save,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lowest"), (2, "newer newest new"), (3, "wider widely")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6, min_count=1)
+    path = str(tmp_path / "bpe_merges")
+    merges_save(spark, merges, path)
+    loaded = merges_load(spark, path)
+    assert loaded == [(a, b, c) for a, b, c in merges]  # rank order kept
+    a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs, loaded).collect()))
+    assert a == b

@@ -270,3 +270,121 @@ def test_unigram_encode_plan_shape(spark):
     out = unigram_encode(docs, vocab, max_piece_len=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+
+
+# --- full-lattice (forward-backward) E-step ----------------------------------
+
+
+def _enumerate_segmentations(word, logp, max_len):
+    """Brute-force: every segmentation with its probability weight."""
+    from flask_data_pipes_spark.operators.unigram import UNK_LOGP as UNK
+
+    def rec(i):
+        if i == len(word):
+            yield [], 0.0
+            return
+        for l in range(1, min(max_len, len(word) - i) + 1):
+            p = word[i : i + l]
+            lp = logp.get(p)
+            if lp is None:
+                if l != 1:
+                    continue
+                lp = UNK
+            for rest, score in rec(i + l):
+                yield [p] + rest, lp + score
+
+    return list(rec(0))
+
+
+def test_posterior_counts_match_enumeration():
+    import random
+
+    from flask_data_pipes_spark.operators.unigram import (
+        posterior_piece_counts,
+    )
+
+    rng = random.Random(13)
+    pieces = {"a", "b", "c", "ab", "bc", "abc", "cc"}
+    logp = {p: rng.uniform(-4, -1) for p in pieces}
+    for _ in range(120):
+        w = "".join(rng.choice("abcx") for _ in range(rng.randrange(0, 8)))
+        got = posterior_piece_counts(w, logp, 3)
+        segs = _enumerate_segmentations(w, logp, 3)
+        if not segs:
+            assert got == {}
+            continue
+        z = sum(math.exp(s) for _, s in segs)
+        want = {}
+        for seg, score in segs:
+            pr = math.exp(score) / z
+            for p in seg:
+                want[p] = want.get(p, 0.0) + pr
+        assert set(got) == set(want), w
+        for p in want:
+            assert abs(got[p] - want[p]) < 1e-9, (w, p, got[p], want[p])
+        # expected character coverage equals the word length exactly
+        total_chars = sum(got[p] * len(p) for p in got)
+        assert abs(total_chars - len(w)) < 1e-9
+
+
+def test_full_em_matches_reference_with_tolerance(spark, words_df):
+    from flask_data_pipes_spark.operators.unigram import (
+        posterior_piece_counts,
+        unigram_train,
+    )
+
+    seen = []
+    unigram_train(
+        words=words_df, vocab_size=18, n_iters=2, max_piece_len=4,
+        seed_size=30, min_count=1, em="full",
+        on_iter=lambda i, vocab, dt: seen.append(dict(vocab)),
+    )
+
+    # pure-Python full-EM reference sharing only the seed/prune helpers
+    vocab = _ref_prune(_ref_seed(WORD_CNT, 4, 30), 10**9, min_count=1)
+    alphabet = [p for p in vocab if len(p) == 1]
+    ref_rounds = []
+    for i in range(2):
+        total = float(sum(vocab.values()))
+        logp = {p: math.log(c / total) for p, c in vocab.items()}
+        counts = {}
+        for w, c in WORD_CNT.items():
+            for p, ec in posterior_piece_counts(w, logp, 4).items():
+                counts[p] = counts.get(p, 0.0) + ec * c
+        for ch in alphabet:
+            counts.setdefault(ch, 0)
+        target = 18 if i == 1 else max(18, int(len(vocab) * 0.75))
+        vocab = _ref_prune(counts, target, 1)
+        ref_rounds.append(dict(vocab))
+    assert len(seen) == 2
+    for got, want in zip(seen, ref_rounds):
+        assert set(got) == set(want)
+        for p in want:
+            assert abs(got[p] - want[p]) < 1e-6 * max(1.0, abs(want[p])), p
+
+
+def test_unigram_train_em_validation(spark, words_df):
+    with pytest.raises(ValueError, match="em must be"):
+        unigram_train(words=words_df, em="soft")
+
+
+def test_vocab_save_load_roundtrip_and_encode_parity(spark, words_df, tmp_path):
+    from flask_data_pipes_spark.operators.unigram import (
+        vocab_load,
+        vocab_save,
+    )
+
+    vocab = unigram_train(
+        words=words_df, vocab_size=15, n_iters=2, max_piece_len=4,
+        seed_size=30, min_count=2,
+    )
+    path = str(tmp_path / "uni_vocab")
+    vocab_save(spark, vocab, path)
+    loaded = vocab_load(spark, path)
+    assert loaded == vocab  # order, logprobs byte-identical
+    docs = spark.createDataFrame(
+        [(1, "lowest newer"), (2, "widely low")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, unigram_encode(docs, vocab, max_piece_len=4).collect()))
+    b = sorted(map(tuple, unigram_encode(docs, loaded, max_piece_len=4).collect()))
+    assert a == b

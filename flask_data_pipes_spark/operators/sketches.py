@@ -723,7 +723,9 @@ def kll_build(
                 T.md5_long(F.col(id_col), 7).alias("__r"),
             )
             .repartition(partitions, F.pmod(F.col("__r"), F.lit(partitions)))
-            .sortWithinPartitions("__r")
+            # v as secondary key: a 60-bit hash collision between two
+            # ids would otherwise leave their relative order undefined
+            .sortWithinPartitions("__r", "v")
             .select("v")
         )
     kk = int(k)

@@ -53,6 +53,7 @@ __all__ = [
     "seed_vocab",
     "viterbi_segment",
     "posterior_piece_counts",
+    "word_loglik",
     "segment_word_table",
     "unigram_estep_counts",
     "unigram_estep_posterior_counts",
@@ -230,6 +231,39 @@ def posterior_piece_counts(
                 fwd[j] + lp + bwd[i] - z
             )
     return out
+
+
+def word_loglik(
+    word: str, logp: Dict[str, float], max_piece_len: int
+) -> float:
+    """log P(word) under the unigram LM — the forward pass's total
+    over ALL segmentations (the Z `posterior_piece_counts` normalizes
+    by). The per-word kernel for corpus perplexity scoring, and what
+    the EM-monotonicity property test sums: full EM must not decrease
+    Σ cnt·log P(word) between rounds when no pruning fires."""
+    n = len(word)
+    if n == 0:
+        return 0.0
+    NEG = float("-inf")
+
+    def lse(acc: float, x: float) -> float:
+        if acc == NEG:
+            return x
+        if x == NEG:
+            return acc
+        m = acc if acc > x else x
+        return m + math.log(math.exp(acc - m) + math.exp(x - m))
+
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None and i - j == 1:
+                lp = UNK_LOGP
+            if lp is not None and fwd[j] != NEG:
+                fwd[i] = lse(fwd[i], fwd[j] + lp)
+    return fwd[n]
 
 
 def segment_word_table(

@@ -388,3 +388,37 @@ def test_vocab_save_load_roundtrip_and_encode_parity(spark, words_df, tmp_path):
     a = sorted(map(tuple, unigram_encode(docs, vocab, max_piece_len=4).collect()))
     b = sorted(map(tuple, unigram_encode(docs, loaded, max_piece_len=4).collect()))
     assert a == b
+
+
+def test_full_em_likelihood_monotone(spark, words_df):
+    """EM's defining property: with the support fixed (no size cap, no
+    min-count prune firing), each full-lattice EM round must not
+    decrease the corpus log-likelihood Σ cnt·log P(word). The char
+    floor is verified inert (every char's expected count >= 1), so
+    the M-step is the exact posterior renormalization EM analyzes."""
+    from flask_data_pipes_spark.operators.unigram import word_loglik
+
+    rounds = []
+    unigram_train(
+        words=words_df, vocab_size=10_000, n_iters=4, max_piece_len=4,
+        seed_size=10_000, min_count=0, shrink_factor=1.0, em="full",
+        on_iter=lambda i, vocab, dt: rounds.append(list(vocab)),
+    )
+    # precondition: the char floor never fired
+    for vocab in rounds:
+        for p, c in vocab:
+            if len(p) == 1:
+                assert c >= 1, (p, c)
+
+    def loglik(vocab):
+        total = float(sum(c for _, c in vocab))
+        logp = {p: math.log(c / total) for p, c in vocab}
+        return sum(
+            c * word_loglik(w, logp, 4) for w, c in WORD_CNT.items()
+        )
+
+    lls = [loglik(v) for v in rounds]
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+    # and EM actually improved over the seed-count model on this corpus
+    assert lls[-1] > lls[0] - 1e-9

@@ -59,6 +59,7 @@ __all__ = [
     "unigram_estep_posterior_counts",
     "unigram_train",
     "unigram_encode",
+    "unigram_perplexity",
     "vocab_save",
     "vocab_load",
 ]
@@ -556,3 +557,109 @@ def vocab_load(spark, path: str) -> List[Tuple[str, float, int]]:
     out = [(r["piece"], r["logprob"], r["cnt"]) for r in rows]
     out.sort(key=lambda t: (-t[2], t[0]))
     return out
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    vocab: List[Tuple[str, float, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under a TRAINED unigram LM — the
+    CCNet-style quality-filter signal (documents whose text the corpus
+    LM finds surprising are boilerplate, encoding noise, or
+    off-distribution): (id_col, n_words, n_tokens, bits_per_token,
+    perplexity), where the log-likelihood of each word marginalizes
+    over ALL segmentations (`word_loglik`'s forward pass) and
+    n_tokens counts the Viterbi segmentation.
+
+    Determinism discipline: per-word loglik is rounded to 6dp and
+    aggregated as DECIMAL(38,6) (the catalog's double-sum rule), so
+    per-doc sums are exact and engine/partitioning-independent —
+    pinnable. bits_per_token = -loglik / (n_tokens·ln 2), perplexity =
+    2^bits_per_token, both rounded 6dp.
+
+    Scale: identical shape to `unigram_encode` — one word explode, the
+    Python kernel runs over the DISTINCT word table only (vocabulary-
+    proportional, broadcast logprobs), counts join back on `word`, one
+    per-doc aggregation. Empty documents survive with NULL scores.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import text as T
+
+    logp = {p: lp for p, lp, *_rest in vocab}
+    spark = df.sparkSession
+    b_logp = spark.sparkContext.broadcast(logp)
+    mpl = int(max_piece_len)
+
+    def kernel(ws):
+        # struct-returning scalar pandas UDF: must yield a DataFrame
+        # whose columns are the struct fields, not a Series of dicts
+        import pandas as _pd
+
+        lp = b_logp.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                t = (
+                    round(word_loglik(w, lp, mpl), 6),
+                    len(viterbi_segment(w, lp, mpl)),
+                )
+                memo[w] = t
+            return t
+
+        pairs = ws.map(one)
+        return _pd.DataFrame(
+            {"ll": pairs.map(lambda t: t[0]), "nt": pairs.map(lambda t: t[1])}
+        )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col(text_col)))
+        ).alias("word"),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    scored = (
+        words.select("word")
+        .distinct()
+        .withColumn(
+            "__s", pandas_udf(kernel, "struct<ll:double,nt:int>")(F.col("word"))
+        )
+        .select(
+            "word",
+            F.col("__s.ll").cast("decimal(38,6)").alias("__ll"),
+            F.col("__s.nt").alias("__nt"),
+        )
+    )
+    ln2 = math.log(2.0)
+    per_doc = (
+        words.join(scored, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.sum("__ll").alias("__ll_total"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_tokens",
+            F.round(
+                -F.col("__ll_total").cast("double")
+                / (F.col("n_tokens") * F.lit(ln2)),
+                6,
+            ).alias("bits_per_token"),
+        )
+        .withColumn(
+            "perplexity",
+            F.round(F.pow(F.lit(2.0), F.col("bits_per_token")), 6),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").na.fill(
+        {"n_words": 0, "n_tokens": 0}
+    )

@@ -5611,3 +5611,40 @@ def llm_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         kll_build(d, "len", k=128, id_col="doc_id", partitions=16), k=128
     )
     return kll_quantiles(sk, (0.25, 0.5, 0.9, 0.99))
+
+
+@register("llm_unigram_perplexity")  # EM-trained LM → rows-only + golden pin
+def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality signal
+    (operators/unigram.py::unigram_perplexity): train the unigram LM on
+    the corpus, score every document's bits-per-token under it
+    (per-word loglik marginalizes over ALL segmentations — the forward
+    pass), roll up per language: (lang, n_docs, mean_bits_per_token,
+    max_perplexity). Off-distribution text scores high bits — the
+    filter threshold a 100 TB pipeline sweeps.
+
+    Determinism: per-word logliks are rounded 6dp and aggregated as
+    DECIMAL(38,6) (the catalog's double-sum rule), so the pin is
+    engine- and partitioning-independent. Scale: unigram_encode's
+    shape — the Python kernel touches the DISTINCT word table only."""
+    from ..operators.unigram import unigram_perplexity, unigram_train
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    scored = unigram_perplexity(
+        d, vocab, max_piece_len=_UNIGRAM_PARAMS["max_piece_len"]
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("bits_per_token").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mean_bits_per_token"),
+            F.max("perplexity").alias("max_perplexity"),
+        )
+    )

@@ -339,6 +339,13 @@ GOLDEN_DIGESTS = {
         4,
         "ee5adbf38d8cf012d8c1b8cb1f2800dc47e11243277835cd3308ebbe8cb1a028",
     ),
+    # LM-perplexity quality signal: per-word logliks rounded 6dp and
+    # summed as DECIMAL(38,6) — agg-order independent by construction;
+    # verified identical across local[8]/8 and local[*]/32 + tz
+    "llm_unigram_perplexity": (
+        5,
+        "a44c5c4cf80aee2b8d674ef8dbced75f13afa8b27c82cb210a76401e156651d3",
+    ),
 }
 
 

@@ -422,3 +422,53 @@ def test_full_em_likelihood_monotone(spark, words_df):
         assert b >= a - 1e-9, lls
     # and EM actually improved over the seed-count model on this corpus
     assert lls[-1] > lls[0] - 1e-9
+
+
+def test_unigram_perplexity_hand_computed(spark):
+    """Perplexity on a vocab where every word is one in-vocab piece of
+    known logprob: bits_per_token and perplexity are closed-form."""
+    from flask_data_pipes_spark.operators.unigram import (
+        unigram_perplexity,
+        word_loglik,
+    )
+
+    lp_low, lp_rare = math.log(0.5), math.log(0.015625)  # 1 bit, 6 bits
+    vocab = [("low", lp_low, 8), ("rare", lp_rare, 1)] + [
+        (ch, math.log(0.0001), 1) for ch in "lowrae"
+    ]
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "rare"), (3, ""), (4, "low rare")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_perplexity(docs, vocab, max_piece_len=4).collect()
+    }
+    # doc 1: words marginalize over segmentations — use word_loglik,
+    # rounded 6dp per word (the operator's decimal discipline)
+    logp = {p: lp for p, lp, _ in vocab}
+    ll_low = round(word_loglik("low", logp, 4), 6)
+    ll_rare = round(word_loglik("rare", logp, 4), 6)
+    bpt1 = round(-(2 * ll_low) / (2 * math.log(2.0)), 6)
+    assert out[1].n_words == 2 and out[1].n_tokens == 2
+    assert out[1].bits_per_token == bpt1
+    assert out[1].perplexity == round(2.0 ** bpt1, 6)
+    # the rare word scores more bits than the common one
+    assert out[2].bits_per_token > out[1].bits_per_token
+    bpt4 = round(-(ll_low + ll_rare) / (2 * math.log(2.0)), 6)
+    assert out[4].bits_per_token == bpt4
+    # empty doc survives with NULL scores and zero counts
+    assert out[3].n_words == 0 and out[3].bits_per_token is None
+
+
+def test_unigram_perplexity_plan_single_arrow(spark):
+    from flask_data_pipes_spark.operators.unigram import unigram_perplexity
+    import re
+
+    docs = spark.createDataFrame([(1, "low")], "doc_id long, text string")
+    vocab = [("low", -1.0, 5)] + [(c, -3.0, 1) for c in "low"]
+    plan = (
+        unigram_perplexity(docs, vocab, max_piece_len=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan

@@ -140,6 +140,9 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # sketches, no shuffle in the build, scan-bound (measured ~1.0x)
     "llm_unigram_encode",
     "llm_kll_quantiles",
+    # round-10: LM-perplexity scoring — unigram_encode's shape plus the
+    # forward-pass kernel; same vocabulary-proportional economy
+    "llm_unigram_perplexity",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

@@ -50,6 +50,7 @@ __all__ = [
     "kll_build",
     "kll_merge",
     "kll_quantiles",
+    "kll_rank",
 ]
 
 
@@ -643,7 +644,14 @@ class KLLSketch:
     def from_rows(cls, rows, k: int) -> "KLLSketch":
         """Rebuild from (level, value) rows — ORDER-INSENSITIVE (each
         compaction sorts its buffer first and parities start at 0), so
-        reconstructing a shuffled row set is deterministic."""
+        reconstructing a shuffled row set is deterministic.
+
+        The rebuilt `err_bound` counts only THIS rebuild's compactions —
+        the row representation cannot carry the producer's compaction
+        history. Certify row-reconstructed sketches with the a-priori
+        worst-case formula ((log2(n)+1)·n/(k−1)) instead of the tracked
+        bound (the distributed kll_build/kll_merge path is in this
+        regime by construction)."""
         s = cls(k)
         for l, v in rows:
             l = int(l)
@@ -831,3 +839,41 @@ def kll_quantiles(
     return base.select(
         F.explode(picks).alias("__p"), F.col("__n").alias("n")
     ).select(F.col("__p.q").alias("q"), F.col("__p.value").alias("value"), "n")
+
+
+def kll_rank(sketch: DataFrame, probes: Sequence[float]) -> DataFrame:
+    """Rank estimates from sketch rows → (x, rank_est, n): rank_est =
+    estimated #items <= x, certified within the build's err_bound —
+    the inverse of `kll_quantiles`, pure Catalyst on the tiny sketch
+    table (one fold per probe over one collect_list aggregate).
+    Identical to `KLLSketch.rank` (asserted in tests)."""
+    pairs = F.collect_list(
+        F.struct(
+            F.col("value").alias("v"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("level").cast("int")
+            ).alias("w"),
+        )
+    )
+    base = sketch.agg(pairs.alias("__pairs"))
+    n = F.aggregate(
+        F.col("__pairs"), F.lit(0).cast("long"), lambda acc, p: acc + p["w"]
+    )
+
+    def rank_of(x: float):
+        return F.struct(
+            F.lit(float(x)).alias("x"),
+            F.aggregate(
+                F.col("__pairs"),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(p["v"] <= F.lit(float(x)), p["w"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("rank_est"),
+        )
+
+    picks = F.array(*[rank_of(x) for x in probes])
+    return base.select(
+        F.explode(picks).alias("__p"), n.alias("n")
+    ).select(F.col("__p.x").alias("x"), F.col("__p.rank_est").alias("rank_est"), "n")

@@ -101,6 +101,12 @@ def asof_join(
             f"direction must be backward/forward/nearest, got {direction!r}"
         )
     keys = _keys(on)
+    reject_reserved(
+        "asof_join",
+        [_SIDE, _PAYLOAD, "__asof_b", "__asof_f"],
+        left=left,
+        right=right,
+    )
     rts = right_ts or left_ts
     payload_cols = list(
         right_cols
@@ -217,6 +223,7 @@ def range_join(
     if max_delta <= min_delta:
         raise ValueError("max_delta must exceed min_delta")
     keys = _keys(on)
+    reject_reserved("range_join", [_BUCKET], left=left, right=right)
     w_us = int(round((bucket_width or (max_delta - min_delta)) * 1_000_000))
     min_us = int(round(min_delta * 1_000_000))
     max_us = int(round(max_delta * 1_000_000))
@@ -284,6 +291,7 @@ def gapfill(
     if aggs is None:
         aggs = {"n": F.count(F.lit(1))}
     keys = [] if by is None else _keys(by)
+    reject_reserved("gapfill", [_GF_US, _GF_PRESENT], df=df)
     step_us = int(round(step * 1_000_000))
     if step_us <= 0:
         raise ValueError("step must be positive")

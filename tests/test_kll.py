@@ -192,3 +192,27 @@ def test_kll_build_default_mode_no_shuffle(spark):
     # merged result still counts every row exactly
     n = kll_quantiles(kll_merge(out, k=64), (0.5,)).collect()[0]["n"]
     assert n == 10000
+
+
+def test_kll_rank_matches_pure_python(spark):
+    from flask_data_pipes_spark.operators.sketches import kll_rank
+
+    rng = random.Random(31)
+    rows = [(i, rng.uniform(0, 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    sk_df = kll_merge(kll_build(df, "x", k=64, id_col="id", partitions=4), k=64)
+    probes = [-1.0, 100.0, 500.0, 900.0, 1001.0]
+    got = {r["x"]: (r["rank_est"], r["n"]) for r in kll_rank(sk_df, probes).collect()}
+    sk = KLLSketch.from_rows(
+        [(r["level"], r["value"]) for r in sk_df.collect()], 64
+    )
+    data = [x for _, x in rows]
+    # from_rows resets err_bound (it cannot know the build's compaction
+    # history), so certify against the deterministic worst-case formula
+    cap = (math.log2(len(data)) + 1) * len(data) / 63
+    for x in probes:
+        rank_est, n = got[x]
+        assert n == len(rows)
+        assert rank_est == sk.rank(x)
+        assert abs(rank_est - _true_rank(data, x)) <= cap
+    assert got[-1.0][0] == 0 and got[1001.0][0] == len(rows)

@@ -319,3 +319,32 @@ def test_snapshot_diff_reserved_column_guard(spark):
         snapshot_diff(old.withColumn("__sd_in_old", F.lit(True)), new, "k")
     with _pt.raises(ValueError, match="'new'.*__sd_in_new"):
         snapshot_diff(old, new.withColumn("__sd_in_new", F.lit(True)), "k")
+
+
+def test_temporal_reserved_column_guards(spark):
+    from pyspark.sql import functions as F
+    from flask_data_pipes_spark.operators.temporal import (
+        asof_join,
+        gapfill,
+        range_join,
+    )
+    import pytest as _pt
+
+    l = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1))], "k int, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 2.0)],
+        "k int, ts timestamp, v double",
+    )
+    with _pt.raises(ValueError, match="'left'.*__asof_side"):
+        asof_join(l.withColumn("__asof_side", F.lit(9)), r, "k")
+    with _pt.raises(ValueError, match="'right'.*__asof_payload"):
+        asof_join(l, r.withColumn("__asof_payload", F.lit(9)), "k")
+    with _pt.raises(ValueError, match="__rj_bucket"):
+        range_join(l.withColumn("__rj_bucket", F.lit(9)), r, "k")
+    with _pt.raises(ValueError, match="__gf_bucket_us"):
+        gapfill(
+            r.withColumn("__gf_bucket_us", F.lit(9)),
+            ts="ts", step=60.0, aggs={"v": F.avg("v")}, by="k",
+        )

@@ -51,6 +51,10 @@ __all__ = [
     "kll_merge",
     "kll_quantiles",
     "kll_rank",
+    "MGSketch",
+    "mg_build",
+    "mg_merge",
+    "mg_topk",
 ]
 
 
@@ -877,3 +881,175 @@ def kll_rank(sketch: DataFrame, probes: Sequence[float]) -> DataFrame:
     return base.select(
         F.explode(picks).alias("__p"), n.alias("n")
     ).select(F.col("__p.x").alias("x"), F.col("__p.rank_est").alias("rank_est"), "n")
+
+
+# --- Misra-Gries heavy hitters (round 10) ------------------------------------
+#
+# The "WHICH items are heavy" member of the sketch family: CMS answers
+# point queries about items you already know; Misra-Gries 1982 FINDS
+# the heavy hitters in O(k) state with a deterministic guarantee —
+# est(item) <= true(item) <= est(item) + dec, where `dec` is the
+# sketch's tracked total decrement and dec <= n/(k+1) (so any item with
+# true count > n/(k+1) is GUARANTEED present). Per-shard summaries
+# merge by counter addition + one (k+1)-th-largest subtraction and the
+# bound still holds on the union (Agarwal et al. 2012, "Mergeable
+# Summaries") — the property a 100 TB vocabulary/top-URL/hot-key pass
+# needs; property-tested like KLL's certificate.
+
+
+class MGSketch:
+    """Pure-Python Misra-Gries summary: ≤ k counters + the tracked
+    decrement total `dec` (the self-certificate: every estimate is an
+    under-count by at most `dec`). Used driver-side, inside the Arrow
+    kernels of `mg_build`/`mg_merge`, and directly by the property
+    tests."""
+
+    def __init__(self, k: int = 64):
+        if k < 1:
+            raise ValueError("mg k must be >= 1")
+        self.k = int(k)
+        self.counters: dict = {}
+        self.dec = 0
+        self.n = 0
+
+    def update(self, item) -> None:
+        self.n += 1
+        c = self.counters
+        if item in c:
+            c[item] += 1
+        elif len(c) < self.k:
+            c[item] = 1
+        else:
+            # decrement-all round: removes one unit from k counters AND
+            # the incoming item — (k+1) units per round, so rounds
+            # (= dec) are bounded by n/(k+1)
+            self.dec += 1
+            dead = []
+            for it in c:
+                c[it] -= 1
+                if c[it] == 0:
+                    dead.append(it)
+            for it in dead:
+                del c[it]
+
+    def extend(self, items) -> None:
+        for it in items:
+            self.update(it)
+
+    def merge(self, other: "MGSketch") -> "MGSketch":
+        if other.k != self.k:
+            raise ValueError("mg merge requires equal k")
+        c = self.counters
+        for it, v in other.counters.items():
+            c[it] = c.get(it, 0) + v
+        self.n += other.n
+        self.dec += other.dec
+        if len(c) > self.k:
+            # subtract the (k+1)-th largest value, drop non-positives
+            vals = sorted(c.values(), reverse=True)
+            cut = vals[self.k]
+            self.dec += cut
+            self.counters = {
+                it: v - cut for it, v in c.items() if v - cut > 0
+            }
+        return self
+
+    def estimate(self, item) -> int:
+        return self.counters.get(item, 0)
+
+
+def mg_build(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summaries over `value_col` → rows
+    (sid, item, cnt, dec): ≤ k counter rows per input partition, all
+    rows of a partition carrying its sketch's decrement total. One
+    Arrow pass, NO shuffle; `mg_merge` combines the summaries.
+
+    Scale: state is O(k) per partition at any data size; at 1000
+    executors the build emits ≤ P·k tiny rows and the merge reduces
+    them in one (or, for huge P, tree-wise) pass."""
+    kk = int(k)
+    src = df.select(
+        F.spark_partition_id().alias("sid"),
+        F.col(value_col).cast("string").alias("item"),
+    )
+
+    def build(it):
+        import pandas as pd
+
+        s = MGSketch(kk)
+        sid = None
+        for pdf in it:
+            if sid is None and len(pdf):
+                sid = int(pdf["sid"].iloc[0])
+            s.extend(pdf["item"].dropna())
+        items = sorted(s.counters.items())
+        yield pd.DataFrame(
+            {
+                "sid": pd.Series([sid] * len(items), dtype="int32"),
+                "item": pd.Series([i for i, _ in items], dtype="object"),
+                "cnt": pd.Series([c for _, c in items], dtype="int64"),
+                "dec": pd.Series([s.dec] * len(items), dtype="int64"),
+            }
+        )
+
+    return src.mapInPandas(
+        build, schema="sid int, item string, cnt long, dec long"
+    )
+
+
+def mg_merge(sketch: DataFrame, k: int = 64, partitions: int = 1) -> DataFrame:
+    """Merge MG summary rows down to `partitions` summaries (1 = one
+    global summary, rows (sid, item, cnt, dec) with sid = the output
+    partition): reconstruct per-sid sketches (dec is per-sketch state,
+    which is why the rows carry sid) and fold them. The guarantee
+    survives merging: est <= true <= est + dec on the UNION."""
+    kk = int(k)
+
+    def merge(it):
+        import pandas as pd
+
+        by_sid: dict = {}
+        for pdf in it:
+            for sid, item, cnt, dec in zip(
+                pdf["sid"], pdf["item"], pdf["cnt"], pdf["dec"]
+            ):
+                s = by_sid.setdefault(int(sid), MGSketch(kk))
+                s.counters[item] = s.counters.get(item, 0) + int(cnt)
+                s.dec = max(s.dec, int(dec))
+        total = MGSketch(kk)
+        for sid in sorted(by_sid):
+            total.merge(by_sid[sid])
+        items = sorted(total.counters.items())
+        out_sid = None
+        yield pd.DataFrame(
+            {
+                "sid": pd.Series([out_sid] * len(items), dtype="object"),
+                "item": pd.Series([i for i, _ in items], dtype="object"),
+                "cnt": pd.Series([c for _, c in items], dtype="int64"),
+                "dec": pd.Series([total.dec] * len(items), dtype="int64"),
+            }
+        )
+
+    # route by sid so a source sketch's rows stay together — splitting
+    # one sketch across merge tasks would double-count its dec (the
+    # bound would stay VALID but needlessly loosen)
+    merged = sketch.repartition(partitions, F.col("sid")).mapInPandas(
+        merge, schema="sid int, item string, cnt long, dec long"
+    )
+    return merged.withColumn("sid", F.spark_partition_id())
+
+
+def mg_topk(sketch: DataFrame, n: int = 10) -> DataFrame:
+    """Top-n candidates from a merged summary → (item, est, est_max):
+    est is the guaranteed under-count, est_max = est + dec the upper
+    bound; any item whose true count exceeds the merged dec is
+    guaranteed present. Plain Catalyst on the ≤ k-row summary."""
+    return (
+        sketch.select(
+            "item",
+            F.col("cnt").alias("est"),
+            (F.col("cnt") + F.col("dec")).alias("est_max"),
+        )
+        .orderBy(F.col("est").desc(), F.col("item"))
+        .limit(n)
+    )

@@ -5648,3 +5648,50 @@ def llm_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("perplexity").alias("max_perplexity"),
         )
     )
+
+
+_MG_K, _MG_TOPN = 256, 20
+
+_MG_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest({_DDB_TOKS_LOWER}) AS item
+  FROM documents WHERE trim(text) <> ''
+),
+counted AS (
+  SELECT item, COUNT(*) AS est FROM toks WHERE item <> '' GROUP BY item
+)
+SELECT item, est, est AS est_max
+FROM counted ORDER BY est DESC, item LIMIT {_MG_TOPN}
+"""
+
+
+@register("llm_mg_heavy_tokens", oracle=_MG_ORACLE)
+def llm_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.py::MGSketch /
+    mg_build/mg_merge/mg_topk) over the corpus token stream — the
+    "WHICH items are heavy" sketch beside CMS's point queries: O(k)
+    state per partition, NO shuffle in the build, deterministic
+    certificate est <= true <= est + dec with dec <= n/(k+1).
+
+    Oracle regime: the synthetic corpus draws from a small word pool,
+    so k=256 exceeds the distinct-token count and Misra-Gries is EXACT
+    (zero decrement rounds, counts == true counts, independent of
+    partitioning/order) — hence this entry is fully DuckDB-ORACLED as
+    plain GROUP BY counts (est_max == est when dec == 0). The lossy
+    regime's certificate/bounds are property-tested in tests/test_kll.py
+    on adversarial streams where dec > 0.
+
+    At 100 TB the same plan finds hot keys/URLs/tokens in one scan +
+    a ≤ P·k-row merge — the skew-detection input for salted_join and
+    compaction planning."""
+    from ..functions import text as T
+    from ..operators.sketches import mg_build, mg_merge, mg_topk
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("item")
+    ).where(F.col("item") != "")
+    merged = mg_merge(mg_build(toks, "item", k=_MG_K), k=_MG_K)
+    return mg_topk(merged, _MG_TOPN).select(
+        "item", "est", F.col("est_max").cast("long").alias("est_max")
+    )

@@ -216,3 +216,119 @@ def test_kll_rank_matches_pure_python(spark):
         assert rank_est == sk.rank(x)
         assert abs(rank_est - _true_rank(data, x)) <= cap
     assert got[-1.0][0] == 0 and got[1001.0][0] == len(rows)
+
+
+# --- Misra-Gries heavy hitters -------------------------------------------------
+
+
+from flask_data_pipes_spark.operators.sketches import (  # noqa: E402
+    MGSketch,
+    mg_build,
+    mg_merge,
+    mg_topk,
+)
+
+_items = st.lists(st.integers(0, 30), min_size=1, max_size=600)
+
+
+@given(_items, st.integers(1, 20))
+@settings(**_SETTINGS)
+def test_mg_certificate_and_bound(data, k):
+    s = MGSketch(k)
+    s.extend(data)
+    from collections import Counter
+
+    true = Counter(data)
+    n = len(data)
+    # the self-certificate: est <= true <= est + dec, for EVERY item
+    for it, t in true.items():
+        e = s.estimate(it)
+        assert e <= t <= e + s.dec, (it, e, t, s.dec)
+    # items never seen estimate 0
+    assert s.estimate("nope") == 0
+    # the deterministic bound: dec <= n/(k+1)
+    assert s.dec <= n / (k + 1)
+    # guaranteed presence: true count > dec => item is in the summary
+    for it, t in true.items():
+        if t > s.dec:
+            assert it in s.counters, (it, t, s.dec)
+    assert len(s.counters) <= k
+
+
+@given(_items, _items, st.integers(1, 16))
+@settings(**_SETTINGS)
+def test_mg_merge_preserves_certificate(a, b, k):
+    from collections import Counter
+
+    sa, sb = MGSketch(k), MGSketch(k)
+    sa.extend(a)
+    sb.extend(b)
+    sa.merge(sb)
+    true = Counter(a + b)
+    n = len(a) + len(b)
+    for it, t in true.items():
+        e = sa.estimate(it)
+        assert e <= t <= e + sa.dec, (it, e, t, sa.dec)
+    assert sa.dec <= n / (k + 1)
+    assert len(sa.counters) <= k
+
+
+def test_mg_spark_matches_pure_python(spark):
+    from collections import Counter
+
+    rng = random.Random(41)
+    # zipf-ish: a few heavy items over a long tail
+    pool = [f"w{i}" for i in range(200)]
+    rows = [
+        (pool[min(int(rng.paretovariate(1.2)) - 1, 199)],)
+        for _ in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "tok string")
+    merged = mg_merge(mg_build(df, "tok", k=32), k=32)
+    out = merged.collect()
+    dec = out[0]["dec"] if out else 0
+    est = {r["item"]: r["cnt"] for r in out}
+    assert len(est) <= 32
+    true = Counter(t for (t,) in rows)
+    n = len(rows)
+    assert dec <= n / 33
+    for it, t in true.items():
+        e = est.get(it, 0)
+        assert e <= t <= e + dec, (it, e, t, dec)
+        if t > dec:
+            assert it in est
+    # top-k view: ordered, bounds consistent
+    top = mg_topk(merged, 5).collect()
+    assert [r["est"] for r in top] == sorted(
+        (r["est"] for r in top), reverse=True
+    )
+    for r in top:
+        assert r["est_max"] == r["est"] + dec
+    # the true #1 heavy item is found and ranked first
+    heavy, t_heavy = true.most_common(1)[0]
+    assert t_heavy > dec and top[0]["item"] == heavy
+
+
+def test_mg_build_no_shuffle_and_merge_tree(spark):
+    df = spark.range(20000).selectExpr("cast(id % 37 as string) as tok")
+    built = mg_build(df, "tok", k=64)
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # two-stage tree merge equals direct merge on estimates
+    one = {r["item"]: r["cnt"] for r in mg_merge(built, k=64).collect()}
+    tree = {
+        r["item"]: r["cnt"]
+        for r in mg_merge(mg_merge(built, k=64, partitions=4), k=64).collect()
+    }
+    # 37 distinct items < k: both are EXACT counts, so they agree
+    assert one == tree
+    assert sum(one.values()) == 20000
+
+
+def test_mg_validation():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=">= 1"):
+        MGSketch(0)
+    with _pt.raises(ValueError, match="equal k"):
+        MGSketch(4).merge(MGSketch(8))

@@ -28,7 +28,7 @@ sum — see `hll_estimate`).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -958,18 +958,34 @@ class MGSketch:
         return self.counters.get(item, 0)
 
 
-def mg_build(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+def mg_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    build_id: Optional[str] = None,
+) -> DataFrame:
     """Per-partition Misra-Gries summaries over `value_col` → rows
     (sid, item, cnt, dec): ≤ k counter rows per input partition, all
     rows of a partition carrying its sketch's decrement total. One
     Arrow pass, NO shuffle; `mg_merge` combines the summaries.
 
+    `sid` is "<build_id>-<partition_id>" — a fresh uuid per CALL unless
+    `build_id` is given — so two builds UNIONED into one table (per-day
+    summaries appended, streaming batches) keep distinct sketch
+    identities and `mg_merge` sums their decrements instead of fusing
+    same-numbered partitions with max(dec), which would silently void
+    the est ≤ true ≤ est + dec certificate (ADVICE r10). Pass an
+    explicit `build_id` for deterministic sids (golden pins, replays).
+
     Scale: state is O(k) per partition at any data size; at 1000
     executors the build emits ≤ P·k tiny rows and the merge reduces
     them in one (or, for huge P, tree-wise) pass."""
+    import uuid as _uuid
+
     kk = int(k)
+    bid = build_id if build_id is not None else _uuid.uuid4().hex[:12]
     src = df.select(
-        F.spark_partition_id().alias("sid"),
+        F.spark_partition_id().alias("__pid"),
         F.col(value_col).cast("string").alias("item"),
     )
 
@@ -977,15 +993,16 @@ def mg_build(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
         import pandas as pd
 
         s = MGSketch(kk)
-        sid = None
+        pid = None
         for pdf in it:
-            if sid is None and len(pdf):
-                sid = int(pdf["sid"].iloc[0])
+            if pid is None and len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
             s.extend(pdf["item"].dropna())
         items = sorted(s.counters.items())
+        sid = f"{bid}-{pid}"
         yield pd.DataFrame(
             {
-                "sid": pd.Series([sid] * len(items), dtype="int32"),
+                "sid": pd.Series([sid] * len(items), dtype="object"),
                 "item": pd.Series([i for i, _ in items], dtype="object"),
                 "cnt": pd.Series([c for _, c in items], dtype="int64"),
                 "dec": pd.Series([s.dec] * len(items), dtype="int64"),
@@ -993,29 +1010,57 @@ def mg_build(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
         )
 
     return src.mapInPandas(
-        build, schema="sid int, item string, cnt long, dec long"
+        build, schema="sid string, item string, cnt long, dec long"
     )
 
 
-def mg_merge(sketch: DataFrame, k: int = 64, partitions: int = 1) -> DataFrame:
+def mg_merge(
+    sketch: DataFrame,
+    k: int = 64,
+    partitions: int = 1,
+    build_id: Optional[str] = None,
+) -> DataFrame:
     """Merge MG summary rows down to `partitions` summaries (1 = one
-    global summary, rows (sid, item, cnt, dec) with sid = the output
-    partition): reconstruct per-sid sketches (dec is per-sketch state,
-    which is why the rows carry sid) and fold them. The guarantee
-    survives merging: est <= true <= est + dec on the UNION."""
+    global summary), rows (sid, item, cnt, dec) with sid =
+    "<merge build_id>-<output partition>": reconstruct per-sid sketches
+    (dec is per-sketch state, which is why the rows carry sid) and fold
+    them. The guarantee survives merging: est <= true <= est + dec on
+    the UNION — decrements of DISTINCT source sketches add.
+
+    Guards (ADVICE r10): a duplicate (sid, item) row, or two rows of
+    one sid disagreeing on dec, can only mean two different sketches
+    share a sid (two builds unioned with a forced identical build_id,
+    or a replayed batch appended instead of overwritten) — merging them
+    would void the certificate silently, so the kernel raises instead."""
     kk = int(k)
 
     def merge(it):
         import pandas as pd
 
         by_sid: dict = {}
+        dec_of: dict = {}
         for pdf in it:
             for sid, item, cnt, dec in zip(
                 pdf["sid"], pdf["item"], pdf["cnt"], pdf["dec"]
             ):
-                s = by_sid.setdefault(int(sid), MGSketch(kk))
-                s.counters[item] = s.counters.get(item, 0) + int(cnt)
-                s.dec = max(s.dec, int(dec))
+                sid, dec = str(sid), int(dec)
+                s = by_sid.setdefault(sid, MGSketch(kk))
+                if item in s.counters:
+                    raise ValueError(
+                        "mg_merge: duplicate (sid, item) row for sid "
+                        f"{sid!r} — input mixes two sketches with the "
+                        "same sid (unioned builds sharing a build_id, "
+                        "or a replayed batch appended instead of "
+                        "overwritten); rebuild with distinct build_ids"
+                    )
+                if dec_of.setdefault(sid, dec) != dec:
+                    raise ValueError(
+                        f"mg_merge: inconsistent dec for sid {sid!r} — "
+                        "rows of one sketch must share its decrement "
+                        "total; two sketches are colliding on this sid"
+                    )
+                s.counters[item] = int(cnt)
+                s.dec = dec
         total = MGSketch(kk)
         for sid in sorted(by_sid):
             total.merge(by_sid[sid])
@@ -1030,13 +1075,19 @@ def mg_merge(sketch: DataFrame, k: int = 64, partitions: int = 1) -> DataFrame:
             }
         )
 
+    import uuid as _uuid
+
+    bid = build_id if build_id is not None else _uuid.uuid4().hex[:12]
     # route by sid so a source sketch's rows stay together — splitting
     # one sketch across merge tasks would double-count its dec (the
     # bound would stay VALID but needlessly loosen)
     merged = sketch.repartition(partitions, F.col("sid")).mapInPandas(
-        merge, schema="sid int, item string, cnt long, dec long"
+        merge, schema="sid string, item string, cnt long, dec long"
     )
-    return merged.withColumn("sid", F.spark_partition_id())
+    return merged.withColumn(
+        "sid",
+        F.concat(F.lit(bid + "-"), F.spark_partition_id().cast("string")),
+    )
 
 
 def mg_topk(sketch: DataFrame, n: int = 10) -> DataFrame:

@@ -397,6 +397,7 @@ def scd2_build(
     driver state; skew only if one dimension key carries a huge
     change history (not a realistic SCD shape).
     """
+    reject_reserved("scd2_build", ["__scd_chg"], df=df)
     keys = _keys(key_cols)
     attrs = list(attr_cols)
     order = [ts_col, *(order_cols or [])]

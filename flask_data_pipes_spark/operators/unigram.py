@@ -450,32 +450,38 @@ def unigram_train(
             raise ValueError("unigram_train needs df or words")
         words = word_counts(df, text_col)
     words = words.persist(StorageLevel.DISK_ONLY)
-    vocab = seed_vocab(words, max_piece_len, seed_size)
-    vocab = _mstep_prune(vocab, len(vocab), min_count=1)
-    # the corpus alphabet: characters re-enter every round even when a
-    # round's Viterbi paths cover them only inside multi-char pieces
-    # (expected count 0) — otherwise they'd silently leave the vocab
-    # and the coverage guarantee would be one unlucky round deep
-    alphabet = [p for p, _ in vocab if len(p) == 1]
-    for i in range(n_iters):
-        t0 = _time.perf_counter()
-        total = float(sum(c for _, c in vocab))
-        logp = {p: math.log(c / total) for p, c in vocab}
-        counts = {
-            r["piece"]: r["cnt"]
-            for r in estep(words, logp, max_piece_len).collect()
-        }
-        for ch in alphabet:
-            counts.setdefault(ch, 0)
-        target = (
-            vocab_size
-            if i == n_iters - 1
-            else max(vocab_size, int(len(vocab) * shrink_factor))
-        )
-        vocab = _mstep_prune(list(counts.items()), target, min_count)
-        if on_iter is not None:
-            on_iter(i, list(vocab), _time.perf_counter() - t0)
-    words.unpersist()
+    # try/finally so an E-step (or on_iter callback) exception doesn't
+    # leak the persisted word table for the session's lifetime
+    # (ADVICE r10)
+    try:
+        vocab = seed_vocab(words, max_piece_len, seed_size)
+        vocab = _mstep_prune(vocab, len(vocab), min_count=1)
+        # the corpus alphabet: characters re-enter every round even
+        # when a round's Viterbi paths cover them only inside
+        # multi-char pieces (expected count 0) — otherwise they'd
+        # silently leave the vocab and the coverage guarantee would be
+        # one unlucky round deep
+        alphabet = [p for p, _ in vocab if len(p) == 1]
+        for i in range(n_iters):
+            t0 = _time.perf_counter()
+            total = float(sum(c for _, c in vocab))
+            logp = {p: math.log(c / total) for p, c in vocab}
+            counts = {
+                r["piece"]: r["cnt"]
+                for r in estep(words, logp, max_piece_len).collect()
+            }
+            for ch in alphabet:
+                counts.setdefault(ch, 0)
+            target = (
+                vocab_size
+                if i == n_iters - 1
+                else max(vocab_size, int(len(vocab) * shrink_factor))
+            )
+            vocab = _mstep_prune(list(counts.items()), target, min_count)
+            if on_iter is not None:
+                on_iter(i, list(vocab), _time.perf_counter() - t0)
+    finally:
+        words.unpersist()
     total = float(sum(c for _, c in vocab))
     return [(p, math.log(c / total), c) for p, c in vocab]
 

@@ -847,7 +847,11 @@ def foreach_batch_kll(
             "batch_id", F.lit(batch_id).cast("long")
         )
         (
-            sk.coalesce(1)
+            # repartition, NOT coalesce: kll_build has no shuffle
+            # boundary, so a narrow coalesce(1) would collapse the
+            # whole batch scan + sketching into one task (ADVICE r10);
+            # the shuffle moves only the ≤ P·k·log n tiny sketch rows
+            sk.repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

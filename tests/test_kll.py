@@ -332,3 +332,57 @@ def test_mg_validation():
         MGSketch(0)
     with _pt.raises(ValueError, match="equal k"):
         MGSketch(4).merge(MGSketch(8))
+
+
+def test_mg_unioned_builds_certificate(spark):
+    """ADVICE r10: two mg_build outputs UNIONED (per-day summaries
+    appended to one table) must merge as DISTINCT sketches — decrements
+    add across builds, so est <= true <= est + dec holds on the union
+    even though the two builds' partition numbers collide."""
+    from collections import Counter
+
+    k = 4
+    # k=4 forces decrements in both builds: >4 distinct items each
+    rows_a = [(f"a{i % 7}",) for i in range(500)] + [("hot",)] * 300
+    rows_b = [(f"b{i % 9}",) for i in range(400)] + [("hot",)] * 200
+    da = spark.createDataFrame(rows_a, "tok string").repartition(3)
+    db = spark.createDataFrame(rows_b, "tok string").repartition(3)
+    built_a = mg_build(da, "tok", k=k)
+    built_b = mg_build(db, "tok", k=k)
+    # sids are distinct across the two builds (fresh uuid per call)
+    sids_a = {r["sid"] for r in built_a.select("sid").distinct().collect()}
+    sids_b = {r["sid"] for r in built_b.select("sid").distinct().collect()}
+    assert not (sids_a & sids_b)
+    merged = mg_merge(built_a.unionByName(built_b), k=k).collect()
+    dec = merged[0]["dec"] if merged else 0
+    est = {r["item"]: r["cnt"] for r in merged}
+    true = Counter(t for (t,) in rows_a + rows_b)
+    n = sum(true.values())
+    assert dec <= n / (k + 1)
+    for it, t in true.items():
+        e = est.get(it, 0)
+        assert e <= t <= e + dec, (it, e, t, dec)
+        if t > dec:
+            assert it in est
+    assert "hot" in est  # 500 occurrences, guaranteed present
+
+
+def test_mg_sid_collision_raises(spark):
+    """Forcing one build_id onto two different builds is exactly the
+    silent-certificate-void ADVICE r10 flagged — the merge kernel must
+    refuse the duplicate (sid, item) rows instead of fusing them."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(f"w{i % 5}",) for i in range(100)], "tok string"
+    ).coalesce(1)
+    a = mg_build(df, "tok", k=8, build_id="same")
+    b = mg_build(df, "tok", k=8, build_id="same")
+    with _pt.raises(Exception, match="duplicate \\(sid, item\\)"):
+        mg_merge(a.unionByName(b), k=8).collect()
+
+
+def test_mg_deterministic_build_id(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "tok string").coalesce(1)
+    out = mg_build(df, "tok", k=8, build_id="epoch7").collect()
+    assert {r["sid"] for r in out} == {"epoch7-0"}

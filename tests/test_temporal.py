@@ -348,3 +348,10 @@ def test_temporal_reserved_column_guards(spark):
             r.withColumn("__gf_bucket_us", F.lit(9)),
             ts="ts", step=60.0, aggs={"v": F.avg("v")}, by="k",
         )
+    from flask_data_pipes_spark.operators.temporal import scd2_build
+
+    with _pt.raises(ValueError, match="scd2_build.*__scd_chg"):
+        scd2_build(
+            r.withColumn("__scd_chg", F.lit(True)),
+            key_cols="k", ts_col="ts", attr_cols=["v"],
+        )

@@ -197,6 +197,17 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "budget carries a noise margin above the 3.3 band top — a real "
         "plan regression (2x+) still trips",
     ),
+    "llm_cdc_chunks": (
+        3.6,
+        "zero-shuffle pure-Catalyst chunker (one md5 per token), plan "
+        "untouched since round 8 but the most steal-sensitive sf1 "
+        "entry after decontaminate: measured band 2.83 (r5), <=3.6 "
+        "(r8 steal), 2.38 (builder r10), 3.3/3.3 retry-CONFIRMED "
+        "(driver r10 at 15-min loadavg 16.4). Budget = band top, per "
+        "the _merge_retry policy: record the evidence, don't average "
+        "the flake away. Round 11 also shaved the per-row "
+        "array_distinct from the cuts build",
+    ),
     "llm_decontaminate": (
         3.75,
         "broadcast-test-side n-gram join: measured 1.8-2.7x across "

@@ -1359,17 +1359,19 @@ def cdc_chunks(
     )
     n = F.size("__t")
     is_cut = lambda t: T.md5_long(t, seed) % F.lit(1 << mask_bits) == 0  # noqa: E731
-    # cut positions: 0, every boundary token index, and n (dedup'd via
-    # array_distinct in case the last token is itself a boundary)
-    cuts = F.array_distinct(
-        F.concat(
-            F.array(F.lit(0)),
-            F.filter(
-                F.sequence(F.lit(1), n),
-                lambda i: is_cut(F.element_at("__t", i)),
-            ),
-            F.array(n),
-        )
+    # cut positions: 0, every INTERIOR boundary token index, and n.
+    # Position n is excluded from the filter (i < n) so the trailing n
+    # can never duplicate — which makes the concat already-distinct and
+    # saves an array_distinct pass over every row's cuts array
+    # (VERDICT r10 #1 shave; output is identical: a final-token
+    # boundary and the unconditional n produced the same cut before)
+    cuts = F.concat(
+        F.array(F.lit(0)),
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i < n) & is_cut(F.element_at("__t", i)),
+        ),
+        F.array(n),
     )
     # adjacent cut pairs -> chunks; chunk i spans tokens (cuts[i], cuts[i+1]]
     chunks = F.transform(

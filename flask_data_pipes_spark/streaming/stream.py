@@ -50,6 +50,10 @@ __all__ = [
     "quarantine_read",
     "foreach_batch_histogram",
     "histogram_read_merged",
+    "foreach_batch_kll",
+    "kll_read_merged",
+    "foreach_batch_mg",
+    "mg_read_merged",
 ]
 
 EVENTS_SCHEMA = (
@@ -859,6 +863,64 @@ def foreach_batch_kll(
         )
 
     return sink
+
+
+def foreach_batch_mg(
+    sketch_path: str,
+    value_col: str,
+    k: int = 64,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining CROSS-BATCH Misra-Gries summaries
+    (operators/sketches.py::mg_build) — streaming "WHICH items are
+    heavy" with the deterministic est ≤ true ≤ est + dec certificate in
+    O(k) state per partition, completing the sink family (CMS answers
+    point queries; MG FINDS the heavy hitters).
+
+    Exactly-once discipline is the CMS/KLL one: MG merge ADDS counters
+    and decrements, so a replayed batch merged twice would double-count
+    — the per-batch `batch_id=<N>` partition + dynamic overwrite is the
+    guard (a replay overwrites its own partition wholesale). The
+    build_id is pinned to the batch id, so sids are deterministic
+    "b<batch>-<partition>" strings: distinct across batches (decrements
+    of different batches ADD in the merge — the round-11 sketch-identity
+    fix is what makes the unioned read correct) and identical under
+    replay. mg_merge's duplicate-(sid, item) guard would catch a batch
+    APPENDED instead of overwritten.
+
+    Per batch: one Arrow pass, no shuffle in the build; ≤ P·k tiny rows
+    written (repartition(1), not coalesce — same rationale as the KLL
+    sink). Query-time merge is `mg_read_merged` → `mg_topk`."""
+    from ..operators.sketches import mg_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = mg_build(
+            batch_df, value_col, k=k, build_id=f"b{batch_id}"
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        (
+            sk.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_path)
+        )
+
+    return sink
+
+
+def mg_read_merged(spark, sketch_path: str, k: int = 64) -> DataFrame:
+    """Merge every per-batch Misra-Gries partition written by
+    `foreach_batch_mg` into one summary — per-sid sketch reconstruction
+    + certified fold (operators/sketches.py::mg_merge; cross-batch
+    decrements add, so est ≤ true ≤ est + dec holds on the whole
+    stream). Feed to `mg_topk` for the guaranteed-bounds top list."""
+    from ..operators.sketches import mg_merge
+
+    return mg_merge(
+        spark.read.parquet(sketch_path).select("sid", "item", "cnt", "dec"),
+        k=k,
+    )
 
 
 def kll_read_merged(spark, sketch_path: str, k: int = 200) -> DataFrame:

@@ -901,3 +901,62 @@ def test_foreach_batch_kll_cross_batch_and_replay_exactly_once(spark, tmp_path):
         true_rank = sum(1 for v in data if v <= r["value"])
         target = int(r["q"] * (n - 1)) + 1
         assert abs(true_rank - target) <= cap, (r, true_rank, target)
+
+
+def test_foreach_batch_mg_cross_batch_and_replay_exactly_once(spark, tmp_path):
+    """Streaming Misra-Gries: per-batch summaries land in batch_id
+    partitions with batch-pinned build_ids, the merged read counts
+    EXACTLY once after a replay (dynamic partition overwrite — MG merge
+    adds counters AND decrements, so the partition is the exactly-once
+    guard), and cross-batch decrements ADD so the certificate holds on
+    the whole stream. Exact regime first (k >= distinct: stream == a
+    single batch MG, dec == 0), then a decrement-forcing regime
+    certifies est <= true <= est + dec against true stream counts."""
+    from collections import Counter
+
+    from flask_data_pipes_spark.operators.sketches import mg_topk
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_mg,
+        mg_read_merged,
+    )
+
+    # --- exact regime: k=32 >= 10 distinct items -> exact counts
+    b0 = [(f"w{i % 10}",) for i in range(500)]
+    b1 = [(f"w{i % 7}",) for i in range(350)]
+    path = str(tmp_path / "mg")
+    sink = foreach_batch_mg(path, "tok", k=32)
+    sink(spark.createDataFrame(b0, "tok string"), 0)
+    sink(spark.createDataFrame(b1, "tok string"), 1)
+    sink(spark.createDataFrame(b0, "tok string"), 0)  # replay of batch 0
+
+    merged = mg_read_merged(spark, path, k=32).collect()
+    est = {r["item"]: r["cnt"] for r in merged}
+    dec = merged[0]["dec"] if merged else 0
+    true = Counter(t for (t,) in b0 + b1)
+    assert dec == 0
+    assert est == dict(true)  # exactly-once despite replay, exact at k>=D
+    top = mg_topk(mg_read_merged(spark, path, k=32), 3).collect()
+    assert top[0]["item"] == true.most_common(1)[0][0]
+    assert top[0]["est_max"] == top[0]["est"]
+
+    # --- decrement regime: k=4 < distinct -> certificate on the union
+    c0 = [(f"a{i % 7}",) for i in range(400)] + [("hot",)] * 250
+    c1 = [(f"b{i % 9}",) for i in range(300)] + [("hot",)] * 150
+    path2 = str(tmp_path / "mg2")
+    sink2 = foreach_batch_mg(path2, "tok", k=4)
+    sink2(spark.createDataFrame(c0, "tok string"), 0)
+    sink2(spark.createDataFrame(c1, "tok string"), 1)
+    sink2(spark.createDataFrame(c1, "tok string"), 1)  # replay of batch 1
+
+    merged2 = mg_read_merged(spark, path2, k=4).collect()
+    est2 = {r["item"]: r["cnt"] for r in merged2}
+    dec2 = merged2[0]["dec"] if merged2 else 0
+    true2 = Counter(t for (t,) in c0 + c1)
+    n = sum(true2.values())
+    assert 0 < dec2 <= n / 5
+    for it, t in true2.items():
+        e = est2.get(it, 0)
+        assert e <= t <= e + dec2, (it, e, t, dec2)
+        if t > dec2:
+            assert it in est2
+    assert "hot" in est2  # 400 occurrences, guaranteed present

@@ -38,7 +38,104 @@ __all__ = [
     "bpe_encode",
     "merges_save",
     "merges_load",
+    "BYTE_TOKENS",
+    "byte_fallback_tokens",
+    "is_byte_token",
+    "decode_pieces",
+    "train_alphabet",
+    "validate_special_tokens",
+    "split_words_col",
 ]
+
+# --- byte fallback + special tokens (round 11) -------------------------------
+#
+# Production tokenizers never emit UNK: a character outside the trained
+# vocabulary is encoded as its UTF-8 bytes, each byte a reserved
+# `<0xNN>` token (SentencePiece's --byte_fallback; every Llama-family
+# tokenizer ships the 256 byte pieces). Both engines here (`bpe_encode`
+# and `unigram_encode`) share these helpers so the no-UNK invariant and
+# the special-token pass-through behave identically — and fertility
+# stays a one-join per-doc rollup in both.
+
+BYTE_TOKENS = tuple(f"<0x{b:02X}>" for b in range(256))
+_BYTE_TOKEN_SET = frozenset(BYTE_TOKENS)
+_BYTE_OF = {t: b for b, t in enumerate(BYTE_TOKENS)}
+# Catalyst-side recognizer for byte tokens inside a pieces array
+BYTE_TOKEN_RLIKE = "^<0x[0-9A-F]{2}>$"
+
+
+def byte_fallback_tokens(ch: str) -> list:
+    """UTF-8 byte pieces for one uncovered character: 'é' →
+    ['<0xC3>', '<0xA9>']."""
+    return [BYTE_TOKENS[b] for b in ch.encode("utf-8")]
+
+
+def is_byte_token(tok: str) -> bool:
+    return tok in _BYTE_TOKEN_SET
+
+
+def decode_pieces(pieces) -> str:
+    """Invert a byte-fallback encoding: byte tokens decode through
+    UTF-8, every other piece is literal text. The round-trip law the
+    property tests pin: decode_pieces(segment(word)) == word."""
+    out: list = []
+    buf: list = []
+    for p in pieces:
+        b = _BYTE_OF.get(p)
+        if b is not None:
+            buf.append(b)
+        else:
+            if buf:
+                out.append(bytes(buf).decode("utf-8"))
+                buf = []
+            out.append(p)
+    if buf:
+        out.append(bytes(buf).decode("utf-8"))
+    return "".join(out)
+
+
+def validate_special_tokens(special_tokens) -> tuple:
+    """Normalize/validate a special-token list: non-empty strings, no
+    whitespace (specials must survive whitespace word-splitting), and
+    lowercase-stable (both tokenizers lowercase text BEFORE specials
+    are protected, so an uppercase special could never match)."""
+    for s in special_tokens or ():
+        if not isinstance(s, str) or not s:
+            raise ValueError(f"special token must be a non-empty string: {s!r}")
+        if any(c.isspace() for c in s):
+            raise ValueError(
+                f"special token {s!r} contains whitespace — it could not "
+                "survive whitespace word-splitting"
+            )
+        if s != s.lower():
+            raise ValueError(
+                f"special token {s!r} is not lowercase-stable; the "
+                "tokenizers lowercase text before matching specials"
+            )
+        if s in _BYTE_TOKEN_SET:
+            raise ValueError(
+                f"special token {s!r} collides with a reserved <0xNN> "
+                "byte-fallback piece"
+            )
+    # longest first so overlapping specials resolve deterministically
+    return tuple(sorted(set(special_tokens or ()), key=lambda s: (-len(s), s)))
+
+
+def split_words_col(text_col, special_tokens=None) -> Column:
+    """The SHARED word-splitting expression of both tokenizers:
+    lowercase + whitespace split, with special tokens space-padded
+    FIRST so each occurrence becomes its own word (and later encodes as
+    exactly one token). Pure Catalyst — specials are protected with
+    literal-escaped regexp_replace, longest special first."""
+    import re as _re
+
+    c = F.lower(text_col if isinstance(text_col, Column) else F.col(text_col))
+    for s in validate_special_tokens(special_tokens):
+        # escape regex metachars in the pattern AND \/$ in the
+        # replacement (Java's replacement syntax treats both specially)
+        repl = " " + s.replace("\\", "\\\\").replace("$", "\\$") + " "
+        c = F.regexp_replace(c, _re.escape(s), repl)
+    return T.whitespace_tokens(c)
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -272,7 +369,13 @@ def bpe_train_incremental(
     return merges
 
 
-def encode_word(word: str, ranks: dict) -> list:
+def encode_word(
+    word: str,
+    ranks: dict,
+    alphabet=None,
+    byte_fallback: bool = False,
+    specials=None,
+) -> list:
     """Pure-Python rank-greedy BPE encode of ONE word: repeatedly merge
     every (left-to-right, non-overlapping) occurrence of the
     lowest-rank adjacent pair present until no ranked pair remains.
@@ -285,7 +388,22 @@ def encode_word(word: str, ranks: dict) -> list:
     each step visits merges in exactly training order. Parity against
     both the sequential replay and the trainer's own final symbol
     table is pinned in tests.
+
+    With `byte_fallback` (requires `alphabet`, the trained character
+    set — `train_alphabet`): after the merge loop, any single-char
+    symbol OUTSIDE the alphabet is expanded to its `<0xNN>` UTF-8 byte
+    pieces, so no out-of-vocabulary symbol ever reaches the output
+    (multi-char symbols are merge products, always in-vocabulary).
+    A word in `specials` passes through as exactly one token.
     """
+    if specials and word in specials:
+        return [word]
+    if byte_fallback and alphabet is None:
+        raise ValueError(
+            "encode_word: byte_fallback requires the trained alphabet "
+            "(train_alphabet) — deriving it from merge pairs would miss "
+            "never-merged characters"
+        )
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
@@ -307,11 +425,40 @@ def encode_word(word: str, ranks: dict) -> list:
                 out.append(syms[i])
                 i += 1
         syms = out
+    if byte_fallback:
+        expanded: list = []
+        for s in syms:
+            if len(s) == 1 and s not in alphabet:
+                expanded.extend(byte_fallback_tokens(s))
+            else:
+                expanded.append(s)
+        return expanded
     return syms
 
 
+def train_alphabet(df: DataFrame, text_col: str = "text") -> list:
+    """The trained character set: every distinct character of the
+    lower-cased whitespace words — what `byte_fallback` needs to decide
+    coverage. One pure-Catalyst scan (split word → explode → distinct);
+    the result is alphabet-sized (≤ a few thousand rows for any human
+    script mix), collected to the driver like a vocabulary."""
+    rows = (
+        word_counts(df, text_col)
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
 def encode_word_table(
-    vocab: DataFrame, merges: list, word_col: str = "word"
+    vocab: DataFrame,
+    merges: list,
+    word_col: str = "word",
+    alphabet=None,
+    byte_fallback: bool = False,
+    specials=None,
 ) -> DataFrame:
     """Encode a DISTINCT-word table: (word, ...) -> (word, ...,
     tokens array<string>, n_tokens int) under an ordered merge list
@@ -333,6 +480,14 @@ def encode_word_table(
     spark = vocab.sparkSession
     ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
     b_ranks = spark.sparkContext.broadcast(ranks)
+    alpha = frozenset(alphabet) if alphabet is not None else None
+    specs = frozenset(specials) if specials else None
+    bf = bool(byte_fallback)
+    if bf and alpha is None:
+        raise ValueError(
+            "encode_word_table: byte_fallback requires alphabet "
+            "(train_alphabet)"
+        )
 
     # no type hints: PEP 563 (module-level `annotations` import) would
     # stringify them and pyspark's hint introspection rejects strings
@@ -343,15 +498,24 @@ def encode_word_table(
         def one(w):
             t = memo.get(w)
             if t is None:
-                t = encode_word(w, r)
+                t = encode_word(
+                    w, r, alphabet=alpha, byte_fallback=bf, specials=specs
+                )
                 memo[w] = t
             return t
 
         return ws.map(one)
 
     tokens = pandas_udf(enc, "array<string>")(F.col(word_col))
-    return vocab.withColumn("tokens", tokens).withColumn(
+    out = vocab.withColumn("tokens", tokens).withColumn(
         "n_tokens", F.size("tokens")
+    )
+    # byte-token count is Catalyst-side (the kernel stays one pass)
+    return out.withColumn(
+        "n_byte_tokens",
+        F.size(
+            F.filter("tokens", lambda t: t.rlike(BYTE_TOKEN_RLIKE))
+        ),
     )
 
 
@@ -361,13 +525,24 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool = False,
+    byte_fallback: bool = False,
+    alphabet=None,
+    special_tokens=None,
 ) -> DataFrame:
     """Tokenize a corpus with a TRAINED merge list -> per-document
-    (id_col, n_words, n_bpe_tokens, n_chars_tokenized). The inference
-    half of the tokenizer pair (`bpe_train*` learns the merges; this
-    applies them), and the honest way to budget training tokens — the
-    regex proxy `functions/text.py::bpe_ish_token_count` estimates,
-    this COUNTS.
+    (id_col, n_words, n_bpe_tokens, n_chars_tokenized, n_byte_tokens).
+    The inference half of the tokenizer pair (`bpe_train*` learns the
+    merges; this applies them), and the honest way to budget training
+    tokens — the regex proxy `functions/text.py::bpe_ish_token_count`
+    estimates, this COUNTS.
+
+    `byte_fallback` (+ `alphabet` from `train_alphabet`): characters
+    outside the trained alphabet encode as `<0xNN>` UTF-8 byte pieces
+    instead of surviving as out-of-vocabulary single-char symbols — the
+    no-UNK guarantee production tokenizers ship; `n_byte_tokens` counts
+    them (they are included in `n_bpe_tokens`). `special_tokens` are
+    reserved lowercase-stable strings protected BEFORE word-splitting;
+    each occurrence becomes exactly one token (counted as one word).
 
     Shape: one corpus scan explodes words (same lower/whitespace
     vocabulary as `word_counts`, so train and encode agree on what a
@@ -383,15 +558,25 @@ def bpe_encode(
     vocabulary is known small (e.g. byte-level alphabets) to make the
     join map-side and leave ONE shuffle (the final per-doc groupBy).
     """
+    specs = validate_special_tokens(special_tokens)
     words = df.select(
         F.col(id_col),
         F.explode_outer(
-            T.whitespace_tokens(F.lower(F.col(text_col)))
+            split_words_col(F.col(text_col), specs)
         ).alias("word"),
     ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
     vocab = words.select("word").distinct()
-    enc = encode_word_table(vocab, merges).select(
-        "word", "n_tokens", F.length("word").alias("n_word_chars")
+    enc = encode_word_table(
+        vocab,
+        merges,
+        alphabet=alphabet,
+        byte_fallback=byte_fallback,
+        specials=specs,
+    ).select(
+        "word",
+        "n_tokens",
+        "n_byte_tokens",
+        F.length("word").alias("n_word_chars"),
     )
     if broadcast_vocab:
         enc = F.broadcast(enc)
@@ -402,12 +587,20 @@ def bpe_encode(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
             F.sum("n_word_chars").cast("long").alias("n_chars_tokenized"),
+            F.sum("n_byte_tokens").cast("long").alias("n_byte_tokens"),
         )
     )
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
-        .na.fill({"n_words": 0, "n_bpe_tokens": 0, "n_chars_tokenized": 0})
+        .na.fill(
+            {
+                "n_words": 0,
+                "n_bpe_tokens": 0,
+                "n_chars_tokenized": 0,
+                "n_byte_tokens": 0,
+            }
+        )
     )
 
 

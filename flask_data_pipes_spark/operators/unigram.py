@@ -47,7 +47,7 @@ from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bpe import word_counts
+from .bpe import byte_fallback_tokens, word_counts
 
 __all__ = [
     "seed_vocab",
@@ -125,12 +125,24 @@ def seed_vocab(
 
 
 def viterbi_segment(
-    word: str, logp: Dict[str, float], max_piece_len: int
+    word: str,
+    logp: Dict[str, float],
+    max_piece_len: int,
+    byte_fallback: bool = False,
+    specials=None,
 ) -> List[str]:
     """Pure-Python Viterbi segmentation of one word under a unigram LM:
     the piece sequence maximizing Σ logp(piece). Characters absent from
     the vocabulary fall back to UNK_LOGP single-char pieces, so every
     word is segmentable.
+
+    With `byte_fallback`, those uncovered characters are then expanded
+    to their `<0xNN>` UTF-8 byte pieces (SentencePiece's
+    --byte_fallback), so NO out-of-vocabulary piece ever reaches the
+    output — the path choice is unchanged (coverage decisions still
+    score at UNK_LOGP; only the emitted pieces differ), which keeps
+    train-time segmentation and the golden pins identical on covered
+    text. A word in `specials` passes through as exactly one piece.
 
     Deterministic tie-break: candidate pieces are scanned LONGEST
     FIRST and a candidate replaces the incumbent only on a strictly
@@ -139,6 +151,8 @@ def viterbi_segment(
     Parity with the distributed E-step is pinned round-for-round in
     tests against an independent reference implementation.
     """
+    if specials and word in specials:
+        return [word]
     n = len(word)
     if n == 0:
         return []
@@ -168,6 +182,16 @@ def viterbi_segment(
         out.append(word[j:i])
         i = j
     out.reverse()
+    if byte_fallback:
+        expanded: List[str] = []
+        for p in out:
+            # a piece outside the vocabulary is exactly an UNK-fallback
+            # single character (multi-char candidates require a vocab hit)
+            if p not in logp:
+                expanded.extend(byte_fallback_tokens(p))
+            else:
+                expanded.append(p)
+        return expanded
     return out
 
 
@@ -272,18 +296,23 @@ def segment_word_table(
     logp: Dict[str, float],
     max_piece_len: int,
     word_col: str = "word",
+    byte_fallback: bool = False,
+    specials=None,
 ) -> DataFrame:
     """Viterbi-segment a DISTINCT-word table under a broadcast unigram
     LM: adds `pieces array<string>`. Python cost ∝ vocabulary (the
     Heaps-law economy `encode_word_table` proved for BPE); the logprob
     dict ships as a real Spark broadcast, and the kernel memoizes per
-    Arrow batch so the same function is safe on non-distinct input."""
+    Arrow batch so the same function is safe on non-distinct input.
+    `byte_fallback`/`specials` follow `viterbi_segment`."""
     import pandas as pd  # noqa: F401 — anchors the Arrow path
     from pyspark.sql.functions import pandas_udf
 
     spark = words.sparkSession
     b_logp = spark.sparkContext.broadcast(dict(logp))
     mpl = int(max_piece_len)
+    bf = bool(byte_fallback)
+    specs = frozenset(specials) if specials else None
 
     # no type hints: PEP 563 stringifies them under the module-level
     # `annotations` import and pyspark's hint introspection rejects that
@@ -294,7 +323,9 @@ def segment_word_table(
         def one(w):
             t = memo.get(w)
             if t is None:
-                t = viterbi_segment(w, lp, mpl)
+                t = viterbi_segment(
+                    w, lp, mpl, byte_fallback=bf, specials=specs
+                )
                 memo[w] = t
             return t
 
@@ -493,12 +524,23 @@ def unigram_encode(
     id_col: str = "doc_id",
     max_piece_len: int = 6,
     broadcast_vocab: bool = False,
+    byte_fallback: bool = False,
+    special_tokens=None,
 ) -> DataFrame:
     """Tokenize a corpus with a TRAINED unigram vocabulary →
-    per-document (id_col, n_words, n_unigram_tokens, n_chars_tokenized)
-    — `bpe_encode`'s exact contract, so the two tokenizers' fertility
-    is directly comparable (the llm_bpe_encode / llm_unigram_encode
-    catalog rows share the per-language rollup).
+    per-document (id_col, n_words, n_unigram_tokens, n_chars_tokenized,
+    n_byte_tokens) — `bpe_encode`'s exact contract, so the two
+    tokenizers' fertility is directly comparable (the llm_bpe_encode /
+    llm_unigram_encode catalog rows share the per-language rollup).
+
+    `byte_fallback`: characters the vocabulary doesn't cover encode as
+    `<0xNN>` UTF-8 byte pieces instead of UNK_LOGP single-char
+    fallbacks — the no-UNK guarantee (n_byte_tokens counts them,
+    included in n_unigram_tokens; 0 everywhere when the vocab covers
+    the corpus alphabet, e.g. trained on the same corpus).
+    `special_tokens` are reserved lowercase-stable strings protected
+    before word-splitting; each occurrence is exactly one token (and
+    one word) — identical semantics to `bpe_encode`'s.
 
     Shape: one corpus scan explodes words (same lower/whitespace
     vocabulary as `word_counts`, so train and encode agree on what a
@@ -507,21 +549,29 @@ def unigram_encode(
     token counts join back and aggregate per document. Documents with
     no words survive with zero counts.
     """
-    from ..functions import text as T
+    from .bpe import BYTE_TOKEN_RLIKE, split_words_col, validate_special_tokens
 
+    specs = validate_special_tokens(special_tokens)
     logp = {p: lp for p, lp, *_rest in vocab}
     tokens_words = df.select(
         F.col(id_col),
-        F.explode_outer(
-            T.whitespace_tokens(F.lower(F.col(text_col)))
-        ).alias("word"),
+        F.explode_outer(split_words_col(F.col(text_col), specs)).alias(
+            "word"
+        ),
     ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
     distinct_words = tokens_words.select("word").distinct()
     seg = segment_word_table(
-        distinct_words, logp, max_piece_len
+        distinct_words,
+        logp,
+        max_piece_len,
+        byte_fallback=byte_fallback,
+        specials=specs,
     ).select(
         "word",
         F.size("pieces").alias("n_tokens"),
+        F.size(
+            F.filter("pieces", lambda t: t.rlike(BYTE_TOKEN_RLIKE))
+        ).alias("n_byte_tokens"),
         F.length("word").alias("n_word_chars"),
     )
     if broadcast_vocab:
@@ -533,13 +583,19 @@ def unigram_encode(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_tokens").cast("long").alias("n_unigram_tokens"),
             F.sum("n_word_chars").cast("long").alias("n_chars_tokenized"),
+            F.sum("n_byte_tokens").cast("long").alias("n_byte_tokens"),
         )
     )
     return (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .na.fill(
-            {"n_words": 0, "n_unigram_tokens": 0, "n_chars_tokenized": 0}
+            {
+                "n_words": 0,
+                "n_unigram_tokens": 0,
+                "n_chars_tokenized": 0,
+                "n_byte_tokens": 0,
+            }
         )
     )
 

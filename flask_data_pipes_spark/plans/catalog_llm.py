@@ -4507,11 +4507,25 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts back — a plain shuffle hash join that survives a 10^8-word
     vocabulary where a broadcast would not.
     """
-    from ..operators.bpe import bpe_encode, bpe_train_incremental
+    from ..operators.bpe import (
+        bpe_encode,
+        bpe_train_incremental,
+        train_alphabet,
+    )
 
     d = load(spark, sf_dir, "documents")
     merges = bpe_train_incremental(d, n_merges=24, min_count=2)
-    enc = bpe_encode(d, merges)
+    # byte_fallback + a reserved special: the production encode path
+    # (round 11). Self-trained vocabulary covers the corpus alphabet
+    # and the special never occurs, so the golden pin is unchanged —
+    # the no-UNK path itself is what runs here.
+    enc = bpe_encode(
+        d,
+        merges,
+        byte_fallback=True,
+        alphabet=train_alphabet(d),
+        special_tokens=("<|endoftext|>",),
+    )
     return (
         enc.join(d.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -5569,8 +5583,15 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    # byte_fallback + special pass-through (round 11): self-trained
+    # vocab covers the alphabet and the special never occurs, so the
+    # pin is unchanged while the production no-UNK path runs.
     enc = unigram_encode(
-        d, vocab, max_piece_len=_UNIGRAM_PARAMS["max_piece_len"]
+        d,
+        vocab,
+        max_piece_len=_UNIGRAM_PARAMS["max_piece_len"],
+        byte_fallback=True,
+        special_tokens=("<|endoftext|>",),
     )
     return (
         enc.join(d.select("doc_id", "lang"), "doc_id")
@@ -5582,6 +5603,97 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("n_unigram_tokens") / F.sum("n_words"), 6
             ).alias("fertility"),
+        )
+    )
+
+
+_COVERAGE_ORACLE = rf"""
+    WITH w AS (
+      SELECT lang, doc_id, unnest({_DDB_TOKS_LOWER}) AS word
+      FROM documents WHERE trim(text) <> ''
+    ),
+    alpha AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(word, '')) AS ch
+      FROM w WHERE regexp_matches(word, '^[a-o]+$')
+    ),
+    chars AS (
+      SELECT lang, unnest(regexp_split_to_array(word, '')) AS ch
+      FROM w WHERE word <> ''
+    ),
+    cstats AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) FILTER (
+               WHERE ch NOT IN (SELECT ch FROM alpha)
+             ) AS BIGINT) AS n_byte_tokens
+      FROM chars GROUP BY lang
+    ),
+    wstats AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM w WHERE word <> '' GROUP BY lang
+    ),
+    dpl AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT dpl.lang, dpl.n_docs, wstats.n_words, cstats.n_chars,
+           cstats.n_byte_tokens,
+           ROUND(CAST(cstats.n_byte_tokens AS DOUBLE) / cstats.n_chars, 6)
+             AS byte_rate
+    FROM dpl JOIN wstats ON dpl.lang = wstats.lang
+    JOIN cstats ON dpl.lang = cstats.lang
+    """
+
+
+@register("llm_tokenizer_coverage", oracle=_COVERAGE_ORACLE)
+def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-fallback coverage audit (round 11): train the unigram LM on
+    a RESTRICTED slice of the word table (words matching ^[a-o]+$ — a
+    deliberately partial alphabet), then encode the FULL corpus with
+    `byte_fallback=True` and a reserved special token, rolling up
+    per-language byte-token volume. Every character outside the trained
+    alphabet must encode as exactly one <0xNN> piece (ASCII corpus), so
+    the byte half of the encode is EXACTLY SQL-expressible and DuckDB
+    ORACLES it — the vocabulary's single characters are never pruned
+    (unigram_train's coverage guarantee), which is the invariant that
+    makes alphabet == chars-of-filtered-words hold.
+
+    This is the entry that would catch a silent UNK regression at
+    scale: byte_rate per language is the "how much of my corpus does
+    this tokenizer actually cover" gauge a multilingual 100 TB
+    pretraining pass runs before committing to a vocabulary.
+    """
+    from ..operators.bpe import word_counts
+    from ..operators.unigram import unigram_encode, unigram_train
+
+    d = load(spark, sf_dir, "documents")
+    words = word_counts(d).where(F.col("word").rlike("^[a-o]+$"))
+    vocab = unigram_train(
+        words=words,
+        vocab_size=120,
+        n_iters=2,
+        max_piece_len=5,
+        seed_size=400,
+        min_count=1,
+    )
+    enc = unigram_encode(
+        d,
+        vocab,
+        max_piece_len=5,
+        byte_fallback=True,
+        special_tokens=("<|endoftext|>",),
+    )
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars_tokenized").cast("long").alias("n_chars"),
+            F.sum("n_byte_tokens").cast("long").alias("n_byte_tokens"),
+            F.round(
+                F.sum("n_byte_tokens") / F.sum("n_chars_tokenized"), 6
+            ).alias("byte_rate"),
         )
     )
 

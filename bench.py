@@ -133,6 +133,13 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # round-8: correlation matrix — one scan into a 1-row aggregate
     # (k(k+1)/2+k decimal moment buffers), psi-like scan-bound shape
     "q_corr_matrix",
+    # round-11: the composed pretraining pipeline (clean → line_dedup
+    # → minhash keep → split → decontaminate → perplexity filter →
+    # byte-fallback tokenize → pack) — the INTEGRATION scale check
+    # VERDICT r10 #4 asked for: ~12 keyed exchanges + 3 Arrow passes
+    # chained over DISK_ONLY stage persists; heavily overhead-bound at
+    # these scales (measured 25.7s → 27.1s, ratio ~1.05)
+    "llm_pipeline_e2e",
     # round-10: unigram-LM trainer+encode — EM rounds are vocabulary-
     # proportional (Heaps-bounded even on the rotated-copy corpus) and
     # the encode join is word-keyed, so 10x data should ratio near the

@@ -5698,6 +5698,208 @@ def llm_tokenizer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# perplexity-filter cut for the composed pipeline: documents whose
+# bits-per-token under the corpus-trained LM exceeds this are dropped
+# (CCNet keeps the low-perplexity tail; the cut is a fixed constant so
+# the stage is deterministic and pinnable — survivors of the synthetic
+# corpus score ~4.9-5.3 bits, so 5.16 actually bites)
+_E2E_PPL_BITS_MAX = 5.16
+_E2E_UNIGRAM = dict(
+    vocab_size=150, n_iters=2, max_piece_len=5, seed_size=400, min_count=2
+)
+
+
+@register("llm_pipeline_e2e")  # composed multi-trainer lineage → rows-only + golden pin
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed pretraining-data pipeline as one lineage (VERDICT
+    r10 #4 — integration evidence that the stages compose): clean
+    (langid + quality + exact-dedup) → line_dedup → MinHash near-dup
+    keep → train/test split → decontaminate (train vs held-out test)
+    → unigram-LM perplexity filter → byte-fallback tokenize →
+    pack_sequences. Every stage is an already-gate-checked operator;
+    this entry proves they chain — output is the per-stage funnel
+    report (stage, stage_idx, n_docs, n_tokens, n_bins), golden-pinned
+    (the LM trainer makes the tail non-SQL-expressible).
+
+    Composition discipline (the 100 TB story): each surviving-doc
+    frame persists DISK_ONLY before the next stage consumes AND counts
+    it — one pass per stage, no branch recomputation of the expensive
+    upstream (the same checkpoint discipline as dedup_clusters);
+    everything between persists is one composed Catalyst plan. Shuffle
+    census at the default params: clean 1 (fingerprint agg) +
+    line_dedup 3 (line-hash agg, winner join, rebuild) + minhash 2
+    (band agg, anti join) + decontaminate 1 train-side (test side
+    broadcast) + perplexity/tokenize 2 each (distinct-word Arrow pass
+    + doc join) + pack 1 (group window) — ~12 keyed exchanges for an
+    8-stage pipeline, none global, all partial-agg or broadcast
+    shapes. Arrow passes: 3 (the EM E-steps, the perplexity scorer,
+    the encode segmenter), each over the DISTINCT word table only.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.corpus import decontaminate
+    from ..operators.dedup import (
+        line_dedup,
+        minhash_dedup_keep,
+        spread_for_cpu,
+    )
+    from ..operators.unigram import (
+        unigram_encode,
+        unigram_perplexity,
+        unigram_train,
+    )
+
+    lvl = StorageLevel.DISK_ONLY
+    d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    bucket = T.md5_long(F.col("doc_id").cast("string"), 11) % 100
+    persisted = []
+    try:
+        n_input = d.count()
+        # 1. clean: langid 'en' + quality >= 0.6 + exact near-dup
+        # collapse (min doc_id per canonical fingerprint, text carried
+        # by min_by so no join-back)
+        scored = d.select(
+            "doc_id",
+            "text",
+            T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
+                "detected"
+            ),
+            T.quality_score("text").alias("quality"),
+            T.doc_fingerprint("text").alias("fingerprint"),
+        )
+        clean = (
+            scored.filter(
+                (F.col("detected") == "en") & (F.col("quality") >= 0.6)
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.expr("min_by(text, doc_id)").alias("text"),
+            )
+            .select("doc_id", "text")
+            .persist(lvl)
+        )
+        persisted.append(clean)
+        n_clean = clean.count()
+        # 2. line-grain dedup (keep-first); docs reduced to nothing drop
+        ld = (
+            line_dedup(clean, "text", "doc_id")
+            .select("doc_id", F.col("clean_text").alias("text"))
+            .where(F.trim("text") != "")
+            .persist(lvl)
+        )
+        persisted.append(ld)
+        n_line = ld.count()
+        # 3. MinHash-LSH near-dup keep (greedy, same params as
+        # llm_minhash_dedup_keep)
+        mh = minhash_dedup_keep(
+            ld,
+            "text",
+            "doc_id",
+            n_hashes=_N_HASHES,
+            band_size=_BAND_SIZE,
+            shingle_n=5,
+            seed=_MINHASH_SEED,
+        ).persist(lvl)
+        persisted.append(mh)
+        n_mh = mh.count()
+        # 4. deterministic split; the pipeline trains on 'train'
+        train = mh.where(bucket < 80).persist(lvl)
+        persisted.append(train)
+        n_train = train.count()
+        # 5. decontaminate train against the held-out test split
+        # (ORIGINAL text — contamination is vs what eval will see)
+        test = d.where(bucket >= 90).where(F.trim("text") != "")
+        contam = decontaminate(
+            train,
+            test,
+            "text",
+            "doc_id",
+            k=_DECON_K,
+            max_test_gram_df=_DECON_MAX_TEST_GRAM_DF,
+        )
+        decon = train.join(
+            contam.select("doc_id"), "doc_id", "left_anti"
+        ).persist(lvl)
+        persisted.append(decon)
+        n_decon = decon.count()
+        # 6. LM-perplexity quality filter (LM trained on the survivors
+        # themselves — the CCNet self-scoring shape)
+        vocab = unigram_train(decon, **_E2E_UNIGRAM)
+        ppl = unigram_perplexity(
+            decon, vocab, max_piece_len=_E2E_UNIGRAM["max_piece_len"]
+        )
+        kept = decon.join(
+            ppl.where(F.col("bits_per_token") <= _E2E_PPL_BITS_MAX).select(
+                "doc_id"
+            ),
+            "doc_id",
+        ).persist(lvl)
+        persisted.append(kept)
+        n_ppl = kept.count()
+        # 7. tokenize (production path: byte fallback + special) and
+        # 8. pack into fixed-token-budget bins by REAL token counts
+        enc = unigram_encode(
+            kept,
+            vocab,
+            max_piece_len=_E2E_UNIGRAM["max_piece_len"],
+            byte_fallback=True,
+            special_tokens=("<|endoftext|>",),
+        )
+        t = enc.select(
+            "doc_id",
+            (
+                T.md5_long(F.col("doc_id").cast("string"), 7) % _PACK_GROUPS
+            ).alias("grp"),
+            T.md5_long(F.col("doc_id").cast("string"), 8).alias("ord"),
+            F.col("n_unigram_tokens").alias("n_tok"),
+        )
+        w = (
+            Window.partitionBy("grp")
+            .orderBy("ord", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bins = (
+            t.select(
+                "grp",
+                "n_tok",
+                F.sum("n_tok").over(w).alias("cum"),
+            )
+            .select(
+                "grp",
+                "n_tok",
+                F.floor(
+                    (F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)
+                ).alias("bin_id"),
+            )
+            .groupBy("grp", "bin_id")
+            .agg(F.sum("n_tok").alias("bin_tokens"))
+        )
+        packed = bins.agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("n_tokens"),
+        ).collect()[0]
+        n_bins = int(packed["n_bins"] or 0)
+        n_tokens = int(packed["n_tokens"] or 0)
+    finally:
+        for p in persisted:
+            p.unpersist()
+    report = [
+        ("input", 1, n_input, 0, 0),
+        ("clean", 2, n_clean, 0, 0),
+        ("line_dedup", 3, n_line, 0, 0),
+        ("minhash_keep", 4, n_mh, 0, 0),
+        ("split_train", 5, n_train, 0, 0),
+        ("decontaminated", 6, n_decon, 0, 0),
+        ("perplexity_kept", 7, n_ppl, 0, 0),
+        ("packed", 8, n_ppl, n_tokens, n_bins),
+    ]
+    return spark.createDataFrame(
+        report,
+        "stage string, stage_idx int, n_docs long, n_tokens long, n_bins long",
+    )
+
+
 @register("llm_kll_quantiles")  # compaction cascade → rows-only + golden pin
 def llm_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable rank-error-bounded quantile sketch (operators/

@@ -333,6 +333,14 @@ GOLDEN_DIGESTS = {
         5,
         "91f77e5a9a39cb3979b740095b6d464d4e7cb1f42b81a1ed4a04f0246db02c47",
     ),
+    # round 11 — the composed pretraining pipeline funnel: every stage
+    # deterministic (hash splits, fixed perplexity cut, hard-EM LM,
+    # min_by winners); digest verified identical across local[8]/8/UTC
+    # and local[*]/32 + tz Australia/Eucla
+    "llm_pipeline_e2e": (
+        8,
+        "b299a46d03aa20c0f65a719e9722e5a7f215eed9ea5fa1f23c3d0baea2ae834b",
+    ),
     # KLL quantile sketch in deterministic mode (fixed hash routing +
     # within-partition sort + order-insensitive merge)
     "llm_kll_quantiles": (

@@ -52,9 +52,11 @@ from .bpe import byte_fallback_tokens, word_counts
 __all__ = [
     "seed_vocab",
     "viterbi_segment",
+    "sample_segment",
     "posterior_piece_counts",
     "word_loglik",
     "segment_word_table",
+    "sample_segment_word_table",
     "unigram_estep_counts",
     "unigram_estep_posterior_counts",
     "unigram_train",
@@ -193,6 +195,192 @@ def viterbi_segment(
                 expanded.append(p)
         return expanded
     return out
+
+
+def sample_segment(
+    word: str,
+    logp: Dict[str, float],
+    max_piece_len: int,
+    alpha: float = 1.0,
+    rng=None,
+    byte_fallback: bool = False,
+    specials=None,
+) -> List[str]:
+    """Subword-regularization sampling (Kudo 2018, §3.2): draw ONE
+    segmentation of `word` with probability ∝ P(s)^α via
+    forward-filtering / backward-sampling over the segmentation
+    lattice — the training-time augmentation the unigram LM exists to
+    enable (each epoch sees a different tokenization of the same
+    text, which regularizes like token-level dropout).
+
+    α is Kudo's smoothing exponent: α=1 samples the TRUE posterior
+    over segmentations (chi-square-tested against exhaustive
+    enumeration), α→∞ sharpens to the Viterbi path (property-tested),
+    α→0 flattens toward uniform over all segmentations. Forward pass:
+    fwd[i] = logsumexp_j(fwd[j] + α·logp(word[j:i])); backward pass
+    samples each boundary j with probability
+    exp(fwd[j] + α·lp - fwd[i]) — exact, no rejection.
+
+    Coverage matches `viterbi_segment`: uncovered single characters
+    participate at UNK_LOGP (and expand to <0xNN> byte pieces under
+    `byte_fallback`); a word in `specials` passes through as one
+    piece. `rng` is a `random.Random`; determinism is the CALLER's
+    seed discipline (see `sample_segment_word_table`).
+    """
+    import random as _random
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (α→0 is the uniform limit)")
+    if specials and word in specials:
+        return [word]
+    n = len(word)
+    if n == 0:
+        return []
+    if rng is None:
+        rng = _random.Random(0)
+    NEG = float("-inf")
+
+    def lse(acc: float, x: float) -> float:
+        if acc == NEG:
+            return x
+        if x == NEG:
+            return acc
+        m = acc if acc > x else x
+        return m + math.log(math.exp(acc - m) + math.exp(x - m))
+
+    def piece_lp(j: int, i: int):
+        lp = logp.get(word[j:i])
+        if lp is None and i - j == 1:
+            lp = UNK_LOGP
+        return lp
+
+    fwd = [NEG] * (n + 1)
+    fwd[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            lp = piece_lp(j, i)
+            if lp is not None and fwd[j] != NEG:
+                fwd[i] = lse(fwd[i], fwd[j] + alpha * lp)
+    out: List[str] = []
+    i = n
+    while i > 0:
+        u = rng.random()
+        acc = 0.0
+        chosen = None
+        lo = max(0, i - max_piece_len)
+        for j in range(lo, i):
+            lp = piece_lp(j, i)
+            if lp is None or fwd[j] == NEG:
+                continue
+            acc += math.exp(fwd[j] + alpha * lp - fwd[i])
+            if u < acc:
+                chosen = j
+                break
+        if chosen is None:  # float round-off tail: take the last valid j
+            for j in range(i - 1, lo - 1, -1):
+                if piece_lp(j, i) is not None and fwd[j] != NEG:
+                    chosen = j
+                    break
+        out.append(word[chosen:i])
+        i = chosen
+    out.reverse()
+    if byte_fallback:
+        expanded: List[str] = []
+        for p in out:
+            if p not in logp:
+                expanded.extend(byte_fallback_tokens(p))
+            else:
+                expanded.append(p)
+        return expanded
+    return out
+
+
+def sample_segment_word_table(
+    words: DataFrame,
+    logp: Dict[str, float],
+    max_piece_len: int,
+    alpha: float = 1.0,
+    seed: int = 0,
+    word_col: str = "word",
+    byte_fallback: bool = False,
+    specials=None,
+    salt_col: Optional[str] = None,
+) -> DataFrame:
+    """Sample-segment a word table under a broadcast unigram LM: adds
+    `pieces array<string>`, one α-sampled segmentation per row
+    (`sample_segment`). DETERMINISTIC and partitioning-independent:
+    each row's RNG is seeded from md5(seed | salt | word), so the same
+    (word, seed) always draws the same segmentation regardless of
+    executor count or row order — pass a different `seed` per epoch to
+    resample (the standard subword-regularization schedule).
+
+    By default rows are memoized per distinct word (one sample per
+    word per seed — epoch-grain regularization over a DISTINCT word
+    table, the Heaps-law economy). Pass `salt_col` (e.g. a doc id) to
+    sample per OCCURRENCE instead; memoization then keys on
+    (word, salt)."""
+    import hashlib as _hashlib
+    import random as _random
+
+    import pandas as pd  # noqa: F401 — anchors the Arrow path
+
+    spark = words.sparkSession
+    b_logp = spark.sparkContext.broadcast(dict(logp))
+    mpl = int(max_piece_len)
+    a = float(alpha)
+    sd = int(seed)
+    bf = bool(byte_fallback)
+    specs = frozenset(specials) if specials else None
+
+    def one_factory(lp):
+        def one(w, salt=""):
+            h = _hashlib.md5(
+                f"{sd}|{salt}|{w}".encode("utf-8")
+            ).digest()
+            rng = _random.Random(int.from_bytes(h[:8], "big"))
+            return sample_segment(
+                w, lp, mpl, alpha=a, rng=rng,
+                byte_fallback=bf, specials=specs,
+            )
+
+        return one
+
+    if salt_col is None:
+
+        def seg(ws):
+            one = one_factory(b_logp.value)
+            memo: dict = {}
+
+            def memo_one(w):
+                t = memo.get(w)
+                if t is None:
+                    t = one(w)
+                    memo[w] = t
+                return t
+
+            return ws.map(memo_one)
+
+        from pyspark.sql.functions import pandas_udf
+
+        pieces = pandas_udf(seg, "array<string>")(F.col(word_col))
+        return words.withColumn("pieces", pieces)
+
+    def seg2(it):
+        import pandas as pd
+
+        one = one_factory(b_logp.value)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                one(w, str(s))
+                for w, s in zip(pdf[word_col], pdf[salt_col])
+            ]
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in words.schema.fields
+    )
+    return words.mapInPandas(seg2, schema=f"{fields}, pieces array<string>")
 
 
 def posterior_piece_counts(

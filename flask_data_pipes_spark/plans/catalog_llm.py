@@ -5607,6 +5607,76 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_unigram_sample_encode")  # FFBS sampler → rows-only + golden pin
+def llm_unigram_sample_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-regularization encode (operators/unigram.py::
+    sample_segment_word_table, Kudo 2018): forward-filtering /
+    backward-sampling draws one P(s)^α-distributed segmentation per
+    distinct word (seeded per (seed, word) hash → deterministic and
+    partitioning-independent, golden-pinnable), rolled up per language
+    beside the Viterbi counts — (lang, n_docs, n_words,
+    n_viterbi_tokens, n_sampled_tokens, sample_overhead). The overhead
+    ratio is the gauge a training pipeline watches: how much fertility
+    the augmentation costs versus deterministic encoding. α=0.1 here
+    (SentencePiece's production range is 0.1-0.5): the synthetic
+    corpus's trained lattice is near-degenerate — P(viterbi|word)≈1.0
+    for every word, so α=1 sampling reproduces Viterbi exactly and the
+    flattened exponent is what makes the gauge show any spread at all;
+    the α=1 ∝-posterior law is chi-square-tested against exhaustive
+    enumeration in tests/test_unigram.py instead.
+
+    Scale: the SAME one-Arrow-pass-over-distinct-words economy as
+    unigram_encode — the sampler's forward pass is the lattice
+    perplexity already pays; a new seed per epoch resamples without
+    touching the corpus (word-keyed join back)."""
+    from ..operators.unigram import (
+        sample_segment_word_table,
+        segment_word_table,
+        unigram_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    logp = {p: lp for p, lp, _c in vocab}
+    mpl = _UNIGRAM_PARAMS["max_piece_len"]
+    words = d.select(
+        "doc_id",
+        F.explode_outer(
+            T.whitespace_tokens(F.lower(F.col("text")))
+        ).alias("word"),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    distinct = words.select("word").distinct()
+    vit = segment_word_table(distinct, logp, mpl).select(
+        "word", F.size("pieces").alias("n_vit")
+    )
+    samp = sample_segment_word_table(
+        distinct, logp, mpl, alpha=0.1, seed=11
+    ).select("word", F.size("pieces").alias("n_samp"))
+    per_doc = (
+        words.join(vit, "word")
+        .join(samp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_vit").cast("long").alias("n_vit"),
+            F.sum("n_samp").cast("long").alias("n_samp"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_vit").cast("long").alias("n_viterbi_tokens"),
+            F.sum("n_samp").cast("long").alias("n_sampled_tokens"),
+            F.round(F.sum("n_samp") / F.sum("n_vit"), 6).alias(
+                "sample_overhead"
+            ),
+        )
+    )
+
+
 _COVERAGE_ORACLE = rf"""
     WITH w AS (
       SELECT lang, doc_id, unnest({_DDB_TOKS_LOWER}) AS word

@@ -333,6 +333,14 @@ GOLDEN_DIGESTS = {
         5,
         "91f77e5a9a39cb3979b740095b6d464d4e7cb1f42b81a1ed4a04f0246db02c47",
     ),
+    # round 11 — subword-regularization encode: per-(seed, word)-hash
+    # seeded FFBS sampling is partitioning-independent by construction;
+    # digest verified identical across local[8]/8/UTC and local[*]/32 +
+    # tz Australia/Eucla
+    "llm_unigram_sample_encode": (
+        5,
+        "add73fee69ea0416c63bec8421cbb01cde88d80b947af39695ca375e1ac374b4",
+    ),
     # round 11 — the composed pretraining pipeline funnel: every stage
     # deterministic (hash splits, fixed perplexity cut, hard-EM LM,
     # min_by winners); digest verified identical across local[8]/8/UTC

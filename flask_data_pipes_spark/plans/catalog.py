@@ -503,7 +503,17 @@ CHECKED_PREFIX = [
     "llm_bm25_topk",
     "llm_cdc_chunks",
     "llm_vocab_stats",
-    "llm_encoding_noise",
+    # Round-11 curation: the byte-fallback tokenizer-encode family was
+    # gate-INVISIBLE (llm_bpe_encode / llm_unigram_encode are
+    # golden-pinned, not oracled; the gate needs oracles) —
+    # llm_tokenizer_coverage is its only oracled member (word explode +
+    # distinct-word Arrow segmentation + join-back + <0xNN> byte
+    # fallback, restricted-alphabet train) and takes
+    # llm_encoding_noise's slot. Encoding/script char-class machinery
+    # stays gated via llm_vocab_stats (same tokenize-explode shape) and
+    # the regex family via llm_pii_redact; encoding_noise stays
+    # oracled + swept behind the prefix.
+    "llm_tokenizer_coverage",
     # Round-8: DSIR importance resampling (new family, fully oracled)
     # takes llm_script_profile's slot — script coverage rides its
     # encoding sibling above; script_profile stays oracled + swept

@@ -295,8 +295,13 @@ def test_checked_prefix_curated():
         "sparse-retrieval": ["llm_bm25_topk"],
         "cdc": ["llm_cdc_chunks"],
         "corpus-health": ["llm_vocab_stats"],
-        # round-8: script rides the encoding sibling; DSIR gated
-        "encoding-and-script": ["llm_encoding_noise"],
+        # round-11: encoding/script signals ride the same
+        # tokenize-explode machinery as vocab_stats (encoding_noise
+        # displaced by tokenizer coverage, stays oracled + swept)
+        "encoding-and-script": ["llm_encoding_noise", "llm_vocab_stats"],
+        # round-11: the only ORACLED member of the tokenizer-encode
+        # family (bpe/unigram encode are golden-pinned) joins the gate
+        "tokenizer-encode": ["llm_tokenizer_coverage"],
         "dsir": ["llm_dsir_weights"],
         # round-8 additions: SCD2 history, KMV overlap sketch, PSI
         # drift, hybrid-retrieval RRF (displacing q_top3 / token_stats

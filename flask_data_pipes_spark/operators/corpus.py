@@ -55,6 +55,7 @@ __all__ = [
     "ks_from_counts",
     "equidepth_histogram",
     "score_calibrate",
+    "pack_sequence_ids",
 ]
 
 
@@ -1267,4 +1268,74 @@ def score_calibrate(
     w = Window.partitionBy(by).orderBy(score_col)
     return df.withColumn(
         out_col, F.round(F.percent_rank().over(w), 6)
+    )
+
+
+def pack_sequence_ids(
+    enc: DataFrame,
+    ids_col: str = "ids",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    n_groups: int = 64,
+    seed: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing over REAL token ids (the materialized
+    sibling of the count-binning `llm_pack_sequences`): documents are
+    placed in a deterministic hash order within hash groups, their id
+    arrays concatenated, and the stream cut into fixed `seq_len`
+    sequences → (grp, seq_idx, ids array<int>, n_tokens). Sequences
+    cross document boundaries (append an EOS id per doc upstream —
+    `unigram_encode_ids(append_eos=...)` — so the model sees the
+    breaks); every sequence is exactly seq_len except each group's
+    final partial, emitted unpadded with its true length.
+
+    Determinism: order inside a group is (md5(doc_id), doc_id) — stable
+    under re-runs, repartitioning, and engine parallelism, so packed
+    output is reproducible (and golden-pinnable).
+
+    Scale shape: ONE shuffle (groupBy grp → applyInPandas); each group
+    materializes ~total_tokens/n_groups ids in one Arrow frame, so
+    n_groups is the memory knob — thousands to tens of thousands at
+    100 TB keeps groups in the hundreds of MB, and groups pack in
+    parallel. No global sort, no window over the full corpus.
+    """
+    from ..functions import text as T
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    sl = int(seq_len)
+    t = enc.select(
+        (T.md5_long(F.col(id_col).cast("string"), 5) % n_groups)
+        .cast("int")
+        .alias("grp"),
+        T.md5_long(F.col(id_col).cast("string"), seed).alias("__ord"),
+        F.col(id_col).cast("string").alias("__doc"),
+        F.col(ids_col).alias("__ids"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__ord", "__doc"], kind="mergesort")
+        grp = int(pdf["grp"].iloc[0]) if len(pdf) else 0
+        stream: list = []
+        for ids in pdf["__ids"]:
+            if ids is not None and len(ids):
+                stream.extend(int(x) for x in ids)
+        out_ids = [
+            stream[i : i + sl] for i in range(0, len(stream), sl)
+        ]
+        return pd.DataFrame(
+            {
+                "grp": pd.Series([grp] * len(out_ids), dtype="int32"),
+                "seq_idx": pd.Series(range(len(out_ids)), dtype="int64"),
+                "ids": pd.Series(out_ids, dtype="object"),
+                "n_tokens": pd.Series(
+                    [len(s) for s in out_ids], dtype="int32"
+                ),
+            }
+        )
+
+    return t.groupBy("grp").applyInPandas(
+        pack, schema="grp int, seq_idx long, ids array<int>, n_tokens int"
     )

@@ -61,6 +61,8 @@ __all__ = [
     "unigram_estep_posterior_counts",
     "unigram_train",
     "unigram_encode",
+    "piece_id_table",
+    "unigram_encode_ids",
     "unigram_perplexity",
     "vocab_save",
     "vocab_load",
@@ -786,6 +788,150 @@ def unigram_encode(
             }
         )
     )
+
+
+def piece_id_table(
+    vocab: List[Tuple[str, float, int]],
+    byte_fallback: bool = False,
+    special_tokens=None,
+) -> List[Tuple[str, int]]:
+    """Deterministic token→id assignment for a trained vocabulary —
+    the contract every downstream consumer of token IDS depends on:
+    special tokens first (validated order: longest, then lexicographic
+    — `validate_special_tokens`), then the 256 reserved `<0xNN>` byte
+    pieces when `byte_fallback` (fixed ids for any vocabulary size, the
+    Llama-family layout), then the trained pieces in `unigram_train`'s
+    output order (count desc, piece asc). A trained piece that
+    collides with an already-assigned token (a corpus that literally
+    contains "<0x00>") keeps the reserved id and is skipped."""
+    from .bpe import BYTE_TOKENS, validate_special_tokens
+
+    toks: List[str] = list(validate_special_tokens(special_tokens))
+    if byte_fallback:
+        toks += list(BYTE_TOKENS)
+    seen = set(toks)
+    for p, *_rest in vocab:
+        if p not in seen:
+            seen.add(p)
+            toks.append(p)
+    return [(t, i) for i, t in enumerate(toks)]
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    vocab: List[Tuple[str, float, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 6,
+    byte_fallback: bool = False,
+    special_tokens=None,
+    append_eos: Optional[str] = None,
+) -> DataFrame:
+    """Tokenize a corpus to REAL token-id sequences →
+    (id_col, ids array<int>, n_tokens) — what `unigram_encode` counts,
+    materialized: the tensor-ready form a training pipeline actually
+    ships (feed to `corpus.pack_sequence_ids` for GPT-style packing).
+    Ids come from `piece_id_table` (specials → byte pieces → trained
+    pieces); `append_eos` names a special token appended to every
+    document (it is added to the id table automatically).
+
+    Shape: posexplode keeps each word's position; the DISTINCT word
+    table segments-and-maps to ids in ONE Arrow kernel (vocabulary-
+    proportional, broadcast logp + id dict); per-word id arrays join
+    back on `word` and one per-doc aggregation reassembles documents
+    via array_sort(collect_list(struct(pos, ids))) + flatten — order
+    restored without a window sort. Documents with no words survive
+    with ids = [] (+ eos). Two shuffles total: the word join and the
+    doc groupBy, both keyed, both partial-agg-friendly.
+    """
+    import pandas as pd  # noqa: F401 — anchors the Arrow path
+    from pyspark.sql.functions import pandas_udf
+
+    from .bpe import split_words_col, validate_special_tokens
+
+    specs = list(validate_special_tokens(special_tokens))
+    if append_eos is not None:
+        (eos_ok,) = validate_special_tokens([append_eos])
+        if eos_ok not in specs:
+            specs.append(eos_ok)
+    table = piece_id_table(vocab, byte_fallback, specs)
+    pid = dict(table)
+    eos_id = pid[append_eos] if append_eos is not None else None
+    logp = {p: lp for p, lp, *_rest in vocab}
+    spark = df.sparkSession
+    b_logp = spark.sparkContext.broadcast(logp)
+    b_pid = spark.sparkContext.broadcast(pid)
+    mpl = int(max_piece_len)
+    bf = bool(byte_fallback)
+    spec_set = frozenset(specs)
+
+    def kernel(ws):
+        lp = b_logp.value
+        ids_of = b_pid.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                pieces = viterbi_segment(
+                    w, lp, mpl, byte_fallback=bf, specials=spec_set
+                )
+                # a piece outside the id table can only be an
+                # UNK-fallback char with byte_fallback OFF — fail loud
+                # rather than emit a corrupt id
+                try:
+                    t = [ids_of[p] for p in pieces]
+                except KeyError as e:
+                    raise ValueError(
+                        f"unigram_encode_ids: piece {e.args[0]!r} has "
+                        "no id (out-of-vocabulary character without "
+                        "byte_fallback=True)"
+                    ) from None
+                memo[w] = t
+            return t
+
+        return ws.map(one)
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode_outer(split_words_col(F.col(text_col), specs)).alias(
+            "pos", "word"
+        ),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    distinct_words = words.select("word").distinct()
+    word_ids = distinct_words.withColumn(
+        "__wids", pandas_udf(kernel, "array<int>")(F.col("word"))
+    )
+    per_doc = (
+        words.join(word_ids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "__wids"))
+                    ),
+                    lambda s: s["__wids"],
+                )
+            ).alias("ids")
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("ids"), F.array().cast("array<int>")
+            ).alias("ids"),
+        )
+    )
+    if eos_id is not None:
+        out = out.withColumn(
+            "ids",
+            F.concat("ids", F.array(F.lit(eos_id).cast("int"))),
+        )
+    return out.withColumn("n_tokens", F.size("ids"))
 
 
 def vocab_save(spark, vocab: List[Tuple[str, float, int]], path: str) -> None:

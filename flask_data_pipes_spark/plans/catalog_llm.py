@@ -5607,6 +5607,59 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_pack_ids")  # trained-vocab token ids → rows-only + golden pin
+def llm_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensor-ready training data: the counts the other tokenizer
+    entries GAUGE, materialized — train the unigram vocab, encode every
+    document to real token ids (byte fallback + an EOS special appended
+    per doc, ids from `piece_id_table`: specials → 256 byte pieces →
+    trained pieces), then GPT-style pack into fixed-length sequences
+    that cross document boundaries (`corpus.pack_sequence_ids`).
+    Output: one summary row (n_docs, n_sequences, n_full_sequences,
+    n_tokens, n_eos) — n_eos == n_docs is the conservation invariant
+    (every document's boundary survives packing), n_tokens == the
+    encode total (no id lost or duplicated at sequence cuts).
+
+    Scale: encode is the distinct-word Arrow economy + two keyed
+    shuffles; packing is ONE shuffle into n_groups Arrow frames
+    (~total/n_groups ids each — the memory knob; thousands of groups at
+    100 TB). Nothing global."""
+    from ..operators.corpus import pack_sequence_ids
+    from ..operators.unigram import (
+        piece_id_table,
+        unigram_encode_ids,
+        unigram_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vocab = unigram_train(d, **_UNIGRAM_PARAMS)
+    eos = "<|endoftext|>"
+    enc = unigram_encode_ids(
+        d,
+        vocab,
+        max_piece_len=_UNIGRAM_PARAMS["max_piece_len"],
+        byte_fallback=True,
+        special_tokens=(eos,),
+        append_eos=eos,
+    )
+    eos_id = dict(piece_id_table(vocab, True, (eos,)))[eos]
+    packed = pack_sequence_ids(enc, seq_len=512, n_groups=16)
+    n_docs = d.count()
+    return packed.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum((F.col("n_tokens") == 512).cast("int"))
+        .cast("long")
+        .alias("n_full_sequences"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(
+            F.size(F.filter("ids", lambda x: x == F.lit(eos_id)))
+        )
+        .cast("long")
+        .alias("n_eos"),
+    )
+
+
 @register("llm_unigram_sample_encode")  # FFBS sampler → rows-only + golden pin
 def llm_unigram_sample_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword-regularization encode (operators/unigram.py::

@@ -333,6 +333,15 @@ GOLDEN_DIGESTS = {
         5,
         "91f77e5a9a39cb3979b740095b6d464d4e7cb1f42b81a1ed4a04f0246db02c47",
     ),
+    # round 11 — token-id materialization + GPT-style packing: trained
+    # vocab → ids (specials→bytes→pieces) → fixed-512 sequences; the
+    # pinned row carries the conservation invariant n_eos == n_docs;
+    # digest verified identical across local[8]/8/UTC and local[*]/32
+    # + tz Australia/Eucla
+    "llm_pack_ids": (
+        1,
+        "e9708602b0586f1e95105b3db26001da93b141af8d3ca4c1c9515b5ec31e2010",
+    ),
     # round 11 — subword-regularization encode: per-(seed, word)-hash
     # seeded FFBS sampling is partitioning-independent by construction;
     # digest verified identical across local[8]/8/UTC and local[*]/32 +

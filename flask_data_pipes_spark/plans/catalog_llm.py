@@ -5838,10 +5838,11 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     r10 #4 — integration evidence that the stages compose): clean
     (langid + quality + exact-dedup) → line_dedup → MinHash near-dup
     keep → train/test split → decontaminate (train vs held-out test)
-    → unigram-LM perplexity filter → byte-fallback tokenize →
-    pack_sequences. Every stage is an already-gate-checked operator;
-    this entry proves they chain — output is the per-stage funnel
-    report (stage, stage_idx, n_docs, n_tokens, n_bins), golden-pinned
+    → unigram-LM perplexity filter → byte-fallback tokenize to REAL
+    token ids (per-doc EOS) → GPT-style pack into fixed 512-id
+    sequences. Every stage is an already-gate-checked operator; this
+    entry proves they chain — output is the per-stage funnel report
+    (stage, stage_idx, n_docs, n_tokens, n_sequences), golden-pinned
     (the LM trainer makes the tail non-SQL-expressible).
 
     Composition discipline (the 100 TB story): each surviving-doc
@@ -5852,11 +5853,12 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     census at the default params: clean 1 (fingerprint agg) +
     line_dedup 3 (line-hash agg, winner join, rebuild) + minhash 2
     (band agg, anti join) + decontaminate 1 train-side (test side
-    broadcast) + perplexity/tokenize 2 each (distinct-word Arrow pass
-    + doc join) + pack 1 (group window) — ~12 keyed exchanges for an
+    broadcast) + perplexity 2 + encode-ids 2 (word join, doc
+    reassembly) + pack 1 (group Arrow) — ~13 keyed exchanges for an
     8-stage pipeline, none global, all partial-agg or broadcast
-    shapes. Arrow passes: 3 (the EM E-steps, the perplexity scorer,
-    the encode segmenter), each over the DISTINCT word table only.
+    shapes. Arrow passes: 4 (the EM E-steps, the perplexity scorer,
+    the id-encode kernel — each over the DISTINCT word table only —
+    and the grouped pack).
     """
     from pyspark import StorageLevel
 
@@ -5960,49 +5962,31 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist(lvl)
         persisted.append(kept)
         n_ppl = kept.count()
-        # 7. tokenize (production path: byte fallback + special) and
-        # 8. pack into fixed-token-budget bins by REAL token counts
-        enc = unigram_encode(
+        # 7. tokenize to REAL token ids (byte fallback + per-doc EOS —
+        # the tensor-ready form, round-11 id surface) and
+        # 8. GPT-style pack: fixed 512-id sequences crossing doc
+        # boundaries (corpus.pack_sequence_ids, one grouped Arrow pass)
+        from ..operators.corpus import pack_sequence_ids
+        from ..operators.unigram import unigram_encode_ids
+
+        eos = "<|endoftext|>"
+        enc = unigram_encode_ids(
             kept,
             vocab,
             max_piece_len=_E2E_UNIGRAM["max_piece_len"],
             byte_fallback=True,
-            special_tokens=("<|endoftext|>",),
+            special_tokens=(eos,),
+            append_eos=eos,
         )
-        t = enc.select(
-            "doc_id",
-            (
-                T.md5_long(F.col("doc_id").cast("string"), 7) % _PACK_GROUPS
-            ).alias("grp"),
-            T.md5_long(F.col("doc_id").cast("string"), 8).alias("ord"),
-            F.col("n_unigram_tokens").alias("n_tok"),
-        )
-        w = (
-            Window.partitionBy("grp")
-            .orderBy("ord", "doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        bins = (
-            t.select(
-                "grp",
-                "n_tok",
-                F.sum("n_tok").over(w).alias("cum"),
+        packed = (
+            pack_sequence_ids(enc, seq_len=512, n_groups=16)
+            .agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_tokens").alias("n_tokens"),
             )
-            .select(
-                "grp",
-                "n_tok",
-                F.floor(
-                    (F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)
-                ).alias("bin_id"),
-            )
-            .groupBy("grp", "bin_id")
-            .agg(F.sum("n_tok").alias("bin_tokens"))
+            .collect()[0]
         )
-        packed = bins.agg(
-            F.count(F.lit(1)).alias("n_bins"),
-            F.sum("bin_tokens").alias("n_tokens"),
-        ).collect()[0]
-        n_bins = int(packed["n_bins"] or 0)
+        n_seqs = int(packed["n_seqs"] or 0)
         n_tokens = int(packed["n_tokens"] or 0)
     finally:
         for p in persisted:
@@ -6015,11 +5999,12 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("split_train", 5, n_train, 0, 0),
         ("decontaminated", 6, n_decon, 0, 0),
         ("perplexity_kept", 7, n_ppl, 0, 0),
-        ("packed", 8, n_ppl, n_tokens, n_bins),
+        ("packed", 8, n_ppl, n_tokens, n_seqs),
     ]
     return spark.createDataFrame(
         report,
-        "stage string, stage_idx int, n_docs long, n_tokens long, n_bins long",
+        "stage string, stage_idx int, n_docs long, n_tokens long, "
+        "n_sequences long",
     )
 
 

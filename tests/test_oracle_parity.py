@@ -354,9 +354,12 @@ GOLDEN_DIGESTS = {
     # deterministic (hash splits, fixed perplexity cut, hard-EM LM,
     # min_by winners); digest verified identical across local[8]/8/UTC
     # and local[*]/32 + tz Australia/Eucla
+    # (round-11 late: the tail upgraded from count-binning to REAL
+    # token-id packing — unigram_encode_ids + pack_sequence_ids, with
+    # per-doc EOS; pin regenerated, n_tokens = old count + n_docs eos)
     "llm_pipeline_e2e": (
         8,
-        "b299a46d03aa20c0f65a719e9722e5a7f215eed9ea5fa1f23c3d0baea2ae834b",
+        "76955cb5a7ed45c641bc27798d4b64434616d1746c3767ccaf94b5c6422eb51f",
     ),
     # KLL quantile sketch in deterministic mode (fixed hash routing +
     # within-partition sort + order-insensitive merge)

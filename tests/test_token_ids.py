@@ -206,3 +206,20 @@ def test_pack_sequence_ids_deterministic_and_validated(spark):
     assert a == b
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequence_ids(enc, seq_len=0)
+
+
+def test_unigram_encode_ids_plan_single_arrow_pass(spark):
+    """The id kernel must run exactly once, over the DISTINCT word
+    table (the round-10 lesson: an explode above a pandas-UDF array
+    can silently duplicate the kernel — here the posexplode is pure
+    Catalyst and the kernel sits after distinct)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "doc_id int, text string",
+    )
+    df = unigram_encode_ids(
+        docs, VOCAB, max_piece_len=5, byte_fallback=True
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan

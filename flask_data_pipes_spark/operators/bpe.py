@@ -38,6 +38,9 @@ __all__ = [
     "bpe_encode",
     "merges_save",
     "merges_load",
+    "bpe_id_table",
+    "bpe_encode_ids",
+    "assemble_doc_ids",
     "BYTE_TOKENS",
     "byte_fallback_tokens",
     "is_byte_token",
@@ -602,6 +605,164 @@ def bpe_encode(
             }
         )
     )
+
+
+def assemble_doc_ids(
+    df: DataFrame,
+    words: DataFrame,
+    word_ids: DataFrame,
+    id_col: str,
+    eos_id: Optional[int] = None,
+) -> DataFrame:
+    """Shared document-reassembly tail of both id encoders
+    (`bpe_encode_ids`, `unigram_encode_ids`): join per-word id arrays
+    (`word_ids`: word, __wids) back onto the positional word stream
+    (`words`: id_col, pos, word), restore document order with
+    array_sort(collect_list(struct(pos, ids))) + flatten — no window
+    sort — and left-join onto `df` so empty documents survive with
+    ids = [] (+ optional per-doc eos). → (id_col, ids, n_tokens)."""
+    per_doc = (
+        words.join(word_ids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__wids"))),
+                    lambda s: s["__wids"],
+                )
+            ).alias("ids")
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias(
+                "ids"
+            ),
+        )
+    )
+    if eos_id is not None:
+        out = out.withColumn(
+            "ids", F.concat("ids", F.array(F.lit(int(eos_id)).cast("int")))
+        )
+    return out.withColumn("n_tokens", F.size("ids"))
+
+
+def bpe_id_table(
+    merges: list,
+    alphabet,
+    byte_fallback: bool = False,
+    special_tokens=None,
+) -> list:
+    """Deterministic token→id assignment for a trained BPE tokenizer —
+    `unigram.piece_id_table`'s layout discipline for the merge-list
+    world: special tokens first (validated order), then the 256
+    reserved `<0xNN>` byte pieces when `byte_fallback`, then the
+    trained ALPHABET (sorted — the single-char base symbols), then the
+    merge products in TRAINING RANK order (rank order IS the
+    vocabulary order for BPE). Collisions keep the first id."""
+    toks: list = list(validate_special_tokens(special_tokens))
+    if byte_fallback:
+        toks += list(BYTE_TOKENS)
+    seen = set(toks)
+    for ch in sorted(alphabet):
+        if ch not in seen:
+            seen.add(ch)
+            toks.append(ch)
+    for a, b, *_rest in merges:
+        t = a + b
+        if t not in seen:
+            seen.add(t)
+            toks.append(t)
+    return [(t, i) for i, t in enumerate(toks)]
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alphabet=None,
+    byte_fallback: bool = False,
+    special_tokens=None,
+    append_eos: Optional[str] = None,
+) -> DataFrame:
+    """Tokenize a corpus to REAL BPE token-id sequences →
+    (id_col, ids array<int>, n_tokens) — `bpe_encode`'s counts,
+    materialized; the exact contract of `unigram.unigram_encode_ids`
+    so the two tokenizers' id pipelines are drop-in interchangeable
+    (both feed `corpus.pack_sequence_ids`). Requires `alphabet`
+    (`train_alphabet`) — ids need the full base-symbol set whether or
+    not `byte_fallback` is on.
+
+    Shape: identical to the unigram twin — posexplode keeps word
+    positions, the DISTINCT word table encodes-and-maps in ONE Arrow
+    kernel (broadcast ranks + id dict), `assemble_doc_ids` restores
+    document order. Two keyed shuffles.
+    """
+    import pandas as pd  # noqa: F401 — anchors the Arrow path
+    from pyspark.sql.functions import pandas_udf
+
+    if alphabet is None:
+        raise ValueError(
+            "bpe_encode_ids requires alphabet (train_alphabet): the id "
+            "table must cover every base symbol"
+        )
+    specs = list(validate_special_tokens(special_tokens))
+    if append_eos is not None:
+        (eos_ok,) = validate_special_tokens([append_eos])
+        if eos_ok not in specs:
+            specs.append(eos_ok)
+    table = bpe_id_table(merges, alphabet, byte_fallback, specs)
+    pid = dict(table)
+    eos_id = pid[append_eos] if append_eos is not None else None
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+    spark = df.sparkSession
+    b_ranks = spark.sparkContext.broadcast(ranks)
+    b_pid = spark.sparkContext.broadcast(pid)
+    alpha = frozenset(alphabet)
+    bf = bool(byte_fallback)
+    spec_set = frozenset(specs)
+
+    def kernel(ws):
+        r = b_ranks.value
+        ids_of = b_pid.value
+        memo: dict = {}
+
+        def one(w):
+            t = memo.get(w)
+            if t is None:
+                toks = encode_word(
+                    w, r, alphabet=alpha, byte_fallback=bf,
+                    specials=spec_set,
+                )
+                try:
+                    t = [ids_of[p] for p in toks]
+                except KeyError as e:
+                    raise ValueError(
+                        f"bpe_encode_ids: token {e.args[0]!r} has no id "
+                        "(out-of-alphabet character without "
+                        "byte_fallback=True)"
+                    ) from None
+                memo[w] = t
+            return t
+
+        return ws.map(one)
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode_outer(split_words_col(F.col(text_col), specs)).alias(
+            "pos", "word"
+        ),
+    ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
+    word_ids = (
+        words.select("word")
+        .distinct()
+        .withColumn("__wids", pandas_udf(kernel, "array<int>")(F.col("word")))
+    )
+    return assemble_doc_ids(df, words, word_ids, id_col, eos_id)
 
 
 def merges_save(spark, merges: list, path: str) -> None:

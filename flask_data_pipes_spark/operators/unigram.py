@@ -892,46 +892,20 @@ def unigram_encode_ids(
 
         return ws.map(one)
 
+    from .bpe import assemble_doc_ids
+
     words = df.select(
         F.col(id_col),
         F.posexplode_outer(split_words_col(F.col(text_col), specs)).alias(
             "pos", "word"
         ),
     ).where((F.col("word").isNotNull()) & (F.col("word") != ""))
-    distinct_words = words.select("word").distinct()
-    word_ids = distinct_words.withColumn(
-        "__wids", pandas_udf(kernel, "array<int>")(F.col("word"))
+    word_ids = (
+        words.select("word")
+        .distinct()
+        .withColumn("__wids", pandas_udf(kernel, "array<int>")(F.col("word")))
     )
-    per_doc = (
-        words.join(word_ids, "word")
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "__wids"))
-                    ),
-                    lambda s: s["__wids"],
-                )
-            ).alias("ids")
-        )
-    )
-    out = (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(
-                F.col("ids"), F.array().cast("array<int>")
-            ).alias("ids"),
-        )
-    )
-    if eos_id is not None:
-        out = out.withColumn(
-            "ids",
-            F.concat("ids", F.array(F.lit(eos_id).cast("int"))),
-        )
-    return out.withColumn("n_tokens", F.size("ids"))
+    return assemble_doc_ids(df, words, word_ids, id_col, eos_id)
 
 
 def vocab_save(spark, vocab: List[Tuple[str, float, int]], path: str) -> None:

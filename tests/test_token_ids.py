@@ -223,3 +223,98 @@ def test_unigram_encode_ids_plan_single_arrow_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+# --- BPE id twin (bpe_id_table / bpe_encode_ids) -----------------------------
+
+
+def test_bpe_id_table_layout():
+    from flask_data_pipes_spark.operators.bpe import bpe_id_table
+
+    merges = [("a", "b", 5), ("ab", "c", 3)]
+    t = dict(
+        bpe_id_table(merges, alphabet=["c", "a", "b"], byte_fallback=True,
+                     special_tokens=["<|eot|>"])
+    )
+    assert t["<|eot|>"] == 0
+    assert t["<0x00>"] == 1 and t["<0xFF>"] == 256
+    assert (t["a"], t["b"], t["c"]) == (257, 258, 259)  # sorted alphabet
+    assert (t["ab"], t["abc"]) == (260, 261)  # merge products in rank order
+    ids = [i for _tok, i in bpe_id_table(merges, ["a", "b", "c", "ab"])]
+    assert len(ids) == len(set(ids))  # collision ('ab' in alphabet) skipped
+
+
+def test_bpe_encode_ids_matches_pure_model_and_counts(spark):
+    from flask_data_pipes_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_id_table,
+        bpe_train_incremental,
+        encode_word,
+        train_alphabet,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id int, text string",
+    )
+    merges = bpe_train_incremental(train, n_merges=6, min_count=1)
+    alphabet = train_alphabet(train)
+    docs = spark.createDataFrame(
+        [(1, "the fox<|sep|>straße"), (2, "über dog <|sep|>"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode_ids(
+            docs, merges, alphabet=alphabet, byte_fallback=True,
+            special_tokens=["<|sep|>"], append_eos="<|sep|>",
+        ).collect()
+    }
+    pid = dict(bpe_id_table(merges, alphabet, True, ["<|sep|>"]))
+    ranks = {(a, b): i for i, (a, b, *_r) in enumerate(merges)}
+    alpha = set(alphabet)
+    for d, text in [(1, "the fox<|sep|>straße"), (2, "über dog <|sep|>")]:
+        t = text.lower().replace("<|sep|>", " <|sep|> ")
+        want = []
+        for w in t.split():
+            toks = (
+                [w] if w == "<|sep|>"
+                else encode_word(w, ranks, alphabet=alpha, byte_fallback=True)
+            )
+            want.extend(pid[p] for p in toks)
+        want.append(pid["<|sep|>"])
+        assert list(out[d]["ids"]) == want, (d, out[d]["ids"], want)
+    assert list(out[3]["ids"]) == [pid["<|sep|>"]]
+    # ids == counts (+ eos)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(
+            docs, merges, byte_fallback=True, alphabet=alphabet,
+            special_tokens=["<|sep|>"],
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["n_tokens"] == counts[d] + 1  # + eos
+
+
+def test_bpe_encode_ids_requires_alphabet_and_feeds_packer(spark):
+    from flask_data_pipes_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_incremental,
+        train_alphabet,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa bb cc") for i in range(12)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="alphabet"):
+        bpe_encode_ids(docs, [], byte_fallback=True)
+    merges = bpe_train_incremental(docs, n_merges=2, min_count=1)
+    enc = bpe_encode_ids(
+        docs, merges, alphabet=train_alphabet(docs), byte_fallback=True
+    )
+    # drop-in interchangeable with the unigram twin: same packer contract
+    packed = pack_sequence_ids(enc, seq_len=11, n_groups=3).collect()
+    n_in = sum(r["n_tokens"] for r in enc.collect())
+    assert sum(r["n_tokens"] for r in packed) == n_in

@@ -128,16 +128,19 @@ def split_words_col(text_col, special_tokens=None) -> Column:
     """The SHARED word-splitting expression of both tokenizers:
     lowercase + whitespace split, with special tokens space-padded
     FIRST so each occurrence becomes its own word (and later encodes as
-    exactly one token). Pure Catalyst — specials are protected with
-    literal-escaped regexp_replace, longest special first."""
+    exactly one token). Pure Catalyst — ONE regexp_replace whose
+    pattern is the literal-escaped alternation of all specials, longest
+    first: a single pass means a special nested inside another
+    (e.g. "eot" inside "<|eot|>") can never re-match INSIDE the already
+    -protected longer token, which a sequential per-special replace
+    would corrupt."""
     import re as _re
 
     c = F.lower(text_col if isinstance(text_col, Column) else F.col(text_col))
-    for s in validate_special_tokens(special_tokens):
-        # escape regex metachars in the pattern AND \/$ in the
-        # replacement (Java's replacement syntax treats both specially)
-        repl = " " + s.replace("\\", "\\\\").replace("$", "\\$") + " "
-        c = F.regexp_replace(c, _re.escape(s), repl)
+    specs = validate_special_tokens(special_tokens)
+    if specs:
+        pattern = "|".join(_re.escape(s) for s in specs)
+        c = F.regexp_replace(c, pattern, " $0 ")
     return T.whitespace_tokens(c)
 
 
@@ -439,15 +442,24 @@ def encode_word(
     return syms
 
 
-def train_alphabet(df: DataFrame, text_col: str = "text") -> list:
+def train_alphabet(
+    df: Optional[DataFrame] = None,
+    text_col: str = "text",
+    words: Optional[DataFrame] = None,
+) -> list:
     """The trained character set: every distinct character of the
     lower-cased whitespace words — what `byte_fallback` needs to decide
     coverage. One pure-Catalyst scan (split word → explode → distinct);
     the result is alphabet-sized (≤ a few thousand rows for any human
-    script mix), collected to the driver like a vocabulary."""
+    script mix), collected to the driver like a vocabulary. Pass the
+    already-built `words` table (the `bpe_train*`/`unigram_train`
+    `words=` discipline) to avoid re-scanning the corpus."""
+    if words is None:
+        if df is None:
+            raise ValueError("train_alphabet needs df or words")
+        words = word_counts(df, text_col)
     rows = (
-        word_counts(df, text_col)
-        .select(F.explode(F.split("word", "")).alias("ch"))
+        words.select(F.explode(F.split("word", "")).alias("ch"))
         .where(F.col("ch") != "")
         .distinct()
         .collect()

@@ -1303,6 +1303,8 @@ def pack_sequence_ids(
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
+    if n_groups < 1:
+        raise ValueError("n_groups must be >= 1")
     sl = int(seq_len)
     t = enc.select(
         (T.md5_long(F.col(id_col).cast("string"), 5) % n_groups)

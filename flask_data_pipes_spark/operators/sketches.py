@@ -1000,6 +1000,23 @@ def mg_build(
             s.extend(pdf["item"].dropna())
         items = sorted(s.counters.items())
         sid = f"{bid}-{pid}"
+        if not items and pid is not None and s.dec > 0:
+            # a sketch can end with EMPTY counters but nonzero dec (a
+            # decrement round that wipes every counter, e.g. k+1
+            # distinct items cycling) — emit a null-item sentinel so
+            # the decrement total is never lost: dropping it would
+            # silently void est <= true <= est + dec on any merge
+            # containing this shard (round-11 fix; the old pairwise
+            # merge's inflated dec masked exactly this)
+            yield pd.DataFrame(
+                {
+                    "sid": pd.Series([sid], dtype="object"),
+                    "item": pd.Series([None], dtype="object"),
+                    "cnt": pd.Series([0], dtype="int64"),
+                    "dec": pd.Series([s.dec], dtype="int64"),
+                }
+            )
+            return
         yield pd.DataFrame(
             {
                 "sid": pd.Series([sid] * len(items), dtype="object"),
@@ -1031,7 +1048,17 @@ def mg_merge(
     one sid disagreeing on dec, can only mean two different sketches
     share a sid (two builds unioned with a forced identical build_id,
     or a replayed batch appended instead of overwritten) — merging them
-    would void the certificate silently, so the kernel raises instead."""
+    would void the certificate silently, so the kernel raises instead.
+
+    The fold is M-WAY, not pairwise: all sketches' counters and
+    decrements SUM, then at most ONE (k+1)-th-largest cut trims the
+    union back to k (Agarwal et al.'s merge generalized — valid by the
+    same argument, since a single cut of value c adds exactly c to
+    every estimate's under-count). Two wins over folding pairwise:
+    dec grows by one cut instead of up to m−1, and the result is
+    ORDER-INSENSITIVE — deterministic even though uuid-prefixed sids
+    sort randomly (pairwise MG's cut cascade depends on accumulation
+    order, which would make lossy-regime output flap run to run)."""
     kk = int(k)
 
     def merge(it):
@@ -1039,12 +1066,31 @@ def mg_merge(
 
         by_sid: dict = {}
         dec_of: dict = {}
+        null_seen: set = set()
         for pdf in it:
             for sid, item, cnt, dec in zip(
                 pdf["sid"], pdf["item"], pdf["cnt"], pdf["dec"]
             ):
                 sid, dec = str(sid), int(dec)
                 s = by_sid.setdefault(sid, MGSketch(kk))
+                if dec_of.setdefault(sid, dec) != dec:
+                    raise ValueError(
+                        f"mg_merge: inconsistent dec for sid {sid!r} — "
+                        "rows of one sketch must share its decrement "
+                        "total; two sketches are colliding on this sid"
+                    )
+                if item is None or (
+                    isinstance(item, float) and item != item
+                ):
+                    # dec-carrying sentinel of an empty-countered sketch
+                    if sid in null_seen:
+                        raise ValueError(
+                            f"mg_merge: duplicate sentinel for sid {sid!r}"
+                            " — two sketches are colliding on this sid"
+                        )
+                    null_seen.add(sid)
+                    s.dec = dec
+                    continue
                 if item in s.counters:
                     raise ValueError(
                         "mg_merge: duplicate (sid, item) row for sid "
@@ -1053,18 +1099,35 @@ def mg_merge(
                         "or a replayed batch appended instead of "
                         "overwritten); rebuild with distinct build_ids"
                     )
-                if dec_of.setdefault(sid, dec) != dec:
-                    raise ValueError(
-                        f"mg_merge: inconsistent dec for sid {sid!r} — "
-                        "rows of one sketch must share its decrement "
-                        "total; two sketches are colliding on this sid"
-                    )
                 s.counters[item] = int(cnt)
                 s.dec = dec
         total = MGSketch(kk)
-        for sid in sorted(by_sid):
-            total.merge(by_sid[sid])
+        c = total.counters
+        for s in by_sid.values():
+            for item, v in s.counters.items():
+                c[item] = c.get(item, 0) + v
+            total.dec += s.dec
+            total.n += s.n
+        if len(c) > kk:
+            vals = sorted(c.values(), reverse=True)
+            cut = vals[kk]
+            total.dec += cut
+            total.counters = {
+                item: v - cut for item, v in c.items() if v - cut > 0
+            }
         items = sorted(total.counters.items())
+        if not items and (by_sid and total.dec > 0):
+            # same sentinel rule as mg_build: a cut that wipes every
+            # counter must still hand its dec to any downstream merge
+            yield pd.DataFrame(
+                {
+                    "sid": pd.Series([None], dtype="object"),
+                    "item": pd.Series([None], dtype="object"),
+                    "cnt": pd.Series([0], dtype="int64"),
+                    "dec": pd.Series([total.dec], dtype="int64"),
+                }
+            )
+            return
         out_sid = None
         yield pd.DataFrame(
             {
@@ -1094,9 +1157,12 @@ def mg_topk(sketch: DataFrame, n: int = 10) -> DataFrame:
     """Top-n candidates from a merged summary → (item, est, est_max):
     est is the guaranteed under-count, est_max = est + dec the upper
     bound; any item whose true count exceeds the merged dec is
-    guaranteed present. Plain Catalyst on the ≤ k-row summary."""
+    guaranteed present. Plain Catalyst on the ≤ k-row summary
+    (null-item dec sentinels are excluded — they are bookkeeping, not
+    candidates)."""
     return (
-        sketch.select(
+        sketch.where(F.col("item").isNotNull())
+        .select(
             "item",
             F.col("cnt").alias("est"),
             (F.col("cnt") + F.col("dec")).alias("est_max"),

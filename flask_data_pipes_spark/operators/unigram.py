@@ -371,10 +371,20 @@ def sample_segment_word_table(
         import pandas as pd
 
         one = one_factory(b_logp.value)
+        memo: dict = {}
+
+        def memo_one(w, s):
+            key = (w, s)
+            t = memo.get(key)
+            if t is None:
+                t = one(w, s)
+                memo[key] = t
+            return t
+
         for pdf in it:
             pdf = pdf.copy()
             pdf["pieces"] = [
-                one(w, str(s))
+                memo_one(w, str(s))
                 for w, s in zip(pdf[word_col], pdf[salt_col])
             ]
             yield pdf

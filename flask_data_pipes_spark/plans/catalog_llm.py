@@ -4511,10 +4511,15 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode,
         bpe_train_incremental,
         train_alphabet,
+        word_counts,
     )
 
     d = load(spark, sf_dir, "documents")
-    merges = bpe_train_incremental(d, n_merges=24, min_count=2)
+    # ONE word-table build feeds both the trainer and the alphabet
+    # (train_alphabet's words= escape hatch); eager localCheckpoint so
+    # the corpus is scanned exactly once for both consumers
+    wc = word_counts(d).localCheckpoint(eager=True)
+    merges = bpe_train_incremental(d, n_merges=24, min_count=2, words=wc)
     # byte_fallback + a reserved special: the production encode path
     # (round 11). Self-trained vocabulary covers the corpus alphabet
     # and the special never occurs, so the golden pin is unchanged —
@@ -4523,7 +4528,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         merges,
         byte_fallback=True,
-        alphabet=train_alphabet(d),
+        alphabet=train_alphabet(words=wc),
         special_tokens=("<|endoftext|>",),
     )
     return (

@@ -386,3 +386,67 @@ def test_mg_deterministic_build_id(spark):
     df = spark.createDataFrame([("x",), ("y",)], "tok string").coalesce(1)
     out = mg_build(df, "tok", k=8, build_id="epoch7").collect()
     assert {r["sid"] for r in out} == {"epoch7-0"}
+
+
+def test_mg_merge_order_insensitive_lossy_regime(spark):
+    """mg_merge's m-way single-cut fold is order-insensitive: two fresh
+    builds of the same data (fresh random build_ids each run, so the
+    per-sid fold order differs) must merge to IDENTICAL counters and
+    dec even in the lossy regime (k < distinct items), where a pairwise
+    cut cascade would depend on accumulation order (round-11 review)."""
+    rows = [(f"w{i % 23}",) for i in range(2000)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "tok string").repartition(6)
+    k = 4  # k << 24 distinct -> cuts definitely fire
+
+    def run():
+        out = mg_merge(mg_build(df, "tok", k=k), k=k).collect()
+        dec = out[0]["dec"] if out else 0
+        return {r["item"]: r["cnt"] for r in out}, dec
+
+    a, dec_a = run()
+    b, dec_b = run()
+    assert a == b and dec_a == dec_b
+    # m-way fold: the merged dec is sum(per-build decs) + at most ONE cut
+    built = mg_build(df, "tok", k=k, build_id="x").collect()
+    per_sid_dec = {}
+    for r in built:
+        per_sid_dec[r["sid"]] = r["dec"]
+    assert dec_a >= sum(per_sid_dec.values())
+    assert "hot" in a  # 400 >> dec certificate keeps the heavy item
+
+
+def test_mg_build_empty_wipe_partition_keeps_dec(spark):
+    """Round-11 regression (found by the m-way merge's tighter dec): a
+    partition whose sketch ends with EMPTY counters (a decrement round
+    wiping everything — k+1 distinct items cycling) must still emit its
+    decrement total (null-item sentinel row); silently dropping it
+    voids est <= true <= est + dec on any merge containing the shard.
+    The old pairwise fold's inflated dec masked exactly this."""
+    from collections import Counter
+
+    k = 4
+    # one partition of 5 distinct items cycling, length % 5 == 0:
+    # every round wipes all counters -> final sketch EMPTY, dec = n/5
+    wipe = [(f"w{i % 5}",) for i in range(100)]
+    df_w = spark.createDataFrame(wipe, "tok string").coalesce(1)
+    built = mg_build(df_w, "tok", k=k, build_id="wipe")
+    rows = built.collect()
+    assert len(rows) == 1 and rows[0]["item"] is None
+    assert rows[0]["cnt"] == 0 and rows[0]["dec"] == 20
+    # union with a second build; certificate must hold on the union
+    other = [("x",)] * 30 + [(f"w{i % 5}",) for i in range(50)]
+    df_o = spark.createDataFrame(other, "tok string").coalesce(1)
+    merged = mg_merge(
+        built.unionByName(mg_build(df_o, "tok", k=k)), k=k
+    ).collect()
+    dec = merged[0]["dec"] if merged else 0
+    est = {r["item"]: r["cnt"] for r in merged if r["item"] is not None}
+    true = Counter(t for (t,) in wipe + other)
+    for it, t in true.items():
+        e = est.get(it, 0)
+        assert e <= t <= e + dec, (it, e, t, dec)
+    # the topk view never surfaces the bookkeeping sentinel
+    top = mg_topk(
+        mg_merge(built.unionByName(mg_build(df_o, "tok", k=k)), k=k), 10
+    ).collect()
+    assert all(r["item"] is not None for r in top)

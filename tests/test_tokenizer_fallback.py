@@ -280,3 +280,22 @@ def test_unk_logp_path_unchanged_without_fallback():
     out = viterbi_segment("qx", {"a": -1.0}, 3)
     assert out == ["q", "x"]
     assert UNK_LOGP == -100.0
+
+
+def test_split_words_col_nested_specials_single_pass(spark):
+    """A special that is a substring of another ("eot" inside
+    "<|eot|>") must not re-match inside the already-protected longer
+    token — the single-alternation-pass guarantee (round-11 review)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a<|eot|>b eot c",), ("eot<|eot|>eot",)], "text string"
+    )
+    out = [
+        r["w"]
+        for r in df.select(
+            split_words_col(F.col("text"), ["<|eot|>", "eot"]).alias("w")
+        ).collect()
+    ]
+    assert out[0] == ["a", "<|eot|>", "b", "eot", "c"]
+    assert out[1] == ["eot", "<|eot|>", "eot"]

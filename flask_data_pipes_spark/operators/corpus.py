@@ -1278,6 +1278,7 @@ def pack_sequence_ids(
     seq_len: int = 1024,
     n_groups: int = 64,
     seed: int = 8,
+    pad_id: Optional[int] = None,
 ) -> DataFrame:
     """GPT-style sequence packing over REAL token ids (the materialized
     sibling of the count-binning `llm_pack_sequences`): documents are
@@ -1287,7 +1288,10 @@ def pack_sequence_ids(
     cross document boundaries (append an EOS id per doc upstream —
     `unigram_encode_ids(append_eos=...)` — so the model sees the
     breaks); every sequence is exactly seq_len except each group's
-    final partial, emitted unpadded with its true length.
+    final partial, emitted unpadded with its true length — or, with
+    `pad_id`, right-padded to seq_len so every tensor row is
+    fixed-shape (`n_tokens` still reports the REAL length, which is
+    the attention-mask boundary).
 
     Determinism: order inside a group is (md5(doc_id), doc_id) — stable
     under re-runs, repartitioning, and engine parallelism, so packed
@@ -1306,6 +1310,7 @@ def pack_sequence_ids(
     if n_groups < 1:
         raise ValueError("n_groups must be >= 1")
     sl = int(seq_len)
+    pad = int(pad_id) if pad_id is not None else None
     t = enc.select(
         (T.md5_long(F.col(id_col).cast("string"), 5) % n_groups)
         .cast("int")
@@ -1327,14 +1332,15 @@ def pack_sequence_ids(
         out_ids = [
             stream[i : i + sl] for i in range(0, len(stream), sl)
         ]
+        n_real = [len(s) for s in out_ids]
+        if pad is not None and out_ids and n_real[-1] < sl:
+            out_ids[-1] = out_ids[-1] + [pad] * (sl - n_real[-1])
         return pd.DataFrame(
             {
                 "grp": pd.Series([grp] * len(out_ids), dtype="int32"),
                 "seq_idx": pd.Series(range(len(out_ids)), dtype="int64"),
                 "ids": pd.Series(out_ids, dtype="object"),
-                "n_tokens": pd.Series(
-                    [len(s) for s in out_ids], dtype="int32"
-                ),
+                "n_tokens": pd.Series(n_real, dtype="int32"),
             }
         )
 

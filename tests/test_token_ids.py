@@ -318,3 +318,24 @@ def test_bpe_encode_ids_requires_alphabet_and_feeds_packer(spark):
     packed = pack_sequence_ids(enc, seq_len=11, n_groups=3).collect()
     n_in = sum(r["n_tokens"] for r in enc.collect())
     assert sum(r["n_tokens"] for r in packed) == n_in
+
+
+def test_pack_sequence_ids_pad_mode(spark):
+    rows = [(i, [i] * 3) for i in range(10)]  # 30 tokens
+    enc = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    out = pack_sequence_ids(
+        enc, seq_len=8, n_groups=2, pad_id=-1
+    ).collect()
+    for r in out:
+        assert len(r["ids"]) == 8  # fixed tensor shape
+        real = [x for x in r["ids"] if x != -1]
+        assert r["n_tokens"] == len(real)  # attention-mask boundary
+        # padding only ever trails
+        assert list(r["ids"][: r["n_tokens"]]) == real
+    # conservation on the REAL tokens
+    assert sum(r["n_tokens"] for r in out) == 30
+    # unpadded twin agrees on the real content
+    raw = pack_sequence_ids(enc, seq_len=8, n_groups=2).collect()
+    a = sorted((r["grp"], r["seq_idx"], tuple(r["ids"][: r["n_tokens"]])) for r in out)
+    b = sorted((r["grp"], r["seq_idx"], tuple(r["ids"])) for r in raw)
+    assert a == b

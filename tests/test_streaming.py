@@ -960,3 +960,41 @@ def test_foreach_batch_mg_cross_batch_and_replay_exactly_once(spark, tmp_path):
         if t > dec2:
             assert it in est2
     assert "hot" in est2  # 400 occurrences, guaranteed present
+
+
+def test_foreach_batch_mg_wipe_batch_keeps_certificate(spark, tmp_path):
+    """A micro-batch whose every partition sketch wipes to empty
+    counters (k+1 distinct items cycling) must still contribute its
+    decrement totals through the sink's parquet rows (the round-11
+    null-item dec sentinels) — otherwise the merged stream read would
+    certify estimates it cannot honor."""
+    from collections import Counter
+
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_mg,
+        mg_read_merged,
+    )
+
+    k = 4
+    # 5 distinct items cycling, length % 5 == 0 -> wipes every round
+    b0 = [(f"w{i % 5}",) for i in range(200)]
+    b1 = [("x",)] * 60 + [(f"w{i % 5}",) for i in range(40)]
+    path = str(tmp_path / "mgw")
+    sink = foreach_batch_mg(path, "tok", k=k)
+    sink(spark.createDataFrame(b0, "tok string").coalesce(1), 0)
+    sink(spark.createDataFrame(b1, "tok string").coalesce(1), 1)
+    sink(spark.createDataFrame(b0, "tok string").coalesce(1), 0)  # replay
+
+    raw = spark.read.parquet(path).collect()
+    # batch 0's single partition wiped: its row is the dec sentinel
+    b0_rows = [r for r in raw if r["sid"].startswith("b0-")]
+    assert len(b0_rows) == 1 and b0_rows[0]["item"] is None
+    assert b0_rows[0]["dec"] == 40  # 200 / 5 decrement rounds
+    merged = mg_read_merged(spark, path, k=k).collect()
+    dec = merged[0]["dec"] if merged else 0
+    est = {r["item"]: r["cnt"] for r in merged if r["item"] is not None}
+    true = Counter(t for (t,) in b0 + b1)
+    for it, t in true.items():
+        e = est.get(it, 0)
+        assert e <= t <= e + dec, (it, e, t, dec)
+    assert "x" in est  # 60 > dec's per-item slack keeps the heavy item

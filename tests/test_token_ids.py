@@ -339,3 +339,17 @@ def test_pack_sequence_ids_pad_mode(spark):
     a = sorted((r["grp"], r["seq_idx"], tuple(r["ids"][: r["n_tokens"]])) for r in out)
     b = sorted((r["grp"], r["seq_idx"], tuple(r["ids"])) for r in raw)
     assert a == b
+
+
+def test_bpe_encode_ids_plan_single_arrow_pass(spark):
+    from flask_data_pipes_spark.operators.bpe import bpe_encode_ids
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa") for i in range(10)], "doc_id int, text string"
+    )
+    df = bpe_encode_ids(
+        docs, [("a", "a", 2)], alphabet=["a", "b"], byte_fallback=True
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan

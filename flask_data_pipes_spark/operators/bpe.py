@@ -525,7 +525,16 @@ def encode_word_table(
     out = vocab.withColumn("tokens", tokens).withColumn(
         "n_tokens", F.size("tokens")
     )
-    # byte-token count is Catalyst-side (the kernel stays one pass)
+    # byte-token count is Catalyst-side (the kernel stays one pass);
+    # without byte_fallback no <0xNN> piece can be EMITTED, so the
+    # count is a constant 0 — skipping the per-token regex pass also
+    # avoids miscounting a literal input word "<0xab>" as a byte token
+    # (ADVICE r11; bpe_encode is safe regardless, it lowercases and
+    # word-splits first)
+    if not bf:
+        return out.withColumn(
+            "n_byte_tokens", F.lit(0).cast("int")
+        )
     return out.withColumn(
         "n_byte_tokens",
         F.size(

@@ -1321,24 +1321,46 @@ def pack_sequence_ids(
     )
 
     def pack(pdf):
+        import numpy as np
         import pandas as pd
 
+        if pdf["grp"].isna().any():
+            # md5_long(NULL) hashes to a NULL group; surface the data
+            # bug by name instead of a ValueError deep in int(NaN)
+            raise ValueError(
+                f"pack_sequence_ids: null {id_col!r} value — every "
+                "document needs a non-null id (it is the hash-group "
+                "and ordering key); filter or fill upstream"
+            )
         pdf = pdf.sort_values(["__ord", "__doc"], kind="mergesort")
         grp = int(pdf["grp"].iloc[0]) if len(pdf) else 0
-        stream: list = []
-        for ids in pdf["__ids"]:
-            if ids is not None and len(ids):
-                stream.extend(int(x) for x in ids)
-        out_ids = [
-            stream[i : i + sl] for i in range(0, len(stream), sl)
+        # vectorized concat (round-12: was a per-token Python loop —
+        # 4 bytes/token ndarray instead of ~28-byte boxed ints, and the
+        # copy runs in C; this kernel is the hot path every packed
+        # token passes through)
+        arrs = [
+            np.asarray(ids, dtype=np.int32)
+            for ids in pdf["__ids"]
+            if ids is not None and len(ids)
         ]
-        n_real = [len(s) for s in out_ids]
-        if pad is not None and out_ids and n_real[-1] < sl:
-            out_ids[-1] = out_ids[-1] + [pad] * (sl - n_real[-1])
+        stream = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int32)
+        )
+        n = int(stream.shape[0])
+        n_seqs = (n + sl - 1) // sl
+        n_real = np.full(n_seqs, sl, dtype=np.int32)
+        if n_seqs and n % sl:
+            n_real[-1] = n % sl
+        if pad is not None and n_seqs and n % sl:
+            full = np.full(n_seqs * sl, pad, dtype=np.int32)
+            full[:n] = stream
+            stream = full
+            n = n_seqs * sl
+        out_ids = [stream[i : i + sl] for i in range(0, n, sl)]
         return pd.DataFrame(
             {
-                "grp": pd.Series([grp] * len(out_ids), dtype="int32"),
-                "seq_idx": pd.Series(range(len(out_ids)), dtype="int64"),
+                "grp": pd.Series([grp] * n_seqs, dtype="int32"),
+                "seq_idx": pd.Series(range(n_seqs), dtype="int64"),
                 "ids": pd.Series(out_ids, dtype="object"),
                 "n_tokens": pd.Series(n_real, dtype="int32"),
             }

@@ -965,8 +965,10 @@ def mg_build(
     build_id: Optional[str] = None,
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries over `value_col` → rows
-    (sid, item, cnt, dec): ≤ k counter rows per input partition, all
-    rows of a partition carrying its sketch's decrement total. One
+    (sid, item, cnt, dec, nrows): ≤ k counter rows per input partition,
+    all rows of a partition carrying its sketch's decrement total and
+    its row count (`nrows` — the integrity checksum `mg_merge` uses to
+    detect ANY two sketches fused onto one sid, ADVICE r11). One
     Arrow pass, NO shuffle; `mg_merge` combines the summaries.
 
     `sid` is "<build_id>-<partition_id>" — a fresh uuid per CALL unless
@@ -1014,6 +1016,7 @@ def mg_build(
                     "item": pd.Series([None], dtype="object"),
                     "cnt": pd.Series([0], dtype="int64"),
                     "dec": pd.Series([s.dec], dtype="int64"),
+                    "nrows": pd.Series([1], dtype="int64"),
                 }
             )
             return
@@ -1023,11 +1026,13 @@ def mg_build(
                 "item": pd.Series([i for i, _ in items], dtype="object"),
                 "cnt": pd.Series([c for _, c in items], dtype="int64"),
                 "dec": pd.Series([s.dec] * len(items), dtype="int64"),
+                "nrows": pd.Series([len(items)] * len(items), dtype="int64"),
             }
         )
 
     return src.mapInPandas(
-        build, schema="sid string, item string, cnt long, dec long"
+        build,
+        schema="sid string, item string, cnt long, dec long, nrows long",
     )
 
 
@@ -1038,17 +1043,22 @@ def mg_merge(
     build_id: Optional[str] = None,
 ) -> DataFrame:
     """Merge MG summary rows down to `partitions` summaries (1 = one
-    global summary), rows (sid, item, cnt, dec) with sid =
+    global summary), rows (sid, item, cnt, dec, nrows) with sid =
     "<merge build_id>-<output partition>": reconstruct per-sid sketches
     (dec is per-sketch state, which is why the rows carry sid) and fold
     them. The guarantee survives merging: est <= true <= est + dec on
     the UNION — decrements of DISTINCT source sketches add.
 
-    Guards (ADVICE r10): a duplicate (sid, item) row, or two rows of
-    one sid disagreeing on dec, can only mean two different sketches
-    share a sid (two builds unioned with a forced identical build_id,
-    or a replayed batch appended instead of overwritten) — merging them
-    would void the certificate silently, so the kernel raises instead.
+    Guards (ADVICE r10, completed r11): two different sketches sharing
+    one sid (two builds unioned with a forced identical build_id, or a
+    replayed batch appended instead of overwritten) would fuse into a
+    single under-decremented sketch, voiding the certificate silently —
+    so the kernel raises on every detectable shape: a duplicate
+    (sid, item) row, rows of one sid disagreeing on dec, rows
+    disagreeing on the builder-declared row count `nrows`, or the
+    observed row count differing from `nrows`. The `nrows` checksum
+    makes the guard COMPLETE: any fused pair either disagrees on
+    nrows (n1 != n2) or doubles the observed count (2n != n).
 
     The fold is M-WAY, not pairwise: all sketches' counters and
     decrements SUM, then at most ONE (k+1)-th-largest cut trims the
@@ -1066,12 +1076,15 @@ def mg_merge(
 
         by_sid: dict = {}
         dec_of: dict = {}
+        nrows_of: dict = {}
+        seen_of: dict = {}
         null_seen: set = set()
         for pdf in it:
-            for sid, item, cnt, dec in zip(
-                pdf["sid"], pdf["item"], pdf["cnt"], pdf["dec"]
+            for sid, item, cnt, dec, nr in zip(
+                pdf["sid"], pdf["item"], pdf["cnt"], pdf["dec"],
+                pdf["nrows"],
             ):
-                sid, dec = str(sid), int(dec)
+                sid, dec, nr = str(sid), int(dec), int(nr)
                 s = by_sid.setdefault(sid, MGSketch(kk))
                 if dec_of.setdefault(sid, dec) != dec:
                     raise ValueError(
@@ -1079,6 +1092,14 @@ def mg_merge(
                         "rows of one sketch must share its decrement "
                         "total; two sketches are colliding on this sid"
                     )
+                if nrows_of.setdefault(sid, nr) != nr:
+                    raise ValueError(
+                        f"mg_merge: inconsistent nrows for sid {sid!r}"
+                        " — rows of one sketch must share its declared"
+                        " row count; two sketches are colliding on"
+                        " this sid"
+                    )
+                seen_of[sid] = seen_of.get(sid, 0) + 1
                 if item is None or (
                     isinstance(item, float) and item != item
                 ):
@@ -1101,6 +1122,14 @@ def mg_merge(
                     )
                 s.counters[item] = int(cnt)
                 s.dec = dec
+        for sid, nr in nrows_of.items():
+            if seen_of.get(sid, 0) != nr:
+                raise ValueError(
+                    f"mg_merge: sid {sid!r} declared nrows={nr} but "
+                    f"{seen_of.get(sid, 0)} rows arrived — two "
+                    "sketches with identical dec are fused on this "
+                    "sid; rebuild with distinct build_ids"
+                )
         total = MGSketch(kk)
         c = total.counters
         for s in by_sid.values():
@@ -1125,6 +1154,7 @@ def mg_merge(
                     "item": pd.Series([None], dtype="object"),
                     "cnt": pd.Series([0], dtype="int64"),
                     "dec": pd.Series([total.dec], dtype="int64"),
+                    "nrows": pd.Series([1], dtype="int64"),
                 }
             )
             return
@@ -1135,6 +1165,7 @@ def mg_merge(
                 "item": pd.Series([i for i, _ in items], dtype="object"),
                 "cnt": pd.Series([c for _, c in items], dtype="int64"),
                 "dec": pd.Series([total.dec] * len(items), dtype="int64"),
+                "nrows": pd.Series([len(items)] * len(items), dtype="int64"),
             }
         )
 
@@ -1145,7 +1176,8 @@ def mg_merge(
     # one sketch across merge tasks would double-count its dec (the
     # bound would stay VALID but needlessly loosen)
     merged = sketch.repartition(partitions, F.col("sid")).mapInPandas(
-        merge, schema="sid string, item string, cnt long, dec long"
+        merge,
+        schema="sid string, item string, cnt long, dec long, nrows long",
     )
     return merged.withColumn(
         "sid",

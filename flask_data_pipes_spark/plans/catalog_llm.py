@@ -5764,12 +5764,20 @@ _COVERAGE_ORACLE = rf"""
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY lang
     )
-    SELECT dpl.lang, dpl.n_docs, wstats.n_words, cstats.n_chars,
-           cstats.n_byte_tokens,
-           ROUND(CAST(cstats.n_byte_tokens AS DOUBLE) / cstats.n_chars, 6)
+    -- LEFT JOINs from dpl (ADVICE r11): the Spark side's
+    -- unigram_encode left-joins per-doc stats and zero-fills, so a
+    -- language whose documents are ALL empty/whitespace must stay in
+    -- the result zero-filled (byte_rate NULL on 0/0, matching Spark's
+    -- null division), not be dropped by an inner join
+    SELECT dpl.lang, dpl.n_docs,
+           COALESCE(wstats.n_words, 0) AS n_words,
+           COALESCE(cstats.n_chars, 0) AS n_chars,
+           COALESCE(cstats.n_byte_tokens, 0) AS n_byte_tokens,
+           ROUND(CAST(COALESCE(cstats.n_byte_tokens, 0) AS DOUBLE)
+                 / NULLIF(COALESCE(cstats.n_chars, 0), 0), 6)
              AS byte_rate
-    FROM dpl JOIN wstats ON dpl.lang = wstats.lang
-    JOIN cstats ON dpl.lang = cstats.lang
+    FROM dpl LEFT JOIN wstats ON dpl.lang = wstats.lang
+    LEFT JOIN cstats ON dpl.lang = cstats.lang
     """
 
 

@@ -918,7 +918,9 @@ def mg_read_merged(spark, sketch_path: str, k: int = 64) -> DataFrame:
     from ..operators.sketches import mg_merge
 
     return mg_merge(
-        spark.read.parquet(sketch_path).select("sid", "item", "cnt", "dec"),
+        spark.read.parquet(sketch_path).select(
+            "sid", "item", "cnt", "dec", "nrows"
+        ),
         k=k,
     )
 

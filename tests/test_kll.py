@@ -382,6 +382,31 @@ def test_mg_sid_collision_raises(spark):
         mg_merge(a.unionByName(b), k=8).collect()
 
 
+def test_mg_sid_collision_disjoint_items_raises(spark):
+    """ADVICE r11: two sketches fused on one sid with EQUAL dec and
+    DISJOINT item sets used to slide past the duplicate-(sid,item) and
+    inconsistent-dec guards — counters added while dec was counted
+    once, silently voiding est <= true <= est + dec. The nrows
+    checksum closes it: same-size sketches double the observed row
+    count, different-size sketches disagree on the declared nrows."""
+    import pytest as _pt
+
+    # same size (2 items each, dec=0): observed 4 rows vs nrows=2
+    da = spark.createDataFrame([("a",), ("b",)], "tok string").coalesce(1)
+    db = spark.createDataFrame([("c",), ("d",)], "tok string").coalesce(1)
+    a = mg_build(da, "tok", k=8, build_id="same")
+    b = mg_build(db, "tok", k=8, build_id="same")
+    with _pt.raises(Exception, match="declared nrows"):
+        mg_merge(a.unionByName(b), k=8).collect()
+    # different sizes (2 vs 3 items, dec=0 both): nrows disagreement
+    dc = spark.createDataFrame(
+        [("c",), ("d",), ("e",)], "tok string"
+    ).coalesce(1)
+    c = mg_build(dc, "tok", k=8, build_id="same")
+    with _pt.raises(Exception, match="inconsistent nrows"):
+        mg_merge(a.unionByName(c), k=8).collect()
+
+
 def test_mg_deterministic_build_id(spark):
     df = spark.createDataFrame([("x",), ("y",)], "tok string").coalesce(1)
     out = mg_build(df, "tok", k=8, build_id="epoch7").collect()

@@ -208,6 +208,16 @@ def test_pack_sequence_ids_deterministic_and_validated(spark):
         pack_sequence_ids(enc, seq_len=0)
 
 
+def test_pack_sequence_ids_null_doc_id_raises(spark):
+    """ADVICE r11: a null id_col used to die as int(NaN) deep in the
+    Arrow kernel; it must surface as a ValueError naming the column."""
+    enc = spark.createDataFrame(
+        [(1, [1, 2]), (None, [3, 4])], "doc_id int, ids array<int>"
+    )
+    with pytest.raises(Exception, match="null 'doc_id'"):
+        pack_sequence_ids(enc, seq_len=4).collect()
+
+
 def test_unigram_encode_ids_plan_single_arrow_pass(spark):
     """The id kernel must run exactly once, over the DISTINCT word
     table (the round-10 lesson: an explode above a pandas-UDF array

@@ -836,6 +836,7 @@ def unigram_encode_ids(
     byte_fallback: bool = False,
     special_tokens=None,
     append_eos: Optional[str] = None,
+    word_sep: Optional[str] = None,
 ) -> DataFrame:
     """Tokenize a corpus to REAL token-id sequences →
     (id_col, ids array<int>, n_tokens) — what `unigram_encode` counts,
@@ -853,6 +854,11 @@ def unigram_encode_ids(
     restored without a window sort. Documents with no words survive
     with ids = [] (+ eos). Two shuffles total: the word join and the
     doc groupBy, both keyed, both partial-agg-friendly.
+
+    `word_sep` (opt-in, round-12): a special token whose id follows
+    every word's pieces, making `bpe.decode_ids(..., sep_id=...)` the
+    exact inverse — see `bpe_encode_ids` for the convention. Default
+    None = stream (and every existing pin) unchanged.
     """
     import pandas as pd  # noqa: F401 — anchors the Arrow path
     from pyspark.sql.functions import pandas_udf
@@ -864,9 +870,20 @@ def unigram_encode_ids(
         (eos_ok,) = validate_special_tokens([append_eos])
         if eos_ok not in specs:
             specs.append(eos_ok)
+    if word_sep is not None:
+        if word_sep == append_eos:
+            raise ValueError(
+                "word_sep and append_eos must be distinct tokens — "
+                "decode_ids could not tell boundaries from document "
+                "ends"
+            )
+        (ws_ok,) = validate_special_tokens([word_sep])
+        if ws_ok not in specs:
+            specs.append(ws_ok)
     table = piece_id_table(vocab, byte_fallback, specs)
     pid = dict(table)
     eos_id = pid[append_eos] if append_eos is not None else None
+    sep_id = pid[word_sep] if word_sep is not None else None
     logp = {p: lp for p, lp, *_rest in vocab}
     spark = df.sparkSession
     b_logp = spark.sparkContext.broadcast(logp)
@@ -897,6 +914,8 @@ def unigram_encode_ids(
                         "no id (out-of-vocabulary character without "
                         "byte_fallback=True)"
                     ) from None
+                if sep_id is not None:
+                    t = t + [sep_id]
                 memo[w] = t
             return t
 

@@ -642,9 +642,25 @@ def assemble_doc_ids(
     array_sort(collect_list(struct(pos, ids))) + flatten — no window
     sort — and left-join onto `df` so empty documents survive with
     ids = [] (+ optional per-doc eos). → (id_col, ids, n_tokens)."""
+    return assemble_position_ids(
+        df, words.join(word_ids, "word"), id_col, eos_id
+    )
+
+
+def assemble_position_ids(
+    df: DataFrame,
+    pos_ids: DataFrame,
+    id_col: str,
+    eos_id: Optional[int] = None,
+) -> DataFrame:
+    """The order-restoring tail of `assemble_doc_ids`, taking the
+    already-resolved positional stream (`pos_ids`: id_col, pos,
+    __wids) directly — the entry point for per-OCCURRENCE encoders
+    (`unigram.unigram_sample_encode_ids(per_occurrence=True)`), whose
+    id arrays differ per (doc, pos) and so cannot round-trip through a
+    distinct-word join."""
     per_doc = (
-        words.join(word_ids, "word")
-        .groupBy(id_col)
+        pos_ids.groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(

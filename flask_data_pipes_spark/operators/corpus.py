@@ -56,6 +56,9 @@ __all__ = [
     "equidepth_histogram",
     "score_calibrate",
     "pack_sequence_ids",
+    "write_training_shards",
+    "read_training_shards",
+    "verify_training_shards",
 ]
 
 
@@ -1368,4 +1371,122 @@ def pack_sequence_ids(
 
     return t.groupBy("grp").applyInPandas(
         pack, schema="grp int, seq_idx long, ids array<int>, n_tokens int"
+    )
+
+
+def _shard_row_sig(seed: int):
+    """Order-insensitive per-sequence signature (60-bit md5 over the
+    canonical row string) — bit_xor-folded into the shard checksum, so
+    the manifest detects any lost/duplicated/corrupted sequence
+    independent of row order within the shard."""
+    return T.md5_long(
+        F.concat_ws(
+            ":",
+            F.col("grp").cast("string"),
+            F.col("seq_idx").cast("string"),
+            F.array_join(F.col("ids").cast("array<string>"), ","),
+            F.col("n_tokens").cast("string"),
+        ),
+        seed,
+    )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic training-shard export (round-12, VERDICT r11 #5):
+    the last mile between `pack_sequence_ids` and a dataloader. Every
+    packed sequence is assigned shard = md5(grp:seq_idx) % n_shards —
+    a pure function of the sequence's identity, so re-running the
+    pipeline reproduces the exact same shard membership — and the data
+    lands as parquet under `path`/data partitioned by shard (one write
+    task per shard). A MANIFEST (one row per shard: n_sequences,
+    n_tokens, min_len/max_len — min==max==seq_len certifies the
+    fixed-shape contract pad mode promises — and an order-insensitive
+    bit_xor checksum over per-sequence signatures) is computed from
+    the data AS WRITTEN (read back, not from the input plan) and
+    stored at `path`/manifest. Returns the manifest DataFrame.
+
+    Dataloaders sort a shard by (grp, seq_idx) for a deterministic
+    in-shard order, and `verify_training_shards` re-derives the
+    manifest from the data to certify integrity after any copy.
+
+    Scale: one keyed shuffle (repartition on shard) + one read-back
+    aggregation; the manifest is n_shards rows. mode("error") refuses
+    to clobber an existing export — shards are immutable artifacts."""
+    if int(n_shards) < 1:
+        raise ValueError("n_shards must be >= 1")
+    for c in ("grp", "seq_idx", "ids", "n_tokens"):
+        if c not in packed.columns:
+            raise ValueError(
+                f"write_training_shards: missing column {c!r} — input "
+                "must be pack_sequence_ids output"
+            )
+    key = F.concat_ws(
+        ":", F.col("grp").cast("string"), F.col("seq_idx").cast("string")
+    )
+    data = packed.withColumn(
+        "shard", (T.md5_long(key, seed) % int(n_shards)).cast("int")
+    )
+    data.repartition(int(n_shards), F.col("shard")).write.mode(
+        "error"
+    ).partitionBy("shard").parquet(path + "/data")
+    spark = packed.sparkSession
+    manifest = (
+        spark.read.parquet(path + "/data")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sequences"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min(F.size("ids")).cast("int").alias("min_len"),
+            F.max(F.size("ids")).cast("int").alias("max_len"),
+            F.bit_xor(_shard_row_sig(seed + 1)).alias("checksum"),
+        )
+    )
+    manifest.coalesce(1).write.mode("error").parquet(path + "/manifest")
+    return spark.read.parquet(path + "/manifest")
+
+
+def read_training_shards(spark, path: str) -> DataFrame:
+    """Reload an exported shard set → the packed-sequence rows with
+    their shard column (partition pruning applies: a dataloader
+    reading shard 7 scans only shard=7 files)."""
+    return spark.read.parquet(path + "/data")
+
+
+def verify_training_shards(
+    spark, path: str, seed: int = 13
+) -> DataFrame:
+    """Integrity audit: recompute every shard's manifest row from the
+    data files and FULL-OUTER-join it against the stored manifest →
+    one row per shard (shard, ok, n_sequences, n_sequences_found,
+    checksum, checksum_found) — ok is false on any count/checksum
+    drift, a missing shard, or an orphan shard. The check a training
+    job runs after copying shards across storage systems. `seed` must
+    be the export's seed (the checksum derivation depends on it)."""
+    found = (
+        read_training_shards(spark, path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sequences_found"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_found"),
+            F.bit_xor(_shard_row_sig(seed + 1)).alias("checksum_found"),
+        )
+    )
+    stored = spark.read.parquet(path + "/manifest")
+    j = stored.join(found, "shard", "full_outer")
+    return j.select(
+        "shard",
+        (
+            F.col("n_sequences").eqNullSafe(F.col("n_sequences_found"))
+            & F.col("n_tokens").eqNullSafe(F.col("n_tokens_found"))
+            & F.col("checksum").eqNullSafe(F.col("checksum_found"))
+        ).alias("ok"),
+        "n_sequences",
+        "n_sequences_found",
+        "checksum",
+        "checksum_found",
     )

@@ -342,6 +342,14 @@ GOLDEN_DIGESTS = {
         1,
         "e9708602b0586f1e95105b3db26001da93b141af8d3ca4c1c9515b5ec31e2010",
     ),
+    # round 12 — training-shard export: manifest (counts, fixed-shape
+    # bounds, bit_xor checksums) of the pad-mode packed corpus written
+    # to disk and audited back; pins shard membership AND bytes-level
+    # determinism of the whole encode→pack→export→verify round trip
+    "llm_training_shards": (
+        8,
+        "e1a9b446ddefaf29611725098aee3aa9c99e6c55ebcc9380708b9eae135dfdb9",
+    ),
     # round 11 — subword-regularization encode: per-(seed, word)-hash
     # seeded FFBS sampling is partitioning-independent by construction;
     # digest verified identical across local[8]/8/UTC and local[*]/32 +

@@ -682,3 +682,91 @@ def test_bpe_encode_ids_plan_single_arrow_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_write_training_shards_deterministic_manifest(spark, tmp_path):
+    """VERDICT r11 #5: shard assignment is a pure function of sequence
+    identity — two exports of the same packed data produce IDENTICAL
+    manifests (counts, shapes, checksums) — and the manifest certifies
+    the pad-mode fixed-shape contract (min_len == max_len == seq_len)."""
+    from flask_data_pipes_spark.operators.corpus import (
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, list(range(i, i + 5 + i % 7))) for i in range(60)]
+    enc = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    packed = pack_sequence_ids(enc, seq_len=16, n_groups=4, pad_id=0)
+
+    def manifest_rows(p):
+        m = write_training_shards(packed, str(p), n_shards=5)
+        return sorted(
+            (
+                r["shard"],
+                r["n_sequences"],
+                r["n_tokens"],
+                r["min_len"],
+                r["max_len"],
+                r["checksum"],
+            )
+            for r in m.collect()
+        )
+
+    a = manifest_rows(tmp_path / "x")
+    b = manifest_rows(tmp_path / "y")
+    assert a == b
+    # fixed-shape certificate: every shard is uniformly seq_len wide
+    assert all(r[3] == 16 and r[4] == 16 for r in a)
+    # conservation: the export holds every packed sequence exactly once
+    n_seq = packed.count()
+    assert sum(r[1] for r in a) == n_seq
+    got = read_training_shards(spark, str(tmp_path / "x"))
+    assert got.count() == n_seq
+    # round-trip: data content is the packed frame (shard col added)
+    want = sorted(
+        (r["grp"], r["seq_idx"], tuple(r["ids"])) for r in packed.collect()
+    )
+    back = sorted(
+        (r["grp"], r["seq_idx"], tuple(r["ids"])) for r in got.collect()
+    )
+    assert back == want
+    # integrity audit: all shards verify ok against the stored manifest
+    v = verify_training_shards(spark, str(tmp_path / "x")).collect()
+    assert len(v) == 5 and all(r["ok"] for r in v)
+    # immutability: a second write to the same path refuses
+    with pytest.raises(Exception):
+        write_training_shards(packed, str(tmp_path / "x"), n_shards=5)
+
+
+def test_verify_training_shards_detects_corruption(spark, tmp_path):
+    from flask_data_pipes_spark.operators.corpus import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    rows = [(i, [i, i + 1, i + 2]) for i in range(40)]
+    enc = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    packed = pack_sequence_ids(enc, seq_len=8, n_groups=3, pad_id=0)
+    write_training_shards(packed, str(tmp_path / "s"), n_shards=4)
+    # corrupt one shard: drop one of its data files' rows by rewriting
+    import glob
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    files = sorted(glob.glob(str(tmp_path / "s" / "data" / "shard=*" / "*.parquet")))
+    victim = files[0]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, max(1, t.num_rows - 1)), victim)
+    # drop Hadoop's .crc sidecar so the LOW-level checksum doesn't
+    # mask the manifest-level audit under test
+    import os
+
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    v = {r["shard"]: r["ok"] for r in verify_training_shards(spark, str(tmp_path / "s")).collect()}
+    assert not all(v.values())
+    assert sum(1 for ok in v.values() if not ok) == 1

@@ -681,13 +681,30 @@ SF10_QUERIES = [
     # (users grow in count, per-user history constant)
     "q_funnel",
     "q_session_window",
+    # round-12 new tail at 100x (VERDICT r11 #1): the composed
+    # pretraining pipeline, token-id materialization + packing, the
+    # byte-fallback coverage audit, and the decode round-trip — the
+    # data-proportional evidence the sf1 stage (overhead-bound at 10x)
+    # could not give
+    "llm_pipeline_e2e",
+    "llm_pack_ids",
+    "llm_tokenizer_coverage",
+    "llm_decode_roundtrip",
 ]
 # Budgets are sf10/sf1 wall ratios at 10× MORE data (so "3.0" means
 # scaling no worse than 3× when data grows 10×); values sized from the
 # round-5 one-off (2.02/2.06/3.23/3.24/3.97/16.6) with ~40% headroom.
 SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
     "llm_bloom_dedup": (3.0, None),
-    "llm_bm25_topk": (3.0, None),
+    "llm_bm25_topk": (
+        3.6,
+        "evidence band (round 12): 2.59 at the round-10 regen, 2.73 "
+        "idle min-of-3 at round 12, 3.26 once during the round-12 "
+        "first regen whose ratio stage ran at loadavg 15-24 (four new "
+        "heavy entries joined the stage) — code untouched since round "
+        "4; the budget widens to absorb stage self-load, a real "
+        "regression (2x the 2.7 band) still trips",
+    ),
     "llm_corpus_clean": (4.5, None),
     "llm_hll_registers": (4.5, None),
     "llm_substring_dedup": (
@@ -718,6 +735,26 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
         "data, absolute 100x wall 2.6s). Still sublinear in data; the "
         "lag+running-sum twin (q_sessionize machinery, scd2-shaped) is "
         "the pick when the ratio matters more than JVM-side state",
+    ),
+    # round-12 sizing (idle-box single-shot, 2026-08-15): e2e
+    # 24.1s->27.4s = 1.14 (13 keyed exchanges, all vocabulary- or
+    # survivor-proportional after the clean funnel), pack_ids
+    # 6.9->14.9 = 2.16 (encode is distinct-word-bound; the pack
+    # shuffle + group Arrow frames are the data-proportional part),
+    # coverage 5.0->8.0 = 1.61 (restricted-alphabet train is
+    # vocab-bound; the encode rollup scans the corpus once)
+    "llm_pipeline_e2e": (2.2, None),
+    "llm_pack_ids": (3.2, None),
+    "llm_tokenizer_coverage": (2.5, None),
+    "llm_decode_roundtrip": (
+        5.5,
+        "the ONE fully data-proportional tokenizer entry by design: "
+        "every document is encoded AND decoded (linear Arrow passes "
+        "over the full corpus, no distinct-word shortcut on the "
+        "decode side), so 10x data approaches 10x kernel work as "
+        "fixed overhead amortizes — measured 2.4s->9.5s = 3.99 at "
+        "round-12 sizing; budget sits above the measured point but "
+        "well below linear",
     ),
 }
 

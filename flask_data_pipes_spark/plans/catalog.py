@@ -520,7 +520,16 @@ CHECKED_PREFIX = [
     "llm_dsir_weights",
     # Multimodal
     "llm_multimodal_meta",
-    "llm_media_header",
+    # Round-12 curation: the ID-level round-trip law joins the gate —
+    # llm_decode_roundtrip is the only ORACLED member of the new
+    # decode/inverse family (encode → decode_ids must hash-match the
+    # tokenizer-free canonical text DuckDB computes; it transitively
+    # gates unigram_encode_ids + decode_ids + the id-table layout).
+    # It takes llm_media_header's slot: magic-byte sniffing is the
+    # same binary-prefix machinery as llm_multimodal_meta (which
+    # stays), and media_header stays oracled + swept behind the
+    # prefix.
+    "llm_decode_roundtrip",
 ]
 
 

@@ -291,7 +291,14 @@ def test_checked_prefix_curated():
         # continued round 8: both repeated-line keep-semantics gated
         "line-dedup-keep-first": ["llm_line_dedup"],
         "gapfill-rollup": ["q_gapfill_events"],
+        # round-12: llm_decode_roundtrip took llm_media_header's slot
+        # (magic-byte sniffing rides multimodal_meta's binary-prefix
+        # machinery; media_header stays oracled + swept)
         "multimodal": ["llm_multimodal_meta", "llm_media_header"],
+        # round-12: the ID-level round-trip law (encode → decode ==
+        # tokenizer-free canonical text), the only oracled member of
+        # the decode/inverse family
+        "decode-roundtrip": ["llm_decode_roundtrip"],
         "sparse-retrieval": ["llm_bm25_topk"],
         "cdc": ["llm_cdc_chunks"],
         "corpus-health": ["llm_vocab_stats"],

@@ -48,6 +48,11 @@ __all__ = [
     "bloom_incremental_dedup",
     "cdc_chunks",
     "fuzzy_pairs",
+    "lsh_index_build",
+    "lsh_index_params",
+    "lsh_index_match",
+    "lsh_match_report",
+    "lsh_index_dedup_append",
 ]
 
 
@@ -1467,3 +1472,235 @@ def fuzzy_pairs(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+# --- persistent MinHash-LSH index: incremental batch-vs-corpus dedup --------
+#
+# minhash_dedup_keep answers "dedup THIS corpus"; production pipelines
+# more often ask "is today's batch a near-dup of the 100 TB we already
+# kept?" — which must not re-band the historical corpus per batch.
+# These three functions are that path: band the corpus ONCE into a
+# parquet index, then each new batch (a) bands itself, (b) equi-joins
+# the index on band_key, (c) appends only its SURVIVORS' bands — so the
+# index stays duplicate-free and each batch costs O(batch) band work
+# plus one band_key join against the at-rest index.
+#
+# Replay idempotence follows the streaming-sink discipline
+# (streaming/stream.py): the band table is partitioned by batch_id and
+# written with dynamic partition overwrite, so re-running a failed
+# batch overwrites its own partition instead of double-inserting; the
+# match read EXCLUDES the current batch_id (partition-pruned), so a
+# replay never matches its own earlier half-write.
+
+
+def _lsh_index_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "meta")
+
+
+def _lsh_index_bands_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "bands")
+
+
+def lsh_index_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int = 0,
+    **band_params,
+) -> int:
+    """Create a persistent LSH index at `path` from an initial corpus:
+    band it (`minhash_bands(**band_params)`), write the band table
+    partitioned by batch id, and record the band parameters in a JSON
+    sidecar so every later `lsh_index_dedup_append` is FORCED onto the
+    same hash family/banding (mismatched params would silently match
+    nothing — the sidecar makes that impossible). Returns the number
+    of band rows written.
+
+    Doc ids must be globally unique across all batches ever indexed —
+    the match join treats equal ids as the same document.
+
+    Scale: the corpus is banded once (per-row expression work, no
+    shuffle beyond the write); the index lives at rest partitioned by
+    batch, and every probe joins on band_key — the equi-join LSH shape.
+    For a fixed heavy-reuse index, `sinks.writers.write_bucketed` on
+    band_key is the exchange-free upgrade; plain parquet keeps this
+    portable (same trade as similarity.py::ivf_save)."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    params = {
+        "n_hashes": 8,
+        "band_size": 2,
+        "shingle_n": 5,
+        "seed": 1,
+        **band_params,
+    }
+    bands = minhash_bands(
+        df, text_col, id_col, **params
+    ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+    bands.write.mode("overwrite").partitionBy("batch_id").parquet(
+        _lsh_index_bands_path(path)
+    )
+    meta = json.dumps({"id_col": id_col, **params})
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(_lsh_index_meta_path(path))
+    n = spark.read.parquet(_lsh_index_bands_path(path)).count()
+    return n
+
+
+def lsh_index_params(spark, path: str) -> dict:
+    """Read back the index's banding parameters (JSON sidecar)."""
+    import json
+
+    return json.loads(
+        spark.read.text(_lsh_index_meta_path(path)).first()["value"]
+    )
+
+
+def lsh_index_match(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    batch_id: Optional[int] = None,
+) -> DataFrame:
+    """Match a batch against the index WITHOUT modifying it: one row
+    per batch document, with `n_index_bands` = distinct index band
+    buckets it collides with (0 = novel) and `first_match` = the
+    smallest colliding indexed doc id (NULL when novel) — the
+    provenance a dedup report wants.
+
+    `batch_id`, when given, EXCLUDES that partition from the index
+    read (partition-pruned at the scan) — pass the batch's own id when
+    re-running a batch that may have half-appended (replay safety).
+
+    Scale: batch-side banding is per-row work; the probe is one
+    equi-join on band_key against the at-rest index (never a cross
+    join), then a batch-grain rollup."""
+    params = lsh_index_params(spark, path)
+    id_col = params.pop("id_col")
+    bb = minhash_bands(batch, text_col, id_col, **params)
+    idx = spark.read.parquet(_lsh_index_bands_path(path))
+    if batch_id is not None:
+        idx = idx.filter(F.col("batch_id") != int(batch_id))
+    return lsh_match_report(bb, idx, id_col)
+
+
+def lsh_match_report(
+    batch_bands: DataFrame, index_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Core of the incremental probe, bands-in/report-out (shared by
+    `lsh_index_match` and the oracled catalog entry): LEFT-join batch
+    bands to index bands on band_key, discard same-id collisions (the
+    same document is not its own duplicate), and roll up to one row
+    per BANDED batch doc: (id, n_index_bands = distinct colliding
+    band buckets, first_match = smallest colliding indexed id, NULL
+    when novel).
+
+    Scale: one equi-join on band_key + one batch-id-grain aggregation;
+    both sides are band tables (4-8 rows/doc), never raw text."""
+    hits = (
+        batch_bands.join(
+            index_bands.select(
+                F.col(id_col).alias("__idx_id"),
+                F.col("band_key").alias("__idx_key"),
+            ),
+            batch_bands["band_key"] == F.col("__idx_key"),
+            "left",
+        )
+        # same-id collision is the same document, not a duplicate
+        .withColumn(
+            "__hit",
+            F.when(
+                F.col("__idx_id").isNotNull()
+                & (F.col("__idx_id") != F.col(id_col)),
+                F.col("__idx_id"),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__hit").isNotNull(), F.col("band_key"))
+            ).cast("long").alias("n_index_bands"),
+            F.min("__hit").alias("first_match"),
+        )
+    )
+    return hits
+
+
+def lsh_index_dedup_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    batch_id: int = 1,
+) -> DataFrame:
+    """The incremental-dedup step: drop batch documents that are LSH
+    near-dups of the INDEX or of a smaller-id batch sibling, append
+    the survivors' bands under this `batch_id` (dynamic partition
+    overwrite → replaying the same batch_id is exactly-once), and
+    return the surviving batch rows.
+
+    Within-batch semantics match `minhash_dedup_keep`: among batch
+    docs sharing a band bucket, the smallest id survives (unless it
+    matched the index). Documents too short to shingle produce no
+    bands and always survive — same contract as minhash_bands.
+
+    Returns the surviving subset of `batch` (original columns)."""
+    params = lsh_index_params(spark, path)
+    id_col = params.pop("id_col")
+    # ONE banding pass for the whole step: the vs-index probe, the
+    # within-batch pairing, and the survivor append all read this
+    bb = minhash_bands(batch, text_col, id_col, **params).persist()
+    try:
+        idx = spark.read.parquet(_lsh_index_bands_path(path)).filter(
+            F.col("batch_id") != int(batch_id)
+        )
+        hits = (
+            bb.join(
+                idx.select(
+                    F.col(id_col).alias("__idx_id"),
+                    F.col("band_key").alias("__idx_key"),
+                ),
+                bb["band_key"] == F.col("__idx_key"),
+            )
+            .filter(F.col("__idx_id") != F.col(id_col))
+            .select(id_col)
+            .distinct()
+        )
+        # within-batch: keep-smallest via the shared candidate machinery
+        sib = (
+            candidate_pairs(bb, id_col)
+            .select(F.col(f"{id_col}_b").alias(id_col))
+            .distinct()
+        )
+        dropped = hits.unionByName(sib).distinct()
+        survivors = batch.join(dropped, on=id_col, how="left_anti")
+        out_bands = bb.join(dropped, on=id_col, how="left_anti").withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            out_bands.write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(_lsh_index_bands_path(path))
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+        return survivors
+    finally:
+        bb.unpersist()

@@ -488,7 +488,15 @@ CHECKED_PREFIX = [
     "q_gapfill_events",
     # Corpus pipeline
     "llm_corpus_clean",
-    "llm_weighted_sample",
+    # Round-12 curation: model-based quality filtering joins the gate —
+    # llm_lr_train is the only ORACLED member of the new TRAINING
+    # family (full-batch hashed-LR GD whose 3-iteration trajectory
+    # DuckDB replays as unrolled SQL; scoring-side machinery is already
+    # gated via llm_quality / the corpus scorers). It takes
+    # llm_weighted_sample's slot: hash-threshold Bernoulli sampling is
+    # the same md5-threshold predicate machinery as llm_split_assign
+    # (which stays), and weighted_sample stays oracled + swept.
+    "llm_lr_train",
     "llm_split_assign",
     "llm_pii_redact",
     "llm_decontaminate",

@@ -6250,3 +6250,226 @@ def llm_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_topk(merged, _MG_TOPN).select(
         "item", "est", F.col("est_max").cast("long").alias("est_max")
     )
+
+
+# --- model-based quality filtering: trained hashed LR ------------------------
+#
+# llm_hashed_quality scores with FIXED pseudo-weights; these two entries
+# close the loop with the TRAINER (operators/classifier.py): full-batch
+# logistic regression over hashed bag-of-words features, the
+# fastText/DCLM-style quality-filter model. The training loop's
+# determinism discipline (12-dp decimal term sums, 6-dp sigmoid) is what
+# lets DuckDB replay the whole 3-iteration trajectory as unrolled SQL —
+# a TRAINED model under the oracle gate, not just a forward pass.
+
+_LR_D, _LR_SEED, _LR_LR = 64, 29, 2.0
+
+# one gradient-descent iteration, unrolled (w_prev -> w_next):
+#   z per doc = exact-decimal sum of round(x*w, 12)
+#   p = round(sigmoid(z), 6)
+#   g[b] = exact-decimal sum of round((p-y)*x, 12), missing buckets 0
+#   w_next = w_prev - lr * (g[b]/N)
+
+
+def _lr_sql_iter(i: int) -> str:
+    return f"""
+z{i} AS (
+  SELECT f.doc_id, f.y,
+         CAST(SUM(CAST(round(f.x * w{i}.w, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS z
+  FROM feat f JOIN w{i} ON w{i}.b = f.b
+  GROUP BY f.doc_id, f.y
+),
+p{i} AS (
+  SELECT doc_id, y, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z{i}
+),
+g{i} AS (
+  SELECT f.b,
+         CAST(SUM(CAST(round((p.p - f.y) * f.x, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS gsum
+  FROM feat f JOIN p{i} p ON p.doc_id = f.doc_id
+  GROUP BY f.b
+),
+w{i + 1} AS (
+  SELECT w{i}.b,
+         w{i}.w - {_LR_LR} * (COALESCE(g{i}.gsum, 0.0) / (SELECT n FROM nd))
+           AS w
+  FROM w{i} LEFT JOIN g{i} ON g{i}.b = w{i}.b
+)"""
+
+
+def _lr_train_oracle(iters: int = 3) -> str:
+    b_expr = f"({_ddb_md5_long('t', _LR_SEED)} % {_LR_D})::INT"
+    steps = ",".join(_lr_sql_iter(i) for i in range(1, iters))
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             {_DDB_TOKS_LOWER} AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nd AS (SELECT COUNT(*)::DOUBLE AS n FROM base),
+    tok AS (
+      SELECT doc_id, y, unnest(toks) AS t, len(toks) AS nt FROM base
+    ),
+    feat AS (
+      SELECT doc_id, y, {b_expr} AS b,
+             COUNT(*)::DOUBLE / any_value(nt) AS x
+      FROM tok GROUP BY doc_id, y, {b_expr}
+      UNION ALL
+      SELECT doc_id, y, {_LR_D} AS b, 1.0 AS x FROM base
+    ),
+    -- iteration 0 closed-form: w=0 so p=0.5 for every doc
+    g0 AS (
+      SELECT b,
+             CAST(SUM(CAST(round((0.5 - y) * x, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS gsum
+      FROM feat GROUP BY b
+    ),
+    w1 AS (
+      SELECT r.b::INT AS b,
+             0.0 - {_LR_LR} * (COALESCE(g0.gsum, 0.0) / (SELECT n FROM nd))
+               AS w
+      FROM range({_LR_D + 1}) r(b) LEFT JOIN g0 ON g0.b = r.b
+    ),
+    {steps}
+    SELECT b AS bucket, round(w, 9) AS weight FROM w{iters}
+    """
+
+
+@register("llm_lr_train", oracle=_lr_train_oracle(3))
+def llm_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the hashed linear quality classifier in-cluster
+    (operators/classifier.py::lr_train_hashed): 3 full-batch GD
+    iterations over L1-normalized hashed bag-of-words features, weak
+    label y = (lang = 'en'), lr=2.0 — output is the MODEL itself, one
+    (bucket, weight) row per feature plus the bias row (bucket = D).
+    The DuckDB oracle replays the identical trajectory as unrolled SQL
+    (exact-decimal term sums make every partial order-independent, the
+    6-dp sigmoid absorbs libm exp ulps), so the gate checks a trained
+    model bit-for-bit, not just one scoring pass.
+
+    Scale: per iteration, one pass over the doc-id-co-partitioned
+    feature table plus a <=(D+1)-row rollup; driver state is D+1
+    doubles. The trained vector plugs straight into the one-expression
+    scorer `hashed_linear_score` (same fold, see lr_score)."""
+    from ..operators.classifier import lr_train_hashed
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    m = lr_train_hashed(
+        d, "y", n_features=_LR_D, seed=_LR_SEED, iters=3, lr=_LR_LR,
+        track_history=False,
+    )
+    rows = [(b, round(w, 9)) for b, w in enumerate(m.weights + [m.bias])]
+    return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+@register("llm_lr_train_curve")  # driver-side rounding in history → golden pin
+def llm_lr_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's LEARNING CURVE: 8 full-batch GD iterations on the
+    weak lang-label task, one row per iteration (iter, logloss,
+    accuracy). Convexity + full batch means logloss is monotonically
+    non-increasing at this lr — asserted in tests/test_classifier.py
+    and visible in the pinned values; the entry exists so the gate
+    watches the OPTIMIZATION TRAJECTORY, complementing llm_lr_train's
+    final-weights check at 3 iterations."""
+    from ..operators.classifier import lr_train_hashed
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    m = lr_train_hashed(
+        d, "y", n_features=_LR_D, seed=_LR_SEED, iters=8, lr=_LR_LR
+    )
+    return spark.createDataFrame(
+        [(h["iter"], h["logloss"], h["accuracy"]) for h in m.history],
+        "iter int, logloss double, accuracy double",
+    )
+
+
+# --- incremental batch-vs-corpus dedup (persistent LSH index) ----------------
+
+_INCR_ORACLE = _DDB_SIG_CTE + rf""",
+bands AS (
+  SELECT doc_id,
+         {_ddb_md5_long("sig[2*band + 1]::VARCHAR || '_' || sig[2*band + 2]::VARCHAR", 99)} AS band_key
+  FROM sig, (SELECT unnest(range(0, {_N_HASHES // _BAND_SIZE})) AS band)
+),
+cb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+bb AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+hits AS (
+  SELECT bb.doc_id,
+         COUNT(DISTINCT CASE WHEN cb.doc_id IS NOT NULL
+                             THEN bb.band_key END) AS n_index_bands,
+         MIN(cb.doc_id) AS first_match
+  FROM bb LEFT JOIN cb ON cb.band_key = bb.band_key
+  GROUP BY bb.doc_id
+),
+sib AS (
+  SELECT DISTINCT b1.doc_id
+  FROM bb b1 JOIN bb b2
+    ON b2.band_key = b1.band_key AND b2.doc_id < b1.doc_id
+)
+SELECT h.doc_id, h.n_index_bands, h.first_match,
+       (h.n_index_bands = 0 AND s.doc_id IS NULL) AS kept
+FROM hits h LEFT JOIN sib s ON s.doc_id = h.doc_id
+"""
+
+
+@register("llm_incremental_dedup", oracle=_INCR_ORACLE)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dup dedup — the production
+    question a persistent LSH index answers: even-id docs play the
+    ALREADY-INDEXED corpus, odd-id docs are today's batch; one row per
+    banded batch doc with n_index_bands (distinct index band buckets it
+    collides with), first_match (smallest colliding corpus id, NULL =
+    novel), and kept (novel vs the index AND no smaller batch sibling
+    shares a band — exactly `lsh_index_dedup_append`'s survivor rule).
+
+    The disk half (band table partitioned by batch_id, dynamic
+    partition overwrite = replay-exactly-once, JSON param sidecar) is
+    `operators/dedup.py::lsh_index_build/match/dedup_append`, unit-
+    tested over a real tmpdir index in tests/test_lsh_index.py; this
+    entry drives the same core (`lsh_match_report` + candidate_pairs)
+    lazily so the gate hash-checks the SEMANTICS with no disk or
+    driver-side rows.
+
+    Scale: each batch costs O(batch) banding + ONE band_key equi-join
+    against the at-rest index — the historical corpus is never
+    re-banded; a batch doc's probe touches only its band buckets."""
+    from ..operators.dedup import (
+        candidate_pairs,
+        lsh_match_report,
+        minhash_bands,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    params = dict(
+        n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_n=5,
+        seed=_MINHASH_SEED,
+    )
+    cb = minhash_bands(d.filter(F.col("doc_id") % 2 == 0), "text",
+                       "doc_id", **params)
+    bb = minhash_bands(d.filter(F.col("doc_id") % 2 == 1), "text",
+                       "doc_id", **params)
+    rep = lsh_match_report(bb, cb, "doc_id")
+    sib = (
+        candidate_pairs(bb, "doc_id")
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__is_sib", F.lit(True))
+    )
+    return (
+        rep.join(sib, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_index_bands",
+            "first_match",
+            (
+                (F.col("n_index_bands") == 0)
+                & F.col("__is_sib").isNull()
+            ).alias("kept"),
+        )
+    )

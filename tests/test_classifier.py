@@ -1,0 +1,200 @@
+"""Distributed hashed-LR trainer (operators/classifier.py).
+
+The strongest test is the pure-Python model-equality one: a numpy-free
+reference implementation follows the exact same rounding discipline
+(12-dp decimal term sums, 6-dp sigmoid), so Spark's weight trajectory
+must match it to the last bit — any partitioning-order leak breaks it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from flask_data_pipes_spark.operators.classifier import (
+    hashed_features,
+    lr_score,
+    lr_train_hashed,
+)
+
+
+def _md5_long(s: str, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+
+# --- pure-Python reference (the oracle for the oracle) ----------------------
+
+
+def _rnd(v: float, dp: int) -> Decimal:
+    """Spark ROUND(double, dp) emulation: HALF_UP on the shortest
+    decimal repr (BigDecimal.valueOf semantics), NOT Python's
+    banker's-rounding round()."""
+    return Decimal(repr(v)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+
+
+def _ref_train(docs, D, seed, iters, lr, l2=0.0):
+    """docs: list of (text, y). Mirrors lr_train_hashed's arithmetic
+    exactly: same hash, same 12-dp decimal term sums, same 6-dp
+    sigmoid, same update order."""
+    feats = []  # (doc_idx, y, {bucket: x})
+    for text, y in docs:
+        toks = text.lower().split()
+        if not toks:
+            continue
+        cnt: dict = {}
+        for t in toks:
+            b = _md5_long(t, seed) % D
+            cnt[b] = cnt.get(b, 0) + 1
+        x = {b: c / len(toks) for b, c in cnt.items()}
+        x[D] = 1.0
+        feats.append((float(y), x))
+    N = len(feats)
+    w = [0.0] * (D + 1)
+    hist = []
+    for it in range(iters):
+        scored = []
+        for y, x in feats:
+            z = float(sum(_rnd(xv * w[b], 12) for b, xv in x.items()))
+            p = float(_rnd(1.0 / (1.0 + math.exp(-z)), 6))
+            scored.append((y, x, p))
+        loss = float(
+            sum(
+                _rnd(
+                    -(
+                        y * math.log(min(max(p, 1e-6), 1 - 1e-6))
+                        + (1 - y)
+                        * math.log1p(-min(max(p, 1e-6), 1 - 1e-6))
+                    ),
+                    12,
+                )
+                for y, _, p in scored
+            )
+        )
+        acc = sum(1 for y, _, p in scored if (p >= 0.5) == (y >= 0.5))
+        hist.append(
+            {"iter": it, "logloss": round(loss / N, 6),
+             "accuracy": round(acc / N, 6)}
+        )
+        g = [Decimal(0)] * (D + 1)
+        for y, x, p in scored:
+            for b, xv in x.items():
+                g[b] += _rnd((p - y) * xv, 12)
+        for b in range(D + 1):
+            step = w[b] - lr * (float(g[b]) / N)
+            if l2 and b < D:
+                step = step - lr * (l2 * w[b])
+            w[b] = step
+    return w, hist
+
+
+SEP_DOCS = [
+    ("alpha alpha bravo", 1),
+    ("alpha charlie alpha", 1),
+    ("bravo alpha alpha alpha", 1),
+    ("delta echo delta", 0),
+    ("echo delta foxtrot", 0),
+    ("foxtrot echo echo delta", 0),
+    ("alpha bravo charlie alpha", 1),
+    ("delta foxtrot echo", 0),
+]
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(docs)],
+        "doc_id long, text string, y int",
+    )
+
+
+def test_lr_matches_pure_python_reference_exactly(spark):
+    df = _docs_df(spark, SEP_DOCS)
+    m = lr_train_hashed(df, "y", n_features=16, seed=7, iters=4, lr=3.0)
+    w_ref, hist_ref = _ref_train(SEP_DOCS, 16, 7, 4, 3.0)
+    assert m.weights == pytest.approx(w_ref[:16], abs=0, rel=0)
+    assert m.bias == w_ref[16]
+    assert m.history == hist_ref
+
+
+def test_lr_deterministic_across_partitionings(spark):
+    df = _docs_df(spark, SEP_DOCS)
+    m1 = lr_train_hashed(
+        df.repartition(1), "y", n_features=16, seed=7, iters=3, lr=3.0
+    )
+    m7 = lr_train_hashed(
+        df.repartition(7), "y", n_features=16, seed=7, iters=3, lr=3.0
+    )
+    assert m1.weights == m7.weights
+    assert m1.bias == m7.bias
+    assert m1.history == m7.history
+
+
+def test_lr_learns_separable_data(spark):
+    df = _docs_df(spark, SEP_DOCS)
+    m = lr_train_hashed(df, "y", n_features=32, seed=7, iters=25, lr=5.0)
+    assert m.history[-1]["accuracy"] == 1.0
+    # convex full-batch GD at a sane lr: loss never increases
+    losses = [h["logloss"] for h in m.history]
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:]))
+    assert losses[-1] < losses[0] / 2
+
+
+def test_lr_score_matches_training_probabilities(spark):
+    """Trained weights plugged into the one-expression scorer give the
+    same p the loop would compute next (feature/fold consistency)."""
+    df = _docs_df(spark, SEP_DOCS)
+    m = lr_train_hashed(df, "y", n_features=16, seed=7, iters=6, lr=3.0)
+    scored = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", lr_score("text", m).alias("p")
+        ).collect()
+    }
+    # reference forward pass with the final weights
+    w = m.weights + [m.bias]
+    for i, (text, _) in enumerate(SEP_DOCS):
+        toks = text.split()
+        z = m.bias + sum(w[_md5_long(t, 7) % 16] for t in toks) / len(toks)
+        assert scored[i] == pytest.approx(
+            round(1 / (1 + math.exp(-z)), 6), abs=2e-6
+        )
+
+
+def test_lr_l2_shrinks_weights(spark):
+    df = _docs_df(spark, SEP_DOCS)
+    m0 = lr_train_hashed(df, "y", n_features=16, seed=7, iters=10, lr=3.0)
+    m2 = lr_train_hashed(
+        df, "y", n_features=16, seed=7, iters=10, lr=3.0, l2=0.5
+    )
+    n0 = sum(v * v for v in m0.weights)
+    n2 = sum(v * v for v in m2.weights)
+    assert n2 < n0
+    # bias is exempt from decay: must match the undecayed run's sign
+    assert (m2.bias > 0) == (m0.bias > 0) or m0.bias == 0.0
+
+
+def test_lr_empty_docs_dropped_and_all_empty_raises(spark):
+    docs = SEP_DOCS + [("   ", 1), ("", 0)]
+    df = _docs_df(spark, docs)
+    m = lr_train_hashed(df, "y", n_features=16, seed=7, iters=2, lr=3.0)
+    w_ref, _ = _ref_train(SEP_DOCS, 16, 7, 2, 3.0)
+    assert m.weights == w_ref[:16]
+    empty = _docs_df(spark, [("", 1), ("  ", 0)])
+    with pytest.raises(ValueError, match="no non-empty documents"):
+        lr_train_hashed(empty, "y", n_features=16, seed=7, iters=1)
+
+
+def test_hashed_features_shape(spark):
+    df = _docs_df(spark, SEP_DOCS[:2])
+    rows = hashed_features(df, "y", n_features=16, seed=7).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        xs = {r["bucket"]: r["x"] for r in rs}
+        assert xs.pop(16) == 1.0  # bias row
+        assert sum(xs.values()) == pytest.approx(1.0)  # L1-normalized
+        assert all(0 <= b < 16 for b in xs)
+        assert all(r["y"] in (0.0, 1.0) for r in rs)

@@ -1,0 +1,166 @@
+"""Persistent MinHash-LSH index: incremental batch-vs-corpus dedup
+(operators/dedup.py::lsh_index_build/match/dedup_append)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.operators.dedup import (
+    lsh_index_build,
+    lsh_index_dedup_append,
+    lsh_index_match,
+    lsh_index_params,
+    minhash_dedup_keep,
+)
+
+BASE = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "pack my box with five dozen liquor jugs before the long winter"),
+    (2, "sphinx of black quartz judge my vow said the tired archaeologist"),
+]
+# near-dup of 0 (one word changed), plus novel text
+BATCH2 = [
+    (10, "the quick brown fox jumps over the lazy cat near the river bank"),
+    (11, "completely novel text about distributed query planning engines"),
+    # within-batch near-dup pair: 13 must lose to 12
+    (12, "bright new day dawns over the quiet mountain village again ok"),
+    (13, "bright new day dawns over the quiet mountain village again no"),
+]
+BATCH3 = [
+    # near-dup of batch-2 survivor 11 → must now match the index
+    (20, "completely novel text about distributed query planning engine"),
+    (21, "unrelated fresh content that matches nothing indexed so far x"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return os.path.join(str(tmp_path), "lsh_index")
+
+
+def test_build_and_params_roundtrip(spark, index_path):
+    n = lsh_index_build(
+        _df(spark, BASE), index_path, seed=1, n_hashes=8, band_size=2
+    )
+    assert n == len(BASE) * 4  # 4 bands per doc
+    p = lsh_index_params(spark, index_path)
+    assert p == {
+        "id_col": "doc_id", "n_hashes": 8, "band_size": 2,
+        "shingle_n": 5, "seed": 1,
+    }
+
+
+def test_match_flags_near_dups_and_novel(spark, index_path):
+    lsh_index_build(_df(spark, BASE), index_path)
+    m = {
+        r["doc_id"]: r
+        for r in lsh_index_match(
+            spark, index_path, _df(spark, BATCH2)
+        ).collect()
+    }
+    assert m[10]["n_index_bands"] > 0  # near-dup of doc 0
+    assert m[10]["first_match"] == 0
+    assert m[11]["n_index_bands"] == 0 and m[11]["first_match"] is None
+    assert m[12]["n_index_bands"] == 0  # batch-internal dups don't count
+
+
+def test_dedup_append_accumulates(spark, index_path):
+    lsh_index_build(_df(spark, BASE), index_path)
+    s2 = sorted(
+        r["doc_id"]
+        for r in lsh_index_dedup_append(
+            spark, index_path, _df(spark, BATCH2), batch_id=1
+        ).collect()
+    )
+    assert s2 == [11, 12]  # 10 matched index; 13 lost to sibling 12
+    # batch 3 probes the GROWN index: 20 is a near-dup of appended 11
+    s3 = sorted(
+        r["doc_id"]
+        for r in lsh_index_dedup_append(
+            spark, index_path, _df(spark, BATCH3), batch_id=2
+        ).collect()
+    )
+    assert s3 == [21]
+    bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    kept = sorted(
+        r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+    )
+    assert kept == [0, 1, 2, 11, 12, 21]
+
+
+def test_replay_same_batch_is_exactly_once(spark, index_path):
+    lsh_index_build(_df(spark, BASE), index_path)
+    lsh_index_dedup_append(
+        spark, index_path, _df(spark, BATCH2), batch_id=1
+    ).collect()
+    bands_path = os.path.join(index_path, "bands")
+    n1 = spark.read.parquet(bands_path).count()
+    # replay the SAME batch id: dynamic partition overwrite replaces
+    # the partition, the excluded-self read means no self-matching
+    s = sorted(
+        r["doc_id"]
+        for r in lsh_index_dedup_append(
+            spark, index_path, _df(spark, BATCH2), batch_id=1
+        ).collect()
+    )
+    assert s == [11, 12]
+    assert spark.read.parquet(bands_path).count() == n1
+
+
+def test_matches_one_shot_dedup_on_same_data(spark, index_path):
+    """Index-build + one dedup_append over a split corpus keeps the
+    same survivors as the one-shot minhash_dedup_keep over the union
+    (when the split respects id order: index ids < batch ids)."""
+    corpus = BASE + BATCH2
+    one_shot = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_keep(_df(spark, corpus)).collect()
+    )
+    lsh_index_build(_df(spark, BASE), index_path)
+    surv = sorted(
+        r["doc_id"]
+        for r in lsh_index_dedup_append(
+            spark, index_path, _df(spark, BATCH2), batch_id=1
+        ).collect()
+    )
+    assert sorted([0, 1, 2] + surv) == one_shot
+
+
+def test_short_docs_survive_without_bands(spark, index_path):
+    lsh_index_build(_df(spark, BASE), index_path)
+    tiny = _df(spark, [(30, "hi"), (31, "")])
+    s = sorted(
+        r["doc_id"]
+        for r in lsh_index_dedup_append(
+            spark, index_path, tiny, batch_id=1
+        ).collect()
+    )
+    assert s == [30, 31]
+    m = lsh_index_match(spark, index_path, tiny)
+    # too short to shingle → no band rows → absent from the match
+    # report entirely (report covers BANDED docs)
+    assert m.count() == 0
+
+
+def test_mismatched_params_are_impossible(spark, index_path):
+    """Probe params come FROM the sidecar — a caller cannot probe with
+    a different hash family than the index was built with."""
+    lsh_index_build(_df(spark, BASE), index_path, seed=3, n_hashes=4)
+    p = lsh_index_params(spark, index_path)
+    assert p["seed"] == 3 and p["n_hashes"] == 4
+    # match uses the sidecar: a near-dup still matches even though the
+    # default seed (1) differs from the build seed (3)
+    m = {
+        r["doc_id"]: r["n_index_bands"]
+        for r in lsh_index_match(
+            spark, index_path, _df(spark, BATCH2)
+        ).collect()
+    }
+    assert m[10] > 0

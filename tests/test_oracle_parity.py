@@ -382,6 +382,14 @@ GOLDEN_DIGESTS = {
         5,
         "a44c5c4cf80aee2b8d674ef8dbced75f13afa8b27c82cb210a76401e156651d3",
     ),
+    # hashed-LR learning curve: 8 full-batch GD iterations — logloss
+    # strictly non-increasing (convex, full batch); the trajectory is
+    # partitioning-independent by the 12-dp decimal-sum discipline
+    # (final weights at 3 iters are ORACLED via llm_lr_train)
+    "llm_lr_train_curve": (
+        8,
+        "16c20c77d9dcf73139b61f0589f0ae61646c2a47f4f8a783f03f5d6dc8d18e01",
+    ),
 }
 
 

@@ -324,6 +324,12 @@ def test_checked_prefix_curated():
         # its join+agg+top-k machinery rides q5 + bottomk; q3 stays
         # oracled + swept)
         "profiling-moments": ["q_corr_matrix"],
+        # round-12: the trained hashed-LR quality classifier — the
+        # only oracled member of the model-TRAINING family
+        # (weighted_sample displaced; its md5-threshold predicate
+        # rides llm_split_assign, stays oracled + swept)
+        "model-training": ["llm_lr_train"],
+        "hash-threshold-sampling": ["llm_split_assign", "llm_weighted_sample"],
     }
     for fam, members in families.items():
         assert any(m in CHECKED_PREFIX[:50] for m in members), fam

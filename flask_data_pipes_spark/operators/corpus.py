@@ -56,6 +56,7 @@ __all__ = [
     "equidepth_histogram",
     "score_calibrate",
     "pack_sequence_ids",
+    "pack_bins_ids",
     "write_training_shards",
     "read_training_shards",
     "verify_training_shards",
@@ -1489,4 +1490,163 @@ def verify_training_shards(
         "n_sequences_found",
         "checksum",
         "checksum_found",
+    )
+
+
+def pack_bins_ids(
+    enc: DataFrame,
+    ids_col: str = "ids",
+    id_col: str = "doc_id",
+    seq_len: int = 1024,
+    n_groups: int = 64,
+    seed: int = 8,
+    pad_id: int = 0,
+    overflow: str = "truncate",
+) -> DataFrame:
+    """WHOLE-DOCUMENT sequence packing by best-fit-decreasing bin
+    packing — the padding-minimizing alternative to
+    `pack_sequence_ids`' concat-and-cut: no document is ever split
+    across sequences, so a per-document attention mask (derived from
+    `doc_lens`) prevents cross-document attention entirely (the
+    T5-style packing contract; concat-cut instead relies on EOS tokens
+    and lets attention bleed across the cut).
+
+    Output: (grp, bin_idx, ids array<int> right-padded to seq_len,
+    n_tokens = real token count, n_docs, doc_ids array<string>,
+    doc_lens array<int>) — doc i occupies
+    ids[sum(doc_lens[:i]) : sum(doc_lens[:i+1])].
+
+    `overflow` says what to do with documents longer than seq_len:
+    "truncate" (head-truncate to seq_len — the training-data default),
+    "drop", or "error".
+
+    Determinism: docs sort by (len DESC, md5(doc_id), doc_id) and
+    best-fit-decreasing places each into the fullest bin it fits
+    (first-opened wins ties) — a pure function of the group's doc set,
+    independent of partitioning/engine order, so output is
+    golden-pinnable. BFD's classic guarantee bounds bins at
+    11/9·OPT + 1 (property-tested).
+
+    Scale shape: same as pack_sequence_ids — ONE shuffle (groupBy grp →
+    applyInPandas); n_groups is the memory knob. The packing loop is
+    O(docs·log bins) via bisect on the sorted residual list (list
+    insertion cost is bounded by bins-per-group, itself ~group
+    tokens / seq_len)."""
+    from ..functions import text as T
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if n_groups < 1:
+        raise ValueError("n_groups must be >= 1")
+    if overflow not in ("truncate", "drop", "error"):
+        raise ValueError(
+            "overflow must be 'truncate', 'drop', or 'error'"
+        )
+    sl, pad, ovf = int(seq_len), int(pad_id), overflow
+    t = enc.select(
+        (T.md5_long(F.col(id_col).cast("string"), 5) % n_groups)
+        .cast("int")
+        .alias("grp"),
+        T.md5_long(F.col(id_col).cast("string"), seed).alias("__ord"),
+        F.col(id_col).cast("string").alias("__doc"),
+        F.col(ids_col).alias("__ids"),
+    )
+
+    def pack(pdf):
+        import bisect
+
+        import numpy as np
+        import pandas as pd
+
+        if pdf["grp"].isna().any():
+            raise ValueError(
+                f"pack_bins_ids: null {id_col!r} value — every document "
+                "needs a non-null id (it is the hash-group and ordering "
+                "key); filter or fill upstream"
+            )
+        grp = int(pdf["grp"].iloc[0]) if len(pdf) else 0
+        docs = []  # (length, ord, doc_id, ids)
+        for ord_, doc, ids in zip(pdf["__ord"], pdf["__doc"], pdf["__ids"]):
+            ids = (
+                np.asarray(ids, dtype=np.int32)
+                if ids is not None
+                else np.empty(0, dtype=np.int32)
+            )
+            if len(ids) > sl:
+                if ovf == "error":
+                    raise ValueError(
+                        f"pack_bins_ids: document {doc!r} has "
+                        f"{len(ids)} ids > seq_len={sl} "
+                        "(overflow='error')"
+                    )
+                if ovf == "drop":
+                    continue
+                ids = ids[:sl]
+            if len(ids) == 0:
+                continue
+            docs.append((len(ids), int(ord_), doc, ids))
+        # BFD order: longest first; ties broken by the stable hash order
+        docs.sort(key=lambda d: (-d[0], d[1], d[2]))
+        bins = []  # [residual-sorted keys], parallel payload dict
+        residuals = []  # sorted ascending
+        res_bin = []  # bin index aligned with residuals
+        payload = []  # per bin: [(doc, ids), ...]
+        for length, _, doc, ids in docs:
+            j = bisect.bisect_left(residuals, length)
+            if j < len(residuals):
+                # tightest residual that fits; ties: earliest-opened bin
+                # (bisect_left lands on the first equal residual, and
+                # equal residuals keep insertion order — see below)
+                b = res_bin[j]
+                residuals.pop(j)
+                res_bin.pop(j)
+            else:
+                b = len(payload)
+                payload.append([])
+            payload[b].append((doc, ids))
+            r = sl - sum(len(x[1]) for x in payload[b])
+            if r > 0:
+                # insert AFTER equal residuals so earlier-opened bins
+                # with the same residual stay first (deterministic ties)
+                k = bisect.bisect_right(residuals, r)
+                # among equal residuals keep bin-index order
+                while (
+                    k > 0
+                    and residuals[k - 1] == r
+                    and res_bin[k - 1] > b
+                ):
+                    k -= 1
+                residuals.insert(k, r)
+                res_bin.insert(k, b)
+        n_bins = len(payload)
+        out_ids, out_nt, out_nd, out_docs, out_lens = [], [], [], [], []
+        for b in range(n_bins):
+            items = payload[b]
+            lens = [len(x[1]) for x in items]
+            n = sum(lens)
+            row = np.full(sl, pad, dtype=np.int32)
+            row[:n] = np.concatenate([x[1] for x in items])
+            out_ids.append(row)
+            out_nt.append(n)
+            out_nd.append(len(items))
+            out_docs.append([x[0] for x in items])
+            out_lens.append(lens)
+        return pd.DataFrame(
+            {
+                "grp": pd.Series([grp] * n_bins, dtype="int32"),
+                "bin_idx": pd.Series(range(n_bins), dtype="int64"),
+                "ids": pd.Series(out_ids, dtype="object"),
+                "n_tokens": pd.Series(out_nt, dtype="int32"),
+                "n_docs": pd.Series(out_nd, dtype="int32"),
+                "doc_ids": pd.Series(out_docs, dtype="object"),
+                "doc_lens": pd.Series(out_lens, dtype="object"),
+            }
+        )
+
+    return t.groupBy("grp").applyInPandas(
+        pack,
+        schema=(
+            "grp int, bin_idx long, ids array<int>, n_tokens int, "
+            "n_docs int, doc_ids array<string>, doc_lens array<int>"
+        ),
     )

@@ -6473,3 +6473,38 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+@register("llm_pack_bins")  # sequential BFD placement → rows-only + golden pin
+def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document BEST-FIT-DECREASING packing
+    (operators/corpus.py::pack_bins_ids) — the padding-minimizing,
+    no-document-splitting alternative to llm_pack_ids' concat-and-cut:
+    encode every document to real ids (fixed char vocabulary + byte
+    fallback, llm_training_shards' discipline), BFD-pack whole docs
+    into 128-id bins inside 8 hash groups, and roll up per group:
+    (grp, n_bins, n_docs, n_tokens, n_pad). The pin certifies the
+    deterministic placement (BFD is a pure function of each group's
+    doc set) and the padding economy the packer exists for.
+
+    Scale: encode economy (kernels over the DISTINCT word table) + ONE
+    pack shuffle; the rollup touches n_groups rows of state."""
+    from ..operators.corpus import pack_bins_ids
+    from ..operators.unigram import unigram_encode_ids
+
+    d = load(spark, sf_dir, "documents")
+    vocab = [(c, -3.0, 1) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    enc = unigram_encode_ids(
+        d, vocab, max_piece_len=1, byte_fallback=True
+    )
+    packed = pack_bins_ids(
+        enc, seq_len=512, n_groups=8, pad_id=0, overflow="truncate"
+    )
+    return packed.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.count(F.lit(1)) * F.lit(512) - F.sum("n_tokens")
+        ).cast("long").alias("n_pad"),
+    )

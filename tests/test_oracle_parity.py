@@ -390,6 +390,14 @@ GOLDEN_DIGESTS = {
         8,
         "16c20c77d9dcf73139b61f0589f0ae61646c2a47f4f8a783f03f5d6dc8d18e01",
     ),
+    # whole-document BFD packing rollup: deterministic placement is a
+    # pure function of each hash group's doc set (verified stable
+    # across shuffle=32/7); ~2 whole docs per 512-id bin, padding
+    # 3-15% per group — the economy the packer exists for
+    "llm_pack_bins": (
+        8,
+        "2b397e2da8e1f2884282aa487c278530b22d4394052c1c2998e9e1806df0a7c4",
+    ),
 }
 
 

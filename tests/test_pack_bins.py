@@ -1,0 +1,143 @@
+"""Whole-document best-fit-decreasing packing
+(operators/corpus.py::pack_bins_ids)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.operators.corpus import (
+    pack_bins_ids,
+    pack_sequence_ids,
+)
+
+
+def _enc_df(spark, lens, start_id=0):
+    """One doc per requested length; ids are distinct ints so slices
+    are traceable back to their doc."""
+    rows = []
+    base = 0
+    for i, n in enumerate(lens):
+        rows.append((start_id + i, list(range(base, base + n))))
+        base += n
+    return spark.createDataFrame(rows, "doc_id long, ids array<int>")
+
+
+def _collect(df):
+    return sorted(
+        (r["grp"], r["bin_idx"], r["ids"], r["n_tokens"], r["n_docs"],
+         r["doc_ids"], r["doc_lens"])
+        for r in df.collect()
+    )
+
+
+def test_known_small_case_exact_bfd(spark):
+    # seq_len=10, lens 6,5,4,3,2 → BFD: [6,4] and [5,3,2]
+    df = _enc_df(spark, [6, 5, 4, 3, 2])
+    out = pack_bins_ids(df, seq_len=10, n_groups=1, pad_id=-1).collect()
+    by_lens = sorted(tuple(r["doc_lens"]) for r in out)
+    assert by_lens == [(5, 3, 2), (6, 4)]
+    for r in out:
+        assert len(r["ids"]) == 10
+        assert r["n_tokens"] == sum(r["doc_lens"])
+        # padded tail is pad_id
+        assert all(v == -1 for v in r["ids"][r["n_tokens"]:])
+
+
+def test_invariants_and_slices(spark):
+    lens = [7, 1, 12, 3, 9, 5, 5, 2, 8, 30, 4, 4, 6]
+    df = _enc_df(spark, lens)
+    out = pack_bins_ids(df, seq_len=16, n_groups=4, pad_id=0)
+    rows = out.collect()
+    seen = {}
+    for r in rows:
+        assert r["n_tokens"] == sum(r["doc_lens"]) <= 16
+        assert len(r["ids"]) == 16
+        off = 0
+        for doc, ln in zip(r["doc_ids"], r["doc_lens"]):
+            seg = r["ids"][off:off + ln]
+            # distinct global ids → the segment is contiguous
+            assert seg == list(range(seg[0], seg[0] + ln))
+            seen[doc] = seen.get(doc, 0) + 1
+            off += ln
+    # every doc exactly once (12 > none dropped at truncate; the
+    # 30-token doc was truncated to 16, still present)
+    assert sorted(seen) == sorted(str(i) for i in range(len(lens)))
+    assert set(seen.values()) == {1}
+
+
+def test_bfd_bin_bound_and_beats_singleton_padding(spark):
+    lens = [3, 5, 7, 9, 11, 13, 2, 4, 6, 8, 10, 12, 1, 15, 14] * 4
+    df = _enc_df(spark, lens)
+    sl = 16
+    out = pack_bins_ids(df, seq_len=sl, n_groups=2, pad_id=0)
+    rows = out.collect()
+    total = sum(lens)
+    n_bins = len(rows)
+    opt_lb = math.ceil(total / sl)
+    # BFD guarantee (11/9·OPT + 1), +1 slack per hash group
+    assert n_bins <= math.ceil(11 * opt_lb / 9) + 2
+    pad = n_bins * sl - total
+    singleton_pad = len(lens) * sl - total
+    assert pad < singleton_pad / 3
+
+
+def test_deterministic_across_partitionings(spark):
+    lens = [5, 9, 2, 14, 7, 7, 3, 11, 6, 1, 13, 4]
+    a = _collect(pack_bins_ids(
+        _enc_df(spark, lens).repartition(1), seq_len=16, n_groups=3
+    ))
+    b = _collect(pack_bins_ids(
+        _enc_df(spark, lens).repartition(7), seq_len=16, n_groups=3
+    ))
+    assert a == b
+
+
+def test_overflow_modes(spark):
+    df = _enc_df(spark, [20, 4])
+    tr = pack_bins_ids(df, seq_len=8, n_groups=1, overflow="truncate")
+    rows = {tuple(r["doc_ids"]): r for r in tr.collect()}
+    assert any(
+        r["n_tokens"] == 8 and r["n_docs"] == 1 for r in rows.values()
+    )
+    dr = pack_bins_ids(df, seq_len=8, n_groups=1, overflow="drop")
+    kept = [d for r in dr.collect() for d in r["doc_ids"]]
+    assert kept == ["1"]
+    with pytest.raises(Exception, match="overflow='error'"):
+        pack_bins_ids(
+            df, seq_len=8, n_groups=1, overflow="error"
+        ).collect()
+    with pytest.raises(ValueError, match="overflow must be"):
+        pack_bins_ids(df, seq_len=8, overflow="nope")
+
+
+def test_null_doc_id_raises_by_name(spark):
+    df = spark.createDataFrame(
+        [(None, [1, 2, 3])], "doc_id string, ids array<int>"
+    )
+    with pytest.raises(Exception, match="null 'doc_id'"):
+        pack_bins_ids(df, seq_len=8, n_groups=1).collect()
+
+
+def test_empty_and_null_id_arrays_skipped(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, []), (2, None)],
+        "doc_id long, ids array<int>",
+    )
+    rows = pack_bins_ids(df, seq_len=8, n_groups=1).collect()
+    assert [d for r in rows for d in r["doc_ids"]] == ["0"]
+
+
+def test_token_conservation_vs_concat_cut(spark):
+    """Same encoded input: bin packing conserves (truncated) tokens,
+    concat-cut conserves all tokens; with every doc <= seq_len the two
+    agree on total real tokens."""
+    lens = [5, 9, 2, 14, 7, 7, 3, 11, 6, 1, 13, 4]
+    df = _enc_df(spark, lens)
+    bins = pack_bins_ids(df, seq_len=16, n_groups=3)
+    cut = pack_sequence_ids(df, seq_len=16, n_groups=3)
+    n_bins = bins.agg(F.sum("n_tokens")).collect()[0][0]
+    n_cut = cut.agg(F.sum("n_tokens")).collect()[0][0]
+    assert n_bins == n_cut == sum(lens)

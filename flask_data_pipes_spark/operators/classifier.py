@@ -161,10 +161,22 @@ def lr_train_hashed(
         n_features=n_features, seed=seed,
     ).persist()
     try:
-        n_docs = feats.filter(F.col("bucket") == n_features).count()
+        counts = feats.filter(F.col("bucket") == n_features).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("y").isNull(), 1)).alias("n_null"),
+        ).collect()[0]
+        n_docs = counts["n"]
         if n_docs == 0:
             raise ValueError(
                 "lr_train_hashed: no non-empty documents to train on"
+            )
+        if counts["n_null"]:
+            # a NULL label would silently vanish from the decimal sums
+            # (null terms are skipped), biasing the gradient — fail loud
+            raise ValueError(
+                f"lr_train_hashed: {counts['n_null']} non-empty "
+                f"document(s) have NULL {label_col!r} — labels must be "
+                "0/1 with no NULLs; filter or impute upstream"
             )
         D = n_features
         w = [0.0] * (D + 1)  # w[D] is the bias

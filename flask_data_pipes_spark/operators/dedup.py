@@ -1686,21 +1686,12 @@ def lsh_index_dedup_append(
         out_bands = bb.join(dropped, on=id_col, how="left_anti").withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
+        (
+            out_bands.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_lsh_index_bands_path(path))
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            out_bands.write.mode("overwrite").partitionBy(
-                "batch_id"
-            ).parquet(_lsh_index_bands_path(path))
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
         return survivors
     finally:
         bb.unpersist()

@@ -6508,3 +6508,84 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.lit(512) - F.sum("n_tokens")
         ).cast("long").alias("n_pad"),
     )
+
+
+_LR_FILTER_ORACLE = _lr_train_oracle(3).rsplit("SELECT b AS bucket", 1)[0] + rf""",
+zf AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * w3.w, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS z
+  FROM feat f JOIN w3 ON w3.b = f.b
+  GROUP BY f.doc_id
+),
+pf AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM zf
+),
+med AS (SELECT quantile_cont(p, 0.5) AS m FROM pf),
+kept AS (SELECT doc_id, p FROM pf, med WHERE p >= m)
+SELECT d.lang,
+       COUNT(*)::BIGINT AS n_kept,
+       round(CAST(SUM(CAST(k.p AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(k.p), 6) AS mean_score
+FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+GROUP BY d.lang
+"""
+
+
+@register("llm_lr_quality_filter", oracle=_LR_FILTER_ORACLE)
+def llm_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE model-based quality-filter step, end-to-end under
+    the oracle gate: train the hashed-LR classifier (3 GD iterations,
+    llm_lr_train's exact trajectory), score EVERY document with the
+    trained weights (same decimal-sum fold the trainer uses, so
+    scoring is partitioning-independent too), keep documents at or
+    above the median score, and roll up the survivors per language —
+    (lang, n_kept, mean_score). This is the DCLM/FineWeb-style
+    pipeline stage (train on weak labels → score → threshold) as ONE
+    verifiable query; DuckDB replays training, scoring, the
+    quantile_cont median (bit-for-bit ≡ Spark percentile), and the
+    filter.
+
+    Scale: training as llm_lr_train; scoring is one pass over the same
+    co-partitioned feature table; the median is one aggregate whose
+    1-row result broadcasts into the filter (the only crossJoin is
+    that 1-row side)."""
+    from ..operators.classifier import hashed_features, lr_train_hashed
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    m = lr_train_hashed(
+        d, "y", n_features=_LR_D, seed=_LR_SEED, iters=3, lr=_LR_LR,
+        track_history=False,
+    )
+    w = m.weights + [m.bias]
+    wlit = F.array(*[F.lit(float(v)) for v in w])
+    feats = hashed_features(d, None, n_features=_LR_D, seed=_LR_SEED)
+    term = F.round(
+        F.col("x") * F.element_at(wlit, F.col("bucket") + 1), 12
+    ).cast("decimal(38,12)")
+    scores = (
+        feats.groupBy("doc_id")
+        .agg(F.sum(term).cast("double").alias("z"))
+        .withColumn(
+            "p",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
+        )
+    )
+    med = scores.agg(F.percentile("p", F.lit(0.5)).alias("__m"))
+    kept = scores.crossJoin(F.broadcast(med)).filter(
+        F.col("p") >= F.col("__m")
+    )
+    return (
+        kept.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(38,6)")).cast("double")
+                / F.count("p"),
+                6,
+            ).alias("mean_score"),
+        )
+    )

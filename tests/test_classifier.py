@@ -198,3 +198,13 @@ def test_hashed_features_shape(spark):
         assert sum(xs.values()) == pytest.approx(1.0)  # L1-normalized
         assert all(0 <= b < 16 for b in xs)
         assert all(r["y"] in (0.0, 1.0) for r in rs)
+
+
+def test_lr_null_label_raises_by_name(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs_df(spark, SEP_DOCS).withColumn(
+        "y", F.when(F.col("doc_id") == 3, None).otherwise(F.col("y"))
+    )
+    with pytest.raises(ValueError, match="NULL 'y'"):
+        lr_train_hashed(docs, "y", n_features=16, seed=7, iters=1)

@@ -54,6 +54,7 @@ __all__ = [
     "kll_read_merged",
     "foreach_batch_mg",
     "mg_read_merged",
+    "foreach_batch_lsh_dedup",
 ]
 
 EVENTS_SCHEMA = (
@@ -935,3 +936,88 @@ def kll_read_merged(spark, sketch_path: str, k: int = 200) -> DataFrame:
     return kll_merge(
         spark.read.parquet(sketch_path).select("level", "value"), k=k
     )
+
+
+def foreach_batch_lsh_dedup(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_path: Optional[str] = None,
+    **band_params,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage for CROSS-BATCH streaming NEAR-dup dedup —
+    the MinHash complement of `foreach_batch_incremental_dedup`'s
+    exact-fingerprint history, built on the persistent LSH index
+    (`operators/dedup.py::lsh_index_build/dedup_append`): each
+    micro-batch is banded, probed against the at-rest band index, and
+    only its LSH-novel survivors (vs the index AND vs smaller-id batch
+    siblings) append their bands and land in `out_path`.
+
+    Exactly-once on BOTH sides, stronger than the bloom sink's
+    at-least-once output: the band table and the output are each
+    partitioned by batch_id and written with dynamic partition
+    overwrite, and `lsh_index_dedup_append` EXCLUDES the current
+    batch_id from its index read — so a replayed batch recomputes the
+    identical survivor set against the same pre-batch index and
+    overwrites its own two partitions. Write order between them is
+    therefore immaterial (either crash window replays to the same
+    state); the first batch's index build is full-overwrite, safe
+    because Spark replays only the last uncommitted batch.
+
+    Missing-index detection goes through the Hadoop FileSystem API
+    (the bloom sink's discipline): only a genuinely-absent meta path
+    means "first batch — build"; any error from the actual reads
+    propagates and fails the micro-batch so Spark retries it.
+
+    Scale: per batch, O(batch) banding + ONE band_key equi-join
+    against the index; the historical corpus is never re-banded."""
+    from ..operators.dedup import lsh_index_build, lsh_index_dedup_append
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_path}/meta"
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            survivors = lsh_index_dedup_append(
+                spark, index_path, batch_df, text_col=text_col,
+                batch_id=batch_id,
+            )
+        else:
+            # within the very first batch, dedup against itself first
+            # (keep the smallest id per colliding band bucket — the
+            # same rule dedup_append applies later), then build the
+            # index from the SURVIVORS only, preserving the index's
+            # duplicate-free invariant
+            from ..operators.dedup import candidate_pairs, minhash_bands
+
+            params = {
+                "n_hashes": 8, "band_size": 2, "shingle_n": 5,
+                "seed": 1, **band_params,
+            }
+            bb = minhash_bands(batch_df, text_col, id_col, **params)
+            sib = (
+                candidate_pairs(bb, id_col)
+                .select(F.col(f"{id_col}_b").alias(id_col))
+                .distinct()
+            )
+            survivors = batch_df.join(sib, on=id_col, how="left_anti")
+            lsh_index_build(
+                survivors, index_path, text_col=text_col, id_col=id_col,
+                batch_id=batch_id, **band_params,
+            )
+        if out_path is not None:
+            (
+                survivors.withColumn(
+                    "batch_id", F.lit(int(batch_id)).cast("long")
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+
+    return sink

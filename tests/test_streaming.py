@@ -998,3 +998,69 @@ def test_foreach_batch_mg_wipe_batch_keeps_certificate(spark, tmp_path):
         e = est.get(it, 0)
         assert e <= t <= e + dec, (it, e, t, dec)
     assert "x" in est  # 60 > dec's per-item slack keeps the heavy item
+
+
+def test_foreach_batch_lsh_dedup_cross_batch_and_replay(spark, tmp_path):
+    """Streaming NEAR-dup dedup over the persistent LSH index: batch 0
+    builds the index from its own survivors, later batches keep only
+    LSH-novel docs, and replaying a batch overwrites its own two
+    partitions with the identical survivor set (exactly-once on both
+    the index and the output)."""
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_lsh_dedup,
+        read_jsonl_stream,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog near the river",
+        1: "pack my box with five dozen liquor jugs before the winter",
+        # near-dup of 0, same batch -> loses to smaller id
+        2: "the quick brown fox jumps over the lazy dog near the rivers",
+        # batch 1: near-dup of 0 (cross-batch) + novel
+        10: "the quick brown fox jumps over the lazy cat near the river",
+        11: "completely novel text about distributed query plan engines",
+        # batch 2: near-dup of batch-1 survivor 11
+        20: "completely novel text about distributed query plan engine",
+    }
+    batches = [[0, 1, 2], [10, 11], [20]]
+    land = tmp_path / "land"
+    land.mkdir()
+    for i, ids in enumerate(batches):
+        (land / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": texts[d]}) for d in ids
+            )
+        )
+
+    idx = str(tmp_path / "lsh_idx")
+    out = str(tmp_path / "out")
+    stream = read_jsonl_stream(
+        spark, str(land), "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    sink = foreach_batch_lsh_dedup(idx, out_path=out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [0, 1, 11]  # 2 lost in-batch, 10 vs index, 20 vs 11
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert sorted(
+        r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+    ) == [0, 1, 11]
+
+    # replay batch 1 verbatim: identical state after (no growth)
+    n_bands = bands.count()
+    replay = spark.createDataFrame(
+        [(d, texts[d]) for d in batches[1]], "doc_id long, text string"
+    )
+    sink(replay, 1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [0, 1, 11]
+    assert spark.read.parquet(f"{idx}/bands").count() == n_bands

@@ -721,6 +721,15 @@ SF10_QUERIES = [
     "llm_pack_ids",
     "llm_tokenizer_coverage",
     "llm_decode_roundtrip",
+    # round-12 late tail at 100x: the trained classifier family and
+    # whole-document BFD packing (llm_incremental_dedup stays sf1-only
+    # — its pair-emitter output explodes with the 100-copy corpus's
+    # duplicate volume by construction, the same reason jaccard/
+    # minhash_pairs are not in this stage; the band-join machinery is
+    # represented at 100x by substring_dedup's postings)
+    "llm_lr_train",
+    "llm_lr_quality_filter",
+    "llm_pack_bins",
 ]
 # Budgets are sf10/sf1 wall ratios at 10× MORE data (so "3.0" means
 # scaling no worse than 3× when data grows 10×); values sized from the
@@ -786,6 +795,22 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
         "fixed overhead amortizes — measured 2.4s->9.5s = 3.99 at "
         "round-12 sizing; budget sits above the measured point but "
         "well below linear",
+    ),
+    # round-12 late sizing (min-of-2, loadavg 10-15): lr_train
+    # 4.9s->15.5s = 3.16 (three data-proportional feature passes +
+    # 65-row rollups), quality_filter 7.2->26.7 = 3.7 (adds the
+    # scoring pass + median), pack_bins 2.5->14.4 = 5.73 (the BFD
+    # kernel touches every token AND runs a per-doc placement loop —
+    # data-proportional by design, same class as decode_roundtrip)
+    "llm_lr_train": (4.5, None),
+    "llm_lr_quality_filter": (5.0, None),
+    "llm_pack_bins": (
+        7.0,
+        "fully data-proportional by design: every packed token passes "
+        "the Arrow kernel and every doc the BFD placement loop, so 10x "
+        "data approaches 10x kernel work as fixed overhead amortizes "
+        "(measured 5.73; the distinct-word encode front half is what "
+        "keeps it below linear)",
     ),
 }
 

@@ -56,9 +56,12 @@ def _llm_transform_body(df):
     return pack_sequence_ids(enc, seq_len=16, n_groups=2, pad_id=0)
 
 
-def _build(tmp_path, spark, name, crash_once):
+def _build(tmp_path, spark, name, crash_once, body_fn=None, model_fields=None):
     """A fresh Pipeline subclass + Model per store dir (the registry
-    metaclass keys on qualname, so each scenario gets its own name)."""
+    metaclass keys on qualname, so each scenario gets its own name).
+    `body_fn` overrides the transform core (defaults to the round-11
+    clean→dedup→encode→pack chain); `model_fields` overrides the
+    output Model's field dict to match."""
     crash_state = {"armed": crash_once}
 
     body = {
@@ -69,7 +72,7 @@ def _build(tmp_path, spark, name, crash_once):
     }
 
     def llm_transform(self, df, meta):
-        return _llm_transform_body(df)
+        return (body_fn or _llm_transform_body)(df)
 
     def maybe_crash(self, df, meta):
         # post_transform runs BEFORE _commit_stage: an injected crash
@@ -87,7 +90,8 @@ def _build(tmp_path, spark, name, crash_once):
     model_cls = type(
         f"PackedSeq{name}",
         (Model,),
-        {
+        model_fields
+        or {
             "grp": fields.Integer(),
             "seq_idx": fields.Integer(),
             "ids": fields.List(),
@@ -166,3 +170,171 @@ def test_llm_pipeline_through_spine_resumes_identically(spark, tmp_path):
 
     with pytest.raises(StopPipeline):
         pipe_b.advance(pkey)
+
+
+# --- round-12 surface through the same spine ---------------------------------
+
+HIST_DOCS = [
+    (100, "the quick brown fox jumps over the lazy dog near the river"),
+    (101, "pack my box with five dozen liquor jugs before the winter"),
+]
+
+DOCS12 = [
+    # near-dup of indexed 100 → dropped vs the index
+    {"doc_id": 1,
+     "text": "the quick brown fox jumps over the lazy cat near the river"},
+    # within-batch near-dup pair → 3 loses to 2
+    {"doc_id": 2,
+     "text": "excellent polished prose about distributed query planning"},
+    {"doc_id": 3,
+     "text": "excellent polished prose about distributed query plannings"},
+    # novel low-quality → survives dedup, dropped by the LR filter
+    {"doc_id": 4, "text": "spam junk spam junk spam junk spam junk spam"},
+    {"doc_id": 5, "text": "click here now buy cheap pills online limited offer"},
+    # novel high-quality
+    {"doc_id": 6,
+     "text": "excellent thorough analysis of partition pruning strategies"},
+]
+
+
+def _r12_transform_body(index_path):
+    """clean → incremental LSH dedup (REAL on-disk index, replayed on
+    resume) → trained-LR quality filter → encode to ids → whole-doc
+    BFD pack: the round-12 operator family as ONE transform core. The
+    index append is batch_id-keyed dynamic overwrite, so advance()
+    re-running this stage replays it exactly-once — the stage is
+    RESUMABLE because the operator is."""
+
+    def body(df):
+        from flask_data_pipes_spark.operators.classifier import (
+            lr_score,
+            lr_train_hashed,
+        )
+        from flask_data_pipes_spark.operators.corpus import pack_bins_ids
+        from flask_data_pipes_spark.operators.dedup import (
+            lsh_index_dedup_append,
+        )
+        from flask_data_pipes_spark.operators.unigram import (
+            unigram_encode_ids,
+        )
+
+        spark = df.sparkSession
+        clean = df.where(F.length(F.trim("text")) >= 5)
+        survivors = lsh_index_dedup_append(
+            spark, index_path, clean, batch_id=1
+        )
+        labeled = survivors.withColumn(
+            "y", F.col("text").contains("excellent").cast("int")
+        )
+        m = lr_train_hashed(
+            labeled, "y", n_features=16, seed=7, iters=40, lr=5.0
+        )
+        kept = survivors.filter(lr_score("text", m) >= 0.5)
+        enc = unigram_encode_ids(
+            kept,
+            VOCAB,
+            max_piece_len=1,
+            byte_fallback=True,
+            special_tokens=(EOS,),
+            append_eos=EOS,
+        )
+        return pack_bins_ids(enc, seq_len=96, n_groups=2, pad_id=0)
+
+    return body
+
+
+_R12_FIELDS = {
+    "grp": fields.Integer(),
+    "bin_idx": fields.Integer(),
+    "ids": fields.List(fields.Integer()),
+    "n_tokens": fields.Integer(),
+    "n_docs": fields.Integer(),
+    "doc_ids": fields.List(),
+    "doc_lens": fields.List(fields.Integer()),
+}
+
+
+def _seed_index(spark, path):
+    from flask_data_pipes_spark.operators.dedup import lsh_index_build
+
+    hist = spark.createDataFrame(HIST_DOCS, "doc_id long, text string")
+    lsh_index_build(hist, path)
+
+
+def _r12_rows(spark, cfg, model_cls):
+    import os
+
+    load_dir = os.path.join(cfg.data_dir, "load", model_cls.filename())
+    return sorted(
+        (
+            r["grp"], r["bin_idx"],
+            tuple(int(x) for x in r["ids"]),
+            r["n_tokens"], r["n_docs"],
+            tuple(r["doc_ids"]),
+            tuple(int(x) for x in r["doc_lens"]),
+        )
+        for r in spark.read.parquet(load_dir).collect()
+    )
+
+
+def test_round12_operators_through_spine(spark, tmp_path):
+    """clean → LSH-index dedup → LR filter → encode → BFD pack run as
+    Pipeline stages, with the crash → advance() resume law: re-running
+    the transform REPLAYS the index append exactly-once, so the
+    resumed run's output AND index state match the uninterrupted
+    run's."""
+    import os
+
+    global DOCS
+    docs_saved = DOCS
+    DOCS = DOCS12  # _build reads the module-level fixture
+    try:
+        # --- uninterrupted reference run ------------------------------
+        idx_a = str(tmp_path / "idx_a")
+        _seed_index(spark, idx_a)
+        pipe_a, model_a, meta_a, cfg_a = _build(
+            tmp_path, spark, "R12A", False,
+            body_fn=_r12_transform_body(idx_a), model_fields=dict(_R12_FIELDS),
+        )
+        out = pipe_a(stage="extract", meta=meta_a)
+        assert len(out) == 1
+        want = _r12_rows(spark, cfg_a, model_a)
+        # survivors: 1 dropped vs index, 3 lost to sibling 2, 4/5
+        # dropped by the LR filter → docs 2 and 6 packed whole
+        packed_docs = sorted(d for r in want for d in r[5])
+        assert packed_docs == ["2", "6"]
+        assert all(r[3] == sum(r[6]) <= 96 for r in want)
+        idx_docs = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(idx_a, "bands"))
+            .select("doc_id").distinct().collect()
+        )
+        # the index accumulated the batch's DEDUP survivors (2,4,5,6 —
+        # the LR filter guards training data, not the dedup index)
+        assert idx_docs == [2, 4, 5, 6, 100, 101]
+
+        # --- crash mid-transform (AFTER the index append ran), resume -
+        idx_b = str(tmp_path / "idx_b")
+        _seed_index(spark, idx_b)
+        pipe_b, model_b, meta_b, cfg_b = _build(
+            tmp_path, spark, "R12B", True,
+            body_fn=_r12_transform_body(idx_b), model_fields=dict(_R12_FIELDS),
+        )
+        with pytest.raises(RuntimeError, match="injected transform crash"):
+            pipe_b(stage="extract", meta=meta_b)
+        pkey = pipe_b.store.objects[-1]["pkey"]
+        assert pipe_b.store.next(pkey)[0] == "transform"
+        # the crashed attempt already appended batch-1 bands; advance()
+        # re-runs the stage and the batch_id-keyed overwrite makes the
+        # second append a no-op state-wise
+        pipe_b.advance(pkey)
+        assert pipe_b.store.next(pkey) == (None, None)
+        assert _r12_rows(spark, cfg_b, model_b) == want
+        idx_docs_b = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(idx_b, "bands"))
+            .select("doc_id").distinct().collect()
+        )
+        assert idx_docs_b == idx_docs
+    finally:
+        DOCS = docs_saved

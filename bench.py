@@ -262,6 +262,17 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "the injected 30% star component; skew/uniform stays ~1.0 (the "
         "partial HashAggregate IS the two-phase min)",
     ),
+    "llm_bigram_logprob": (
+        3.3,
+        "evidence band (round 12): 2.78 driver r11, 2.85 retry-"
+        "CONFIRMED at the round-12 close run, 3.05 once when the ratio "
+        "stage grew to 44 entries (four new heavy round-12 entries "
+        "joined, loadavg_after 12.9) — code untouched since round 4, "
+        "both absolute sides moved together (+11%/+22% under load). "
+        "Budget = band top + noise margin, same stage-self-load "
+        "adjudication as llm_bm25_topk's sf10 band; a real plan "
+        "regression (2x the 2.8 band) still trips",
+    ),
     "llm_incremental_dedup": (
         5.5,
         "pair-emitter family (same exemption class as ngram_jaccard 4.5 "

@@ -52,6 +52,7 @@ __all__ = [
     "hashed_features",
     "lr_train_hashed",
     "lr_score",
+    "auc_report",
 ]
 
 
@@ -253,4 +254,60 @@ def lr_score(
     scorer's mean-of-weights fold computes the identical z."""
     return hashed_linear_score(
         c, model.weights, seed=model.seed, bias=model.bias, toks=toks
+    )
+
+
+def auc_report(
+    scored: DataFrame,
+    score_col: str = "p",
+    label_col: str = "y",
+) -> DataFrame:
+    """ROC AUC of a scored binary-labeled frame, computed WITHOUT a
+    global per-row ranking: scores collapse to a (score → n_pos,
+    n_neg) table first (one map-side-combined aggregation), then the
+    Mann-Whitney identity folds over DISTINCT scores —
+    AUC = Σ_s n_pos(s)·(N_neg<s + ½·n_neg(s)) / (P·N), which equals
+    the average-rank (tie-adjusted) AUC exactly.
+
+    Scale: the only window runs over the aggregated per-score table
+    (cardinality ≤ distinct scores — bounded at 10^6+1 when scores are
+    6-dp probabilities), the ks_drift/equidepth prefix-sum shape; raw
+    rows never sort globally. Output: one row
+    (n_pos, n_neg, auc 6-dp).
+
+    Ties in score between a positive and a negative contribute ½ each
+    (the standard trapezoidal/average-rank convention), so a constant
+    scorer reads exactly 0.5."""
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__np"),
+        F.sum(
+            (F.lit(1) - F.col(label_col).cast("long"))
+        ).alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.withColumn(
+        "__cum_nn_incl", F.sum("__nn").over(w)
+    ).withColumn(
+        "__contrib",
+        F.col("__np")
+        * (
+            (F.col("__cum_nn_incl") - F.col("__nn")).cast("double")
+            + F.lit(0.5) * F.col("__nn").cast("double")
+        ),
+    )
+    return cum.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum("__contrib")
+            / (
+                F.sum("__np").cast("double")
+                * F.sum("__nn").cast("double")
+            ),
+            6,
+        ).alias("auc"),
     )

@@ -6589,3 +6589,83 @@ def llm_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+
+_LR_AUC_ORACLE = _lr_train_oracle(3).rsplit("SELECT b AS bucket", 1)[0] + rf""",
+zf AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * w3.w, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS z
+  FROM feat f JOIN w3 ON w3.b = f.b
+  GROUP BY f.doc_id
+),
+pf AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM zf
+),
+ps AS (
+  SELECT pf.p AS s,
+         SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN d.lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM pf JOIN documents d ON d.doc_id = pf.doc_id
+  GROUP BY pf.p
+),
+cum AS (
+  SELECT s, np, nn,
+         SUM(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cnn
+  FROM ps
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       round(SUM(np * ((cnn - nn)::DOUBLE + 0.5 * nn::DOUBLE))
+             / (SUM(np)::DOUBLE * SUM(nn)::DOUBLE), 6) AS auc
+FROM cum
+"""
+
+
+@register("llm_lr_auc", oracle=_LR_AUC_ORACLE)
+def llm_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier's EVALUATION leg, completing train → score →
+    filter → EVAL under the oracle gate: ROC AUC of the 3-iteration
+    trained model's scores against the weak lang label, via the
+    Mann-Whitney identity over a per-score count table
+    (operators/classifier.py::auc_report) — tie-pairs count ½, exactly
+    the average-rank AUC.
+
+    Scale: NO global per-row ranking — scores collapse to (score →
+    n_pos, n_neg) with map-side combine first; the one window runs
+    over the aggregated table, bounded by distinct 6-dp scores
+    (ks_drift's prefix-sum shape). On the weak lang task AUC lands
+    near 0.5 by construction (the synthetic corpus's language labels
+    are nearly token-independent) — the gate checks the MACHINERY is
+    exact, and the classifier tests prove separable data reads 1.0."""
+    from ..operators.classifier import (
+        auc_report,
+        hashed_features,
+        lr_train_hashed,
+    )
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    m = lr_train_hashed(
+        d, "y", n_features=_LR_D, seed=_LR_SEED, iters=3, lr=_LR_LR,
+        track_history=False,
+    )
+    w = m.weights + [m.bias]
+    wlit = F.array(*[F.lit(float(v)) for v in w])
+    feats = hashed_features(d, None, n_features=_LR_D, seed=_LR_SEED)
+    term = F.round(
+        F.col("x") * F.element_at(wlit, F.col("bucket") + 1), 12
+    ).cast("decimal(38,12)")
+    scores = (
+        feats.groupBy("doc_id")
+        .agg(F.sum(term).cast("double").alias("z"))
+        .withColumn(
+            "p",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
+        )
+        .join(d.select("doc_id", "y"), "doc_id")
+    )
+    return auc_report(scores, "p", "y")

@@ -208,3 +208,64 @@ def test_lr_null_label_raises_by_name(spark):
     )
     with pytest.raises(ValueError, match="NULL 'y'"):
         lr_train_hashed(docs, "y", n_features=16, seed=7, iters=1)
+
+
+# --- auc_report --------------------------------------------------------------
+
+
+def _brute_auc(pairs):
+    """Reference AUC: average over all (pos, neg) pairs of
+    1 if p_pos > p_neg, 0.5 if tied, else 0."""
+    pos = [p for p, y in pairs if y == 1]
+    neg = [p for p, y in pairs if y == 0]
+    tot = 0.0
+    for a in pos:
+        for b in neg:
+            tot += 1.0 if a > b else (0.5 if a == b else 0.0)
+    return tot / (len(pos) * len(neg))
+
+
+def _auc_df(spark, pairs):
+    from flask_data_pipes_spark.operators.classifier import auc_report
+
+    df = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in pairs], "p double, y int"
+    )
+    return auc_report(df, "p", "y").collect()[0]
+
+
+def test_auc_perfect_constant_inverted(spark):
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert _auc_df(spark, perfect)["auc"] == 1.0
+    const = [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)]
+    assert _auc_df(spark, const)["auc"] == 0.5
+    inverted = [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)]
+    assert _auc_df(spark, inverted)["auc"] == 0.0
+
+
+def test_auc_matches_brute_pair_average_with_ties(spark):
+    pairs = [
+        (0.3, 1), (0.3, 0), (0.7, 1), (0.5, 0), (0.5, 1),
+        (0.5, 0), (0.9, 1), (0.1, 0), (0.7, 0), (0.3, 1),
+    ]
+    r = _auc_df(spark, pairs)
+    assert r["n_pos"] == 5 and r["n_neg"] == 5
+    assert r["auc"] == round(_brute_auc(pairs), 6)
+
+
+def test_auc_partitioning_independent(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(round(rng.random(), 2), rng.randint(0, 1)) for _ in range(200)]
+    if not any(y for _, y in pairs):
+        pairs[0] = (pairs[0][0], 1)
+    from flask_data_pipes_spark.operators.classifier import auc_report
+
+    df = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in pairs], "p double, y int"
+    )
+    a = auc_report(df.repartition(1), "p", "y").collect()[0]
+    b = auc_report(df.repartition(13), "p", "y").collect()[0]
+    assert a == b
+    assert a["auc"] == round(_brute_auc(pairs), 6)

@@ -42,6 +42,7 @@ __all__ = [
     "length_histogram",
     "temperature_sample",
     "bigram_logprob",
+    "kn_trigram_logprob",
     "dsir_ngram_buckets",
     "dsir_logratios",
     "dsir_weights",
@@ -1649,4 +1650,151 @@ def pack_bins_ids(
             "grp int, bin_idx long, ids array<int>, n_tokens int, "
             "n_docs int, doc_ids array<string>, doc_lens array<int>"
         ),
+    )
+
+
+KN_BOS = "\x02"  # context sentinel; strip C0 controls upstream (unicode_clean)
+
+
+def kn_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_term: int = 9,
+    round_out: int = 6,
+) -> DataFrame:
+    """Interpolated KNESER-NEY trigram LM score per document — the
+    KenLM/CCNet-grade filter above `bigram_logprob`'s Jelinek-Mercer
+    mixture (Chen & Goodman 1999): absolute discounting at the trigram
+    level, CONTINUATION counts (in how many distinct contexts does
+    this n-gram complete?) at the lower levels, so frequent-but-
+    context-bound words ("francisco") stop inflating backoff mass.
+
+        P(w3|w1w2) = max(c(w1w2w3)−D,0)/c(w1w2·)
+                     + D·N1+(w1w2·)/c(w1w2·) · P(w3|w2)
+        P(w3|w2)   = max(ĉ(w2w3)−D,0)/ĉ(w2·)
+                     + D·N1+(w2·)/ĉ(w2·) · Pcont(w3)
+        Pcont(w3)  = N1+(·w3)/N1+(··)      ĉ(w2w3) = N1+(·w2w3)
+
+    Every document is padded with two BOS sentinels so n_trigrams ==
+    n_tokens (each real token is scored once). `discount` defaults to
+    0.75, an exact binary fraction — the mixture arithmetic is
+    engine-identical on identical count ratios. Output:
+    (id, n_tokens, avg_logp, bits_per_token).
+
+    Cross-engine determinism: counts are integers, the nested formula
+    is evaluated in one fixed operation order, log is rounded to
+    `round_term` decimals, per-doc sums run as DECIMAL(38,9).
+
+    Scale shape (the n-gram LM standard): ALL model tables derive from
+    ONE trigram count aggregation (Heaps-bounded far below the token
+    stream) — context counts, continuation counts, and the 1-row
+    N1+(··) total are model-sized rollups of it; the full per-trigram
+    probability is assembled model-side (joins between model-sized
+    tables), so SCORING is one shuffle join of the trigram stream
+    against the finished probability table plus one doc-keyed rollup.
+    No window, no Python, no per-row UDF."""
+    D = float(discount)
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(
+        F.col(id_col),
+        F.concat(F.array(F.lit(KN_BOS), F.lit(KN_BOS)), toks).alias("__t"),
+    )
+    tri_arr = F.transform(
+        F.sequence(F.lit(3), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 2).alias("a"),
+            F.element_at("__t", i - 1).alias("b"),
+            F.element_at("__t", i).alias("c"),
+        ),
+    )
+    stream = (
+        base.select(id_col, F.explode_outer(tri_arr).alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .select(
+            id_col,
+            F.col("__g.a").alias("__w1"),
+            F.col("__g.b").alias("__w2"),
+            F.col("__g.c").alias("__w3"),
+        )
+    )
+    tri = stream.groupBy("__w1", "__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    ctx12 = tri.groupBy("__w1", "__w2").agg(
+        F.sum("__c3").alias("__c12"),
+        F.count(F.lit(1)).alias("__n12"),  # N1+(w1w2·)
+    )
+    chat = tri.groupBy("__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__ch")  # ĉ(w2w3) = N1+(·w2w3)
+    )
+    chctx = chat.groupBy("__w2").agg(
+        F.sum("__ch").alias("__chs"),  # ĉ(w2·) = N1+(·w2·)
+        F.count(F.lit(1)).alias("__n2"),  # N1+(w2·)
+    )
+    contw = chat.groupBy("__w3").agg(
+        F.count(F.lit(1)).alias("__cw")  # N1+(·w3)
+    )
+    tot = chat.agg(F.count(F.lit(1)).alias("__tot"))  # N1+(··)
+    pbig = (
+        chat.join(chctx, "__w2")
+        .join(F.broadcast(contw), "__w3")
+        .join(F.broadcast(tot))
+        .select(
+            "__w2",
+            "__w3",
+            (
+                F.greatest(
+                    F.col("__ch").cast("double") - F.lit(D), F.lit(0.0)
+                )
+                / F.col("__chs").cast("double")
+                + F.lit(D)
+                * F.col("__n2").cast("double")
+                / F.col("__chs").cast("double")
+                * (
+                    F.col("__cw").cast("double")
+                    / F.col("__tot").cast("double")
+                )
+            ).alias("__pb"),
+        )
+    )
+    prob = (
+        tri.join(ctx12, ["__w1", "__w2"])
+        .join(pbig, ["__w2", "__w3"])
+        .select(
+            "__w1",
+            "__w2",
+            "__w3",
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.col("__c3").cast("double") - F.lit(D),
+                        F.lit(0.0),
+                    )
+                    / F.col("__c12").cast("double")
+                    + F.lit(D)
+                    * F.col("__n12").cast("double")
+                    / F.col("__c12").cast("double")
+                    * F.col("__pb")
+                ),
+                round_term,
+            ).alias("__logp"),
+        )
+    )
+    sum_dec = F.sum(F.col("__logp").cast("decimal(38,9)"))
+    n = F.count(F.lit(1))
+    avg = sum_dec.cast("double") / n
+    return (
+        stream.join(prob, ["__w1", "__w2", "__w3"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.round(avg, round_out).alias("avg_logp"),
+            F.round(-avg / F.log(F.lit(2.0)), round_out).alias(
+                "bits_per_token"
+            ),
+        )
     )

@@ -6669,3 +6669,91 @@ def llm_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", "y"), "doc_id")
     )
     return auc_report(scores, "p", "y")
+
+
+_KN_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_concat([chr(2), chr(2)],
+                     string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM base
+),
+stream AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM idx
+),
+tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM stream GROUP BY 1, 2, 3),
+ctx12 AS (
+  SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS n12 FROM tri GROUP BY 1, 2
+),
+chat AS (SELECT w2, w3, COUNT(*) AS ch FROM tri GROUP BY 1, 2),
+chctx AS (
+  SELECT w2, SUM(ch) AS chs, COUNT(*) AS n2 FROM chat GROUP BY 1
+),
+contw AS (SELECT w3, COUNT(*) AS cw FROM chat GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS tt FROM chat),
+pbig AS (
+  SELECT chat.w2, chat.w3,
+         greatest(ch::DOUBLE - 0.75, 0.0) / chs::DOUBLE
+         + 0.75 * n2::DOUBLE / chs::DOUBLE
+           * (cw::DOUBLE / (SELECT tt FROM tot)) AS pb
+  FROM chat JOIN chctx USING (w2) JOIN contw USING (w3)
+),
+prob AS (
+  SELECT tri.w1, tri.w2, tri.w3,
+         round(ln(greatest(c3::DOUBLE - 0.75, 0.0) / c12::DOUBLE
+                  + 0.75 * n12::DOUBLE / c12::DOUBLE * pb), 9) AS logp
+  FROM tri JOIN ctx12 USING (w1, w2) JOIN pbig USING (w2, w3)
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(SUM(CAST(logp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+           AS avg
+  FROM stream s JOIN prob USING (w1, w2, w3) GROUP BY s.doc_id
+),
+scored AS (
+  SELECT doc_id, round(-avg / ln(2.0), 6) AS bpt FROM per_doc
+)
+SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+       round(CAST(SUM(CAST(bpt AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_bits_per_token
+FROM scored JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@register("llm_kn_perplexity", oracle=_KN_ORACLE)
+def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney trigram LM quality signal
+    (operators/corpus.py::kn_trigram_logprob) — the KenLM/CCNet-grade
+    member of the LM-filter family (unigram → JM-bigram → KN-trigram),
+    rolled up per language: (lang, n_docs, mean_bits_per_token).
+    Absolute discounting at the trigram level + CONTINUATION counts at
+    the lower levels, all derived from ONE Heaps-bounded trigram count
+    table; unlike the EM-trained unigram entry this one is fully
+    SQL-expressible, so the gate hash-checks a complete n-gram LM
+    train+score pass.
+
+    Scale: counts shuffle on n-gram keys with map-side combine; the
+    probability table is assembled model-side; scoring is one
+    trigram-keyed join + one doc rollup."""
+    from ..operators.corpus import kn_trigram_logprob
+
+    d = load(spark, sf_dir, "documents")
+    scored = kn_trigram_logprob(d)
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.col("bits_per_token").cast("decimal(38,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bits_per_token"),
+        )
+    )

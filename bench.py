@@ -167,6 +167,11 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # round-12: whole-document BFD packing — encode economy + ONE pack
     # shuffle; measured 1.72 at 10×
     "llm_pack_bins",
+    # round-12 late: KN trigram LM — all model tables derive from one
+    # trigram count aggregation; the rotated-copy corpus grows trigram
+    # vocabulary faster than the unigram Heaps curve (measured 2.75 at
+    # 10×, idle min-of-3)
+    "llm_kn_perplexity",
     # round-12: incremental batch-vs-corpus LSH dedup — banding is
     # linear but the band-collision join and the within-batch pair
     # emitter are output-proportional on the rotated-copy corpus
@@ -261,6 +266,14 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "same base-speedup arithmetic as dedup_clusters_production, plus "
         "the injected 30% star component; skew/uniform stays ~1.0 (the "
         "partial HashAggregate IS the two-phase min)",
+    ),
+    "llm_kn_perplexity": (
+        3.5,
+        "trigram-count tables: the rotated-copy 10x corpus multiplies "
+        "DISTINCT trigrams (rotations create new word adjacencies) so "
+        "the model-side joins grow faster than the token stream; "
+        "measured 2.75 idle min-of-3 at round-12 close — budget = "
+        "measured + stage-self-load margin",
     ),
     "llm_bigram_logprob": (
         3.3,

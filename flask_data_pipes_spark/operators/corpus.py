@@ -220,8 +220,11 @@ def unigram_logprob(
     sum_dec = F.sum(F.col("__logp").cast("decimal(38,9)"))
     n = F.count(F.lit(1))
     avg = sum_dec.cast("double") / n  # double division AFTER the exact sum
+    # logp is vocabulary-sized (unbounded at corpus scale) — no forced
+    # broadcast; the token-keyed shuffle join is the honest 100 TB
+    # shape and AQE still picks broadcast when logp measures small.
     return (
-        posts.join(F.broadcast(logp), "__tok")
+        posts.join(logp, "__tok")
         .groupBy(id_col)
         .agg(
             n.alias("n_tok"),
@@ -265,8 +268,10 @@ def bm25_topk(
       the shuffle carries one row per DISTINCT (doc, term), not the
       token stream.
     - N and avgdl are a 1-row aggregate → broadcast; per-term df is a
-      groupBy on the postings' term (vocabulary-sized) → joined back
-      on term, also vocabulary-keyed.
+      groupBy on the postings' term (vocabulary-sized) and is
+      semi-joined down to the QUERY terms (bounded) before it is
+      broadcast back onto the postings — the full vocabulary table is
+      never force-resident.
     - query terms BROADCAST onto the postings (query sets are tiny
       next to the corpus), so the corpus-sized side shuffles exactly
       once more: the (qid, doc) score aggregation, whose cardinality
@@ -323,9 +328,17 @@ def bm25_topk(
         / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)),
         round_term,
     )
+    # dfreq is vocabulary-sized — restrict it to the query terms
+    # (query-set-sized, bounded) BEFORE broadcasting; the posts join
+    # already drops non-query terms, so values are unchanged.
+    qdf = dfreq.join(
+        F.broadcast(qterms.select("__term").distinct()),
+        "__term",
+        "left_semi",
+    )
     scored = (
         posts.join(F.broadcast(qterms), "__term")
-        .join(F.broadcast(dfreq.join(F.broadcast(stats))), "__term")
+        .join(F.broadcast(qdf.join(F.broadcast(stats))), "__term")
         .groupBy("__qid", "__doc")
         .agg(
             F.round(
@@ -655,9 +668,13 @@ def bigram_logprob(
     total = uni.agg(F.sum("__cu").alias("__T"))
     big = pairs.groupBy("__p", "__c").agg(F.count(F.lit(1)).alias("__cb"))
     ctx = big.groupBy("__p").agg(F.sum("__cb").alias("__cp"))
+    # uni is vocabulary-sized (unbounded under Heaps' law at corpus
+    # scale) — never force-broadcast it; big is already in a shuffle
+    # for the ctx join, so the vocabulary join shuffles model-grain
+    # rows only, and AQE may still broadcast when uni measures small.
     prob = (
         big.join(ctx, "__p")
-        .join(F.broadcast(uni.withColumnRenamed("__tok", "__c")), "__c")
+        .join(uni.withColumnRenamed("__tok", "__c"), "__c")
         .join(F.broadcast(total))
         .select(
             "__p",
@@ -1739,9 +1756,15 @@ def kn_trigram_logprob(
         F.count(F.lit(1)).alias("__cw")  # N1+(·w3)
     )
     tot = chat.agg(F.count(F.lit(1)).alias("__tot"))  # N1+(··)
+    # NO broadcast hint on contw: it is one row per DISTINCT token, an
+    # unbounded (Heaps-law) cardinality that would OOM the driver at
+    # corpus scale if forced resident. chat is already shuffle-joined
+    # on __w2, so adding the __w3 key costs nothing at model grain,
+    # and AQE may still pick a broadcast when contw measures small.
+    # The 1-row `tot` broadcast below is a bounded literal — fine.
     pbig = (
         chat.join(chctx, "__w2")
-        .join(F.broadcast(contw), "__w3")
+        .join(contw, "__w3")
         .join(F.broadcast(tot))
         .select(
             "__w2",

@@ -549,3 +549,41 @@ def test_psi_drift_no_sort_no_smj(spark, sf_dir):
     for ln in plan.splitlines():
         s = ln.strip().lstrip("+-:* ")
         assert not s.startswith("Sort ["), f"sort in psi plan: {ln}"
+
+
+def test_lm_family_no_unbounded_broadcast_hints(spark, sf_dir):
+    """VERDICT r12 #1: no LM-family operator may force-broadcast an
+    unbounded-cardinality (vocabulary-sized) table — at corpus scale
+    the whitespace vocabulary is 1e8-1e9 rows (Heaps), far past any
+    driver budget, so a forced hint is a guaranteed OOM even though it
+    runs fine at test SF. The ONLY broadcast hint each operator may
+    carry is its 1-row grand-total aggregate (AQE remains free to
+    choose broadcast for the model joins at runtime when they measure
+    small — that is a size-gated runtime decision, not a forced hint).
+    Asserted on the ANALYZED plan, where explicit hints survive as
+    ResolvedHint nodes regardless of what AQE later picks."""
+    from flask_data_pipes_spark.operators.corpus import (
+        bigram_logprob,
+        kn_trigram_logprob,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for fn in (unigram_logprob, bigram_logprob, kn_trigram_logprob):
+        df = fn(docs)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("ResolvedHint")
+        assert n_hints == 1, (
+            f"{fn.__name__}: expected exactly one broadcast hint (the "
+            f"1-row total), found {n_hints}:\n{analyzed}"
+        )
+
+
+def test_bm25_broadcasts_query_restricted_df_only(spark, sf_dir):
+    """bm25's per-term df table is vocabulary-sized; every broadcast
+    hint in its plan must sit on a query-bounded or 1-row subtree —
+    the df table is semi-joined down to the query terms BEFORE its
+    hint. The semi-join itself must appear under a hint (i.e. the
+    full dfreq is reduced, then shipped)."""
+    plan = _plan(spark, sf_dir, "llm_bm25_topk")
+    assert "LeftSemi" in plan, plan

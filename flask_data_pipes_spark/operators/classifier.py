@@ -269,16 +269,23 @@ def auc_report(
     AUC = Σ_s n_pos(s)·(N_neg<s + ½·n_neg(s)) / (P·N), which equals
     the average-rank (tie-adjusted) AUC exactly.
 
-    Scale: the only window runs over the aggregated per-score table
+    Scale: the prefix sum runs over the aggregated per-score table
     (cardinality ≤ distinct scores — bounded at 10^6+1 when scores are
-    6-dp probabilities), the ks_drift/equidepth prefix-sum shape; raw
-    rows never sort globally. Output: one row
+    6-dp probabilities) via `partitioned_cumsum` — the ks_drift/
+    equidepth DISTRIBUTED shape (range-repartition + within-partition
+    window + tiny offsets table), so there is no single-task global
+    window and raw rows never sort globally. Output: one row
     (n_pos, n_neg, auc 6-dp).
 
     Ties in score between a positive and a negative contribute ½ each
     (the standard trapezoidal/average-rank convention), so a constant
-    scorer reads exactly 0.5."""
-    from pyspark.sql import Window
+    scorer reads exactly 0.5.
+
+    Degenerate input (single-class: n_pos == 0 or n_neg == 0) has no
+    defined ROC — `auc` is NULL BY CONTRACT (guarded explicitly, not
+    a silent divide-by-zero); callers that require both classes should
+    assert n_pos > 0 and n_neg > 0 on the returned row."""
+    from .corpus import partitioned_cumsum
 
     per_score = scored.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col).cast("long")).alias("__np"),
@@ -286,28 +293,25 @@ def auc_report(
             (F.lit(1) - F.col(label_col).cast("long"))
         ).alias("__nn"),
     )
-    w = Window.orderBy("__s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_score.withColumn(
-        "__cum_nn_incl", F.sum("__nn").over(w)
-    ).withColumn(
+    cum = partitioned_cumsum(per_score, "__s", ["__nn"]).withColumn(
         "__contrib",
         F.col("__np")
         * (
-            (F.col("__cum_nn_incl") - F.col("__nn")).cast("double")
+            (F.col("__cum___nn") - F.col("__nn")).cast("double")
             + F.lit(0.5) * F.col("__nn").cast("double")
         ),
     )
+    pos = F.sum("__np").cast("long")
+    neg = F.sum("__nn").cast("long")
     return cum.agg(
-        F.sum("__np").cast("long").alias("n_pos"),
-        F.sum("__nn").cast("long").alias("n_neg"),
-        F.round(
-            F.sum("__contrib")
-            / (
-                F.sum("__np").cast("double")
-                * F.sum("__nn").cast("double")
+        pos.alias("n_pos"),
+        neg.alias("n_neg"),
+        F.when(
+            (pos > 0) & (neg > 0),
+            F.round(
+                F.sum("__contrib")
+                / (pos.cast("double") * neg.cast("double")),
+                6,
             ),
-            6,
         ).alias("auc"),
     )

@@ -6362,7 +6362,17 @@ def llm_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "y", n_features=_LR_D, seed=_LR_SEED, iters=3, lr=_LR_LR,
         track_history=False,
     )
-    rows = [(b, round(w, 9)) for b, w in enumerate(m.weights + [m.bias])]
+    # Emulate SQL ROUND (half-away-from-zero) — Python's round() is
+    # banker's rounding and would flip the gate on an exact half-tie
+    # at the 9th decimal (verify SKILL.md's documented gotcha).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r9(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    rows = [(b, _r9(w)) for b, w in enumerate(m.weights + [m.bias])]
     return spark.createDataFrame(rows, "bucket int, weight double")
 
 

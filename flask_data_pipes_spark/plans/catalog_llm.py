@@ -6559,7 +6559,13 @@ def llm_lr_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training as llm_lr_train; scoring is one pass over the same
     co-partitioned feature table; the median is one aggregate whose
     1-row result broadcasts into the filter (the only crossJoin is
-    that 1-row side)."""
+    that 1-row side).
+
+    Persistence: a model trained here round-trips through
+    `lr_model_save`/`lr_model_load` and `lr_score` accepts the loaded
+    model unchanged (bit-identical weights → identical scores), so
+    today's model can score tomorrow's batch without retraining —
+    parity-tested in tests/test_classifier.py."""
     from ..operators.classifier import hashed_features, lr_train_hashed
 
     d = load(spark, sf_dir, "documents").withColumn(

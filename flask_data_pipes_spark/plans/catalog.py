@@ -501,7 +501,16 @@ CHECKED_PREFIX = [
     "llm_pii_redact",
     "llm_decontaminate",
     "llm_pack_sequences",
-    "llm_boilerplate_prune",
+    # Round-13 curation: the train-on-A-score-B n-gram LM split joins
+    # the gate — llm_kn_cross certifies the full KN model build (the
+    # same count-aggregation machinery as llm_kn_perplexity, which
+    # stays oracled + swept), model PERSISTENCE (save → load under the
+    # oracle), and every backoff depth of cross-corpus scoring. It
+    # takes llm_boilerplate_prune's slot: line-grain explode +
+    # frequency + join-back-rebuild machinery stays gated via
+    # llm_line_dedup (and the fused llm_corpus_clean); boilerplate
+    # prune stays oracled + swept behind the prefix.
+    "llm_kn_cross",
     # Continued round 8: keep-first line dedup (distinct keep-semantics
     # family) takes llm_token_budget's slot (a cumsum quota over the
     # same prefix-sum machinery as llm_pack_sequences; stays oracled)

@@ -156,3 +156,193 @@ def test_kn_single_token_docs(spark):
     """One-token docs score via the double-BOS context; empty docs drop."""
     rows = kn_trigram_logprob(_df(spark, ["hello", "", "  "])).collect()
     assert len(rows) == 1 and rows[0]["n_tokens"] == 1
+
+
+# --- train-on-A-score-B split (VERDICT r12 "What's missing" #1) -------------
+
+
+class RefKNCross(RefKN):
+    """Extends the pure-Python reference with the backoff cascade
+    kn_score applies to trigrams unseen in training."""
+
+    def lam12(self, a, b):
+        return D * self.n12[(a, b)] / self.c12[(a, b)]
+
+    def lam2(self, b):
+        return D * self.n2[b] / self.chs[b]
+
+    def cross_doc_score(self, text):
+        s = [KN_BOS, KN_BOS] + text.lower().split()
+        terms, miss = [], 0
+        for i in range(2, len(s)):
+            a, b, c = s[i - 2], s[i - 1], s[i]
+            if (a, b, c) in self.tris:
+                p = self.ptri(a, b, c)
+            else:
+                miss += 1
+                p1 = (
+                    self.pcont(c)
+                    if c in self.cw
+                    else 1.0 / (self.tot + 1.0)
+                )
+                if (b, c) in self.ch:
+                    p2 = self.pbig(b, c)
+                elif b in self.chs:
+                    p2 = self.lam2(b) * p1
+                else:
+                    p2 = p1
+                p = self.lam12(a, b) * p2 if (a, b) in self.c12 else p2
+            terms.append(_rnd(math.log(p), 9))
+        n = len(terms)
+        avg = float(sum(terms)) / n
+        return (
+            n,
+            miss,
+            float(_rnd(avg, 6)),
+            float(_rnd(-avg / math.log(2.0), 6)),
+        )
+
+
+# unseen trigrams of every backoff depth vs TEXTS: seen context, seen
+# bigram; unseen bigram with seen w2; unseen w2; OOV word
+CROSS_TEXTS = [
+    "the cat sat on the rug",            # novel trigram, seen parts
+    "the dog ate the fish in the pond",  # mixes seen bigrams in new order
+    "a zebra chased the cat",            # OOV word 'zebra'
+    "garden pond fish dog cat",          # scrambled — mostly unseen bigrams
+]
+
+
+def test_kn_score_on_training_corpus_equals_combined(spark):
+    """The identity law: scoring the training corpus under its own
+    model reproduces kn_trigram_logprob byte-for-byte (every trigram
+    hits, n_unseen == 0)."""
+    from flask_data_pipes_spark.operators.corpus import kn_model, kn_score
+
+    df = _df(spark, TEXTS)
+    combined = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logp"], r["bits_per_token"])
+        for r in kn_trigram_logprob(df).collect()
+    }
+    split = kn_score(df, kn_model(df)).collect()
+    assert len(split) == len(combined)
+    for r in split:
+        assert r["n_unseen"] == 0
+        assert combined[r["doc_id"]] == (
+            r["n_tokens"], r["avg_logp"], r["bits_per_token"]
+        )
+
+
+def test_kn_cross_split_matches_pure_python_backoff(spark):
+    """Train on A, score B: every backoff depth (seen-context,
+    seen-bigram, unseen-bigram, unseen-context, OOV floor) matches the
+    pure-Python cascade exactly."""
+    from flask_data_pipes_spark.operators.corpus import kn_model, kn_score
+
+    ref = RefKNCross(TEXTS)
+    model = kn_model(_df(spark, TEXTS))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_unseen"], r["avg_logp"], r["bits_per_token"]
+        )
+        for r in kn_score(_df(spark, CROSS_TEXTS), model).collect()
+    }
+    assert len(got) == len(CROSS_TEXTS)
+    n_unseen_total = 0
+    for i, t in enumerate(CROSS_TEXTS):
+        assert got[i] == ref.cross_doc_score(t), t
+        n_unseen_total += got[i][1]
+    assert n_unseen_total > 0  # the split genuinely exercised backoff
+
+
+def test_kn_model_save_load_score_parity(spark, tmp_path):
+    """Round-trip persistence: a loaded model scores byte-identically
+    to the in-memory one (doubles exact through parquet), and the
+    param sidecar pins discount/rounding."""
+    from flask_data_pipes_spark.operators.corpus import (
+        kn_model,
+        kn_model_load,
+        kn_model_save,
+    )
+    from flask_data_pipes_spark.operators.corpus import kn_score
+
+    model = kn_model(_df(spark, TEXTS))
+    path = str(tmp_path / "knmodel")
+    kn_model_save(spark, model, path)
+    loaded = kn_model_load(spark, path)
+    assert (loaded.discount, loaded.round_term) == (0.75, 9)
+    b = _df(spark, CROSS_TEXTS)
+    a_rows = sorted(map(tuple, kn_score(b, model).collect()))
+    l_rows = sorted(map(tuple, kn_score(b, loaded).collect()))
+    assert a_rows == l_rows
+
+
+def test_jm_bigram_split_identity_and_roundtrip(spark, tmp_path):
+    """The bigram twin: (1) scoring the training corpus under its own
+    model reproduces bigram_logprob exactly; (2) save/load scores
+    byte-identically; (3) cross-corpus scoring handles unseen pairs
+    and OOV tokens via the (1-lam)*P1 backoff with the 1/(T+1)
+    floor."""
+    from flask_data_pipes_spark.operators.corpus import (
+        bigram_logprob,
+        jm_bigram_model,
+        jm_bigram_model_load,
+        jm_bigram_model_save,
+        jm_bigram_score,
+    )
+
+    df = _df(spark, TEXTS)
+    combined = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["bits_per_bigram"])
+        for r in bigram_logprob(df).collect()
+    }
+    model = jm_bigram_model(df)
+    for r in jm_bigram_score(df, model).collect():
+        assert r["n_unseen"] == 0
+        assert combined[r["doc_id"]] == (
+            r["n_bigrams"], r["avg_logp"], r["bits_per_bigram"]
+        )
+    path = str(tmp_path / "jmmodel")
+    jm_bigram_model_save(spark, model, path)
+    loaded = jm_bigram_model_load(spark, path)
+    b = _df(spark, CROSS_TEXTS)
+    a_rows = sorted(map(tuple, jm_bigram_score(b, model).collect()))
+    l_rows = sorted(map(tuple, jm_bigram_score(b, loaded).collect()))
+    assert a_rows == l_rows
+    # pure-python cross check for the backoff arithmetic
+    from collections import Counter as C
+
+    cu, T, cb, cp = C(), 0, C(), C()
+    for t in TEXTS:
+        toks = t.lower().split()
+        for w in toks:
+            cu[w] += 1
+            T += 1
+        for x, y in zip(toks, toks[1:]):
+            cb[(x, y)] += 1
+            cp[x] += 1
+    lam = 0.75
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_unseen"], r["avg_logp"],
+            r["bits_per_bigram"],
+        )
+        for r in jm_bigram_score(b, model).collect()
+    }
+    for i, t in enumerate(CROSS_TEXTS):
+        toks = t.lower().split()
+        terms, miss = [], 0
+        for x, y in zip(toks, toks[1:]):
+            if (x, y) in cb:
+                p = lam * (cb[(x, y)] / cp[x]) + (1.0 - lam) * (cu[y] / T)
+            else:
+                miss += 1
+                p1 = cu[y] / T if y in cu else 1.0 / (T + 1.0)
+                p = (1.0 - lam) * p1
+            terms.append(_rnd(math.log(p), 9))
+        n = len(terms)
+        avg = float(sum(terms)) / n
+        assert got[i] == (
+            n, miss, float(_rnd(avg, 6)),
+            float(_rnd(-avg / math.log(2.0), 6)),
+        ), t

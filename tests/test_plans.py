@@ -287,7 +287,14 @@ def test_checked_prefix_curated():
         # gated; cosine_topk stays oracled + swept)
         "ann": ["llm_retrieval_eval", "llm_lsh_topk"],
         "retrieval-eval": ["llm_retrieval_eval"],
-        "corpus": ["llm_boilerplate_prune"],
+        # round-13: llm_kn_cross took llm_boilerplate_prune's slot
+        # (line-grain explode/frequency/rebuild machinery rides
+        # llm_line_dedup + the fused corpus_clean; boilerplate_prune
+        # stays oracled + swept)
+        "corpus": ["llm_corpus_clean", "llm_boilerplate_prune"],
+        # round-13: the train-on-A-score-B LM split — model build,
+        # persistence, and backoff scoring under one oracle
+        "lm-train-score-split": ["llm_kn_cross"],
         # continued round 8: both repeated-line keep-semantics gated
         "line-dedup-keep-first": ["llm_line_dedup"],
         "gapfill-rollup": ["q_gapfill_events"],

@@ -338,3 +338,25 @@ def test_round12_operators_through_spine(spark, tmp_path):
         assert idx_docs_b == idx_docs
     finally:
         DOCS = docs_saved
+
+
+def test_pipeline_e2e_reuses_saved_lm_vocab(spark, tmp_path):
+    """VERDICT r12 next-round #2 (tail): llm_pipeline_e2e's perplexity
+    stage optionally consumes a SAVED unigram LM instead of re-paying
+    the EM rounds. Run once persisting the trained vocab
+    (lm_vocab_save_path), run again loading it (lm_vocab_path): the
+    funnel reports must be identical — the loaded model is
+    byte-equivalent to the in-session one."""
+    from flask_data_pipes_spark.plans.catalog_llm import llm_pipeline_e2e
+
+    sf = "/root/testdata/sf0.001"
+    vpath = str(tmp_path / "e2e_vocab")
+    a = sorted(
+        map(tuple, llm_pipeline_e2e(
+            spark, sf, lm_vocab_save_path=vpath
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, llm_pipeline_e2e(spark, sf, lm_vocab_path=vpath).collect())
+    )
+    assert a == b

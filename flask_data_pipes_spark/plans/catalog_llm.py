@@ -5942,6 +5942,10 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit = verify_training_shards(spark, tmp).select("shard", "ok")
         rows = (
             manifest.join(audit, "shard")
+            .select(  # single-generation export: drop the gen column
+                "shard", "n_sequences", "n_tokens", "min_len",
+                "max_len", "checksum", "ok",
+            )
             .orderBy("shard")
             .collect()
         )

@@ -754,7 +754,11 @@ def test_verify_training_shards_detects_corruption(spark, tmp_path):
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    files = sorted(glob.glob(str(tmp_path / "s" / "data" / "shard=*" / "*.parquet")))
+    files = sorted(
+        glob.glob(
+            str(tmp_path / "s" / "data" / "gen=0" / "shard=*" / "*.parquet")
+        )
+    )
     victim = files[0]
     t = pq.read_table(victim)
     pq.write_table(t.slice(0, max(1, t.num_rows - 1)), victim)
@@ -770,3 +774,62 @@ def test_verify_training_shards_detects_corruption(spark, tmp_path):
     v = {r["shard"]: r["ok"] for r in verify_training_shards(spark, str(tmp_path / "s")).collect()}
     assert not all(v.values())
     assert sum(1 for ok in v.values() if not ok) == 1
+
+
+def test_append_training_shards_generations(spark, tmp_path):
+    """VERDICT r12 "What's missing" #4: a growing corpus appends each
+    new batch as its own GENERATION — own manifest, committed
+    generations' files never rewritten, one shared routing function
+    (sidecar-pinned), whole-set audit, and replayed appends land
+    exactly-once."""
+    import glob
+    import os
+
+    from flask_data_pipes_spark.operators.corpus import (
+        append_training_shards,
+        read_training_shards,
+        training_shard_params,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    p = str(tmp_path / "s")
+    rows0 = [(i, [i, i + 1, i + 2]) for i in range(40)]
+    enc0 = spark.createDataFrame(rows0, "doc_id int, ids array<int>")
+    packed0 = pack_sequence_ids(enc0, seq_len=8, n_groups=3, pad_id=0)
+    write_training_shards(packed0, p, n_shards=4, seed=13)
+    assert training_shard_params(spark, p) == {"n_shards": 4, "seed": 13}
+    gen0_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{p}/data/gen=0/shard=*/*.parquet")
+    }
+    # append a new batch as generation 1
+    rows1 = [(100 + i, [i, i + 7]) for i in range(25)]
+    enc1 = spark.createDataFrame(rows1, "doc_id int, ids array<int>")
+    packed1 = pack_sequence_ids(enc1, seq_len=8, n_groups=2, pad_id=0)
+    m1 = append_training_shards(packed1, p, generation=1)
+    assert {r["gen"] for r in m1.collect()} == {1}
+    # committed generation untouched: same files, same mtimes
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{p}/data/gen=0/shard=*/*.parquet")
+    } == gen0_files
+    # whole multi-generation set verifies ok
+    v = verify_training_shards(spark, p).collect()
+    assert all(r["ok"] for r in v)
+    assert {r["gen"] for r in v} == {0, 1}
+    # conservation across generations
+    n0, n1 = packed0.count(), packed1.count()
+    got = read_training_shards(spark, p)
+    assert got.count() == n0 + n1
+    assert got.where(F.col("gen") == 1).count() == n1
+    # replayed append (crash-retry, same generation id) is
+    # exactly-once: identical manifest, identical total row count
+    before = sorted(map(tuple, m1.collect()))
+    m1b = append_training_shards(packed1, p, generation=1)
+    assert sorted(map(tuple, m1b.collect())) == before
+    assert read_training_shards(spark, p).count() == n0 + n1
+    assert all(r["ok"] for r in verify_training_shards(spark, p).collect())
+    # generation 0 is reserved for the initial export
+    with pytest.raises(ValueError):
+        append_training_shards(packed1, p, generation=0)

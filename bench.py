@@ -177,6 +177,11 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # emitter are output-proportional on the rotated-copy corpus
     # (budgeted exemption below; measured 4.1)
     "llm_incremental_dedup",
+    # round-13: train-on-A-score-B KN split (even/odd doc_id halves,
+    # persist → load → score with backoff) — same trigram-table
+    # growth as llm_kn_perplexity plus a distinct-trigram join for
+    # the scored half and constant-ish model I/O
+    "llm_kn_cross",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------
@@ -285,6 +290,16 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "Budget = band top + noise margin, same stage-self-load "
         "adjudication as llm_bm25_topk's sf10 band; a real plan "
         "regression (2x the 2.8 band) still trips",
+    ),
+    "llm_kn_cross": (
+        4.0,
+        "trigram-table family (same exemption class as "
+        "llm_kn_perplexity's 3.5): the rotated-copy corpus multiplies "
+        "DISTINCT trigrams, and the cross entry adds the scored "
+        "half's distinct-trigram backoff joins at model grain plus "
+        "model persist/load parquet I/O whose constant amortizes "
+        "with scale; budget = kn_perplexity band + the backoff-join "
+        "margin (round-13 initial sizing)",
     ),
     "llm_incremental_dedup": (
         5.5,

@@ -281,15 +281,18 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "measured + stage-self-load margin",
     ),
     "llm_bigram_logprob": (
-        3.3,
-        "evidence band (round 12): 2.78 driver r11, 2.85 retry-"
-        "CONFIRMED at the round-12 close run, 3.05 once when the ratio "
-        "stage grew to 44 entries (four new heavy round-12 entries "
-        "joined, loadavg_after 12.9) — code untouched since round 4, "
-        "both absolute sides moved together (+11%/+22% under load). "
-        "Budget = band top + noise margin, same stage-self-load "
-        "adjudication as llm_bm25_topk's sf10 band; a real plan "
-        "regression (2x the 2.8 band) still trips",
+        4.6,
+        "round-13 re-band for a DELIBERATE plan change (VERDICT r12 "
+        "#1): the forced vocabulary-sized broadcast in the model "
+        "assembly was removed (Heaps-unbounded => driver OOM at "
+        "corpus scale), so at 10x the rotated-copy corpus AQE "
+        "declines the broadcast and the bigram-type table pays one "
+        "extra model-grain exchange — measured 4.24 retry-CONFIRMED "
+        "on an idle box (loadavg 0.2) at round-13 open, up from the "
+        "2.78-3.05 hinted-broadcast band (rounds 11-12). The cost "
+        "moved from driver-memory risk to a size-gated exchange — "
+        "the correct 100 TB trade; budget = measured + noise margin, "
+        "a further real regression (2x the new band) still trips",
     ),
     "llm_kn_cross": (
         4.0,

@@ -360,3 +360,101 @@ def test_pipeline_e2e_reuses_saved_lm_vocab(spark, tmp_path):
         map(tuple, llm_pipeline_e2e(spark, sf, lm_vocab_path=vpath).collect())
     )
     assert a == b
+
+
+def test_incremental_dedup_to_shard_generations(spark, tmp_path):
+    """The INCREMENTAL story end-to-end (rounds 12+13 composed): each
+    arriving batch is LSH-deduped against the persistent index
+    (lsh_index_dedup_append), its survivors encode to real token ids
+    and pack, and the packed sequences land as a new shard GENERATION
+    (append_training_shards) — committed generations untouched, the
+    whole multi-generation set audits clean, and replaying a batch
+    end-to-end (crash-retry: same batch_id, same generation) is
+    exactly-once on BOTH artifacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.corpus import (
+        append_training_shards,
+        pack_sequence_ids,
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+    from flask_data_pipes_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_dedup_append,
+    )
+    from flask_data_pipes_spark.operators.unigram import unigram_encode_ids
+
+    vocab = [(c, -3.0, 1) for c in "abcdefghijklmnopqrstuvwxyz "]
+    eos = "<|eot|>"
+
+    def encode_pack(df):
+        enc = unigram_encode_ids(
+            df, vocab, max_piece_len=1, byte_fallback=True,
+            special_tokens=(eos,), append_eos=eos,
+        )
+        return pack_sequence_ids(enc, seq_len=32, n_groups=2, pad_id=0)
+
+    idx = os.path.join(str(tmp_path), "lsh_idx")
+    shards = os.path.join(str(tmp_path), "shards")
+
+    corpus0 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog by the river"),
+            (1, "pack my box with five dozen liquor jugs before the winter"),
+        ],
+        "doc_id long, text string",
+    )
+    lsh_index_build(corpus0, idx)
+    write_training_shards(encode_pack(corpus0), shards, n_shards=3)
+
+    # batch 1: one near-dup of doc 0 (must drop), one novel (survives)
+    batch1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat by the river"),
+            (11, "completely novel writing about distributed shard export"),
+        ],
+        "doc_id long, text string",
+    )
+    surv1 = lsh_index_dedup_append(spark, idx, batch1, batch_id=1)
+    assert [r["doc_id"] for r in surv1.collect()] == [11]
+    append_training_shards(encode_pack(surv1), shards, generation=1)
+
+    v = verify_training_shards(spark, shards).collect()
+    assert all(r["ok"] for r in v) and {r["gen"] for r in v} == {0, 1}
+    total = read_training_shards(spark, shards).count()
+
+    # replay batch 1 end-to-end: survivors identical, shard set
+    # byte-identical (exactly-once on the index AND the export)
+    surv1b = lsh_index_dedup_append(spark, idx, batch1, batch_id=1)
+    assert [r["doc_id"] for r in surv1b.collect()] == [11]
+    append_training_shards(encode_pack(surv1b), shards, generation=1)
+    assert read_training_shards(spark, shards).count() == total
+    assert all(r["ok"] for r in verify_training_shards(spark, shards).collect())
+
+    # batch 2: near-dup of the batch-1 SURVIVOR must now hit the index
+    batch2 = spark.createDataFrame(
+        [
+            (20, "completely novel writing about distributed shard exports"),
+            (21, "unrelated fresh content that matches nothing indexed yet"),
+        ],
+        "doc_id long, text string",
+    )
+    surv2 = lsh_index_dedup_append(spark, idx, batch2, batch_id=2)
+    assert [r["doc_id"] for r in surv2.collect()] == [21]
+    append_training_shards(encode_pack(surv2), shards, generation=2)
+    v2 = verify_training_shards(spark, shards).collect()
+    assert all(r["ok"] for r in v2) and {r["gen"] for r in v2} == {0, 1, 2}
+    # every surviving token is in the export exactly once
+    want_tokens = (
+        encode_pack(corpus0).agg(F.sum("n_tokens")).collect()[0][0]
+        + encode_pack(surv1).agg(F.sum("n_tokens")).collect()[0][0]
+        + encode_pack(surv2).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    got_tokens = (
+        read_training_shards(spark, shards).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert got_tokens == want_tokens

@@ -1021,3 +1021,59 @@ def foreach_batch_lsh_dedup(
             )
 
     return sink
+
+
+def foreach_batch_kn_score(
+    model_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bits_per_token: Optional[float] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch stage scoring every micro-batch under a SAVED
+    Kneser-Ney model (`operators/corpus.py::kn_model_save`) — the
+    eighth sink, and the streaming half of the round-13
+    train-on-A-score-B split: train the LM once on the clean reference
+    corpus, then quality-score the crawl AS IT ARRIVES. Each batch's
+    scored rows (id, n_tokens, n_unseen, avg_logp, bits_per_token)
+    land in their own `batch_id` partition via dynamic partition
+    overwrite; scoring is STATELESS given the model, so a replayed
+    batch recomputes the identical rows and overwrites its own
+    partition — exactly-once by construction (the cms sink's
+    discipline, without even the counting caveat).
+
+    `max_bits_per_token` optionally applies the CCNet keep-filter
+    inline (keep docs the reference LM finds unsurprising); None
+    writes every scored row and leaves thresholding to the reader.
+
+    Scale: per batch, the batch reduces to its DISTINCT trigrams
+    before any model join (all backoff joins at model grain — see
+    kn_score); the at-rest model is never recomputed. The model loads
+    lazily once per sink instance (parquet scans, no collect)."""
+    from ..operators.corpus import kn_model_load, kn_score
+
+    holder: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if "model" not in holder:
+            holder["model"] = kn_model_load(
+                batch_df.sparkSession, model_path
+            )
+        scored = kn_score(
+            batch_df, holder["model"], text_col=text_col, id_col=id_col
+        )
+        if max_bits_per_token is not None:
+            scored = scored.where(
+                F.col("bits_per_token") <= float(max_bits_per_token)
+            )
+        (
+            scored.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return sink

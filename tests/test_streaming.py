@@ -1064,3 +1064,110 @@ def test_foreach_batch_lsh_dedup_cross_batch_and_replay(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     ) == [0, 1, 11]
     assert spark.read.parquet(f"{idx}/bands").count() == n_bands
+
+
+def test_foreach_batch_kn_score_matches_batch_and_replays(spark, tmp_path):
+    """Streaming quality scoring under a SAVED KN model (the round-13
+    train-on-A-score-B split's streaming half): every micro-batch's
+    scores equal the batch-side kn_score under the same loaded model,
+    the optional bits-per-token keep-filter applies inline, and a
+    replayed batch overwrites its own partition with identical rows
+    (stateless scoring => exactly-once by construction)."""
+    from flask_data_pipes_spark.operators.corpus import (
+        kn_model,
+        kn_model_save,
+        kn_score,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_kn_score,
+        read_jsonl_stream,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the rug"),
+            (2, "the cat ate the fish"),
+            (3, "a dog chased the cat around the garden"),
+        ],
+        "doc_id long, text string",
+    )
+    mpath = str(tmp_path / "kn_model")
+    kn_model_save(spark, kn_model(train), mpath)
+
+    texts = {
+        10: "the cat sat on the rug",
+        11: "a zebra chased the dog",
+        20: "the dog ate the fish near the garden",
+        21: "garden mat fish dog cat",
+    }
+    batches = [[10, 11], [20, 21]]
+    land = tmp_path / "land"
+    land.mkdir()
+    for i, ids in enumerate(batches):
+        (land / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": texts[d]}) for d in ids
+            )
+        )
+    out = str(tmp_path / "scored")
+    stream = read_jsonl_stream(
+        spark, str(land), "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    sink = foreach_batch_kn_score(mpath, out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_kn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_unseen"], r["avg_logp"], r["bits_per_token"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    from flask_data_pipes_spark.operators.corpus import kn_model_load
+
+    want = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_unseen"], r["avg_logp"], r["bits_per_token"]
+        )
+        for r in kn_score(all_docs, kn_model_load(spark, mpath)).collect()
+    }
+    assert got == want
+
+    # replay batch 0 verbatim (crash-retry): identical rows, no growth
+    replay = spark.createDataFrame(
+        [(d, texts[d]) for d in batches[0]], "doc_id long, text string"
+    )
+    sink(replay, 0)
+    got2 = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_unseen"], r["avg_logp"], r["bits_per_token"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
+
+    # inline keep-filter: only docs at or under the cut land
+    out2 = str(tmp_path / "filtered")
+    cut = sorted(v[3] for v in want.values())[1]  # keep the 2 best
+    fsink = foreach_batch_kn_score(mpath, out2, max_bits_per_token=cut)
+    for i, ids in enumerate(batches):
+        fsink(
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            i,
+        )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == sorted(
+        d for d, v in want.items() if v[3] <= cut
+    )

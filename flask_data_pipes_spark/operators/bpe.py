@@ -724,7 +724,16 @@ def decode_ids(
     gone); only the final per-word string join and the rare
     byte-fallback runs touch Python objects. No shuffle. Raises on an
     id missing from the table rather than emitting silently corrupt
-    text."""
+    text.
+
+    Density guard (ADVICE r13): the dense arrays are sized
+    max(max_id, sep_id, skip_ids)+1 — a caller passing a large
+    sentinel id (e.g. 2**31-1) or a sparse table would allocate
+    gigabytes on the driver AND in every executor's broadcast copy, so
+    when the top id exceeds 4× the table size (min 4096) the kernel
+    falls back to the O(table-entries) dict path, semantics identical
+    (parity-tested in tests/test_token_ids.py). The table builders'
+    contiguous layouts always stay dense."""
     import numpy as np
     import pandas as pd  # noqa: F401 — anchors the Arrow path
     from pyspark.sql.functions import pandas_udf
@@ -734,11 +743,15 @@ def decode_ids(
         raise ValueError("decode_ids: id table assigns one id twice")
     skips = frozenset(int(s) for s in skip_ids)
     sid = int(sep_id) if sep_id is not None else None
+    max_id = max(inv) if inv else 0
+    top = max(max_id, sid if sid is not None else 0, *(list(skips) or [0]))
+    if not _decode_dense_ok(top, len(inv) + len(skips) + 1):
+        return _decode_ids_sparse(
+            df, inv, skips, sid, ids_col=ids_col, out_col=out_col
+        )
     # dense lookup tables (ids are small non-negative ints by the
     # table builders' layout): piece string, validity, drop (skip/sep
     # bookkeeping — sep kept distinct for the split), byte-token flag
-    max_id = max(inv) if inv else 0
-    top = max(max_id, sid if sid is not None else 0, *(list(skips) or [0]))
     piece_arr = np.empty(top + 1, dtype=object)
     valid = np.zeros(top + 1, dtype=bool)
     is_byte = np.zeros(top + 1, dtype=bool)
@@ -790,6 +803,77 @@ def decode_ids(
                     words.append(decode_pieces(ps.tolist()))
                 else:
                     words.append("".join(ps.tolist()))
+            return " ".join(words)
+
+        return col.map(one)
+
+    return df.withColumn(
+        out_col, pandas_udf(kernel, "string")(F.col(ids_col))
+    )
+
+
+def _decode_dense_ok(top: int, n_entries: int) -> bool:
+    """True when dense numpy lookup tables sized `top + 1` are an
+    acceptable trade for an id universe of `n_entries` table entries:
+    the top id must stay under max(4096, 4 × entries). Above that the
+    table is sparse (or a sentinel id is a large magic number) and the
+    dict kernel's O(entries) state wins."""
+    return top < max(4096, 4 * max(1, n_entries))
+
+
+def _decode_ids_sparse(
+    df: DataFrame,
+    inv: dict,
+    skips: frozenset,
+    sid: Optional[int],
+    ids_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Dict-lookup decode kernel — `decode_ids`' fallback for SPARSE id
+    universes (large sentinel sep/skip ids, gappy tables) where the
+    dense numpy tables would allocate O(max_id) memory per executor.
+    Semantics are byte-identical to the dense path: skip ids consumed,
+    sep splits words (empties dropped), byte-token runs decode through
+    `decode_pieces`, unknown ids raise."""
+    import pandas as pd  # noqa: F401 — anchors the Arrow path
+    from pyspark.sql.functions import pandas_udf
+
+    b_inv = df.sparkSession.sparkContext.broadcast(
+        (dict(inv), frozenset(skips))
+    )
+
+    def kernel(col):
+        inv_t, skip_t = b_inv.value
+
+        def flush(words, cur, cur_has_byte):
+            if cur:
+                if cur_has_byte:
+                    words.append(decode_pieces(cur))
+                else:
+                    words.append("".join(cur))
+
+        def one(ids):
+            if ids is None:
+                return None
+            words: list = []
+            cur: list = []
+            cur_has_byte = False
+            for raw in ids:
+                i = int(raw)
+                if i in skip_t:
+                    continue
+                if sid is not None and i == sid:
+                    flush(words, cur, cur_has_byte)
+                    cur, cur_has_byte = [], False
+                    continue
+                t = inv_t.get(i)
+                if t is None:
+                    raise ValueError(
+                        f"decode_ids: id {i} is not in the id table"
+                    )
+                cur.append(t)
+                cur_has_byte = cur_has_byte or t in _BYTE_TOKEN_SET
+            flush(words, cur, cur_has_byte)
             return " ".join(words)
 
         return col.map(one)

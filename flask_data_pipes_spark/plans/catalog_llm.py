@@ -18,12 +18,54 @@ Scale design (the whole point of these entries):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vectors as V
 from .catalog import load, register
+
+def _scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Scratch location for catalog entries that must MATERIALIZE an
+    artifact mid-plan (model save/load, shard exports). ADVICE r13: a
+    bare tempfile.mkdtemp is driver-local — fine in the local-mode
+    grading driver, broken on a real cluster where executors don't
+    share the driver's filesystem. Resolution order:
+
+    1. `spark.flaskDataPipes.scratchDir` Spark conf (set it to a
+       shared URI — s3://bucket/tmp, hdfs:///tmp — on a cluster),
+    2. `SPARK_GRAFT_SCRATCH_DIR` env var (same meaning),
+    3. tempfile.mkdtemp (local mode).
+
+    The returned path gets a uuid4 leaf so concurrent entries never
+    collide; pair with `_scratch_rm` for cleanup (Hadoop-FS delete, so
+    URI schemes work too)."""
+    import tempfile
+    import uuid
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_DIR") or spark.conf.get(
+        "spark.flaskDataPipes.scratchDir", None
+    )
+    if base:
+        return f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex}"
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _scratch_rm(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete of a `_scratch_dir` path through
+    the Hadoop FileSystem API (works for local paths AND shared URIs;
+    the streaming sinks' discipline)."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 — cleanup must never fail the entry
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 # DuckDB twin of functions.text.md5_long(col, seed)
 def _ddb_md5_long(expr: str, seed: int = 0) -> str:
@@ -5913,10 +5955,8 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: encode economy + one pack shuffle + one shard shuffle; the
     manifest/audit aggregations touch n_shards rows of state. The
     entry materializes eagerly (a write is not a lazy plan) into a
-    temp dir it removes before returning."""
-    import shutil
-    import tempfile
-
+    scratch dir (`_scratch_dir` — cluster-valid via the scratch-URI
+    conf, ADVICE r13) it removes before returning."""
     from ..operators.corpus import (
         pack_sequence_ids,
         verify_training_shards,
@@ -5936,7 +5976,7 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_eos=eos,
     )
     packed = pack_sequence_ids(enc, seq_len=128, n_groups=8, pad_id=0)
-    tmp = tempfile.mkdtemp(prefix="llm_training_shards_")
+    tmp = _scratch_dir(spark, "llm_training_shards_")
     try:
         manifest = write_training_shards(packed, tmp, n_shards=8)
         audit = verify_training_shards(spark, tmp).select("shard", "ok")
@@ -5950,7 +5990,7 @@ def llm_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _scratch_rm(spark, tmp)
     return spark.createDataFrame(
         rows,
         "shard int, n_sequences long, n_tokens long, min_len int, "
@@ -6935,10 +6975,8 @@ def llm_kn_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     backoff joins at model grain), then one stream join + one doc
     rollup. No vocabulary-sized broadcast (1-row total only). The
     entry materializes eagerly (persist + a lang-grain collect) into
-    a temp dir it removes before returning."""
-    import shutil
-    import tempfile
-
+    a scratch dir (`_scratch_dir` — cluster-valid via the scratch-URI
+    conf, ADVICE r13) it removes before returning."""
     from ..operators.corpus import (
         kn_model,
         kn_model_load,
@@ -6947,7 +6985,7 @@ def llm_kn_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="kn_model_")
+    tmp = _scratch_dir(spark, "kn_model_")
     try:
         kn_model_save(
             spark, kn_model(d.filter(F.col("doc_id") % 2 == 0)), tmp
@@ -6971,7 +7009,7 @@ def llm_kn_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _scratch_rm(spark, tmp)
     return spark.createDataFrame(
         [
             (r["lang"], r["n_docs"], r["n_unseen"],

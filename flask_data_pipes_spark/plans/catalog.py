@@ -463,7 +463,16 @@ CHECKED_PREFIX = [
     "llm_dedup_exact",
     "llm_minhash_pairs",
     "llm_simhash_pairs",
-    "llm_ngram_jaccard_pairs",
+    # Round-14 curation: the crawl FRONT DOOR joins the gate —
+    # llm_html_extract is the only ORACLED member of the new
+    # WARC/HTML ingest family (stdlib html.parser main-content
+    # extraction checked against an engine that never runs the
+    # parser; the WARC reader itself is golden-pinned via
+    # llm_warc_read). It takes llm_ngram_jaccard_pairs's slot:
+    # shingle-set postings + pair equi-join machinery stays gated via
+    # llm_minhash_pairs / llm_simhash_pairs (same candidate shapes),
+    # and jaccard_pairs stays oracled + swept behind the prefix.
+    "llm_html_extract",
     "llm_dedup_clusters",
     # round 5: production √N+max_bucket shape replaces the quadratic
     # n_planes=4 oracle pin in the gate (the pin stays oracled behind

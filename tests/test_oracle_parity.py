@@ -257,6 +257,13 @@ def test_quality_oracles_survive_capitalized_stopwords(
 GOLDEN_SF_DIR = "/root/testdata/sf0.001"
 
 GOLDEN_DIGESTS = {
+    # WARC/WET ingest round-trip (round 14): both compression layouts,
+    # skip-and-count on the injected malformed record, byte-exact text
+    # round-trip of all 48 fixture docs (n_match == n_docs == 24/side)
+    "llm_warc_read": (
+        2,
+        "ef3aa301f3381c83bb0ee06a367c7c5782be9424cbd0d83de99300ebbbe59d0f",
+    ),
     "llm_multimodal_decode": (
         500,
         "148c9a25daeb4c2c571c60492375d21deaa41fccb1202681f77e5b6a28613764",

@@ -280,6 +280,13 @@ def test_checked_prefix_curated():
         "layout": ["q_zorder_key"],
         "minhash": ["llm_minhash_pairs"],
         "simhash": ["llm_simhash_pairs"],
+        # round-14: llm_html_extract (the crawl front door's only
+        # oracled member; the WARC reader is golden-pinned) took
+        # llm_ngram_jaccard_pairs's slot — shingle-set postings +
+        # pair equi-join machinery rides minhash/simhash pairs;
+        # jaccard_pairs stays oracled + swept
+        "html-extract": ["llm_html_extract"],
+        "jaccard-pairs": ["llm_ngram_jaccard_pairs", "llm_minhash_pairs"],
         "clusters": ["llm_dedup_clusters"],
         "semantic-dedup": ["llm_semdedup_production", "llm_embedding_neardup"],
         # round-8: llm_retrieval_eval took llm_cosine_topk's slot (it

@@ -1,0 +1,273 @@
+"""WARC/WET source reader (sources/warc.py) and HTML main-content
+extraction (functions/html_text.py) — the crawl front door
+(VERDICT r13 "What's missing" #1-2)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flask_data_pipes_spark.functions.html_text import (
+    extract_main_text,
+    html_main_text,
+)
+from flask_data_pipes_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc_bytes,
+    warc_html_documents,
+    warc_records,
+    warc_report,
+    wet_documents,
+)
+
+
+def _wet(rid, text, uri=None, date="2024-03-05T12:30:00Z"):
+    return (
+        {
+            "WARC-Type": "conversion",
+            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+            "WARC-Target-URI": uri or f"https://site.example.com/{rid}",
+            "WARC-Date": date,
+            "Content-Type": "text/plain",
+        },
+        text.encode("utf-8"),
+    )
+
+
+def _response(rid, html, status=200, ctype="text/html; charset=utf-8"):
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Server: x\r\n\r\n"
+    ).encode() + html.encode("utf-8")
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+            "WARC-Target-URI": f"https://site.example.com/{rid}.html",
+            "WARC-Date": "2024-03-05T12:30:00Z",
+            "Content-Type": 'application/http; msgtype=response',
+        },
+        http,
+    )
+
+
+# --- pure parser -----------------------------------------------------------
+
+
+def test_parse_roundtrip_plain_and_both_gzip_layouts():
+    recs = [_wet(f"r{i}", f"document number {i} body") for i in range(5)]
+    plain = build_warc_bytes(recs)
+    whole_gz = gzip.compress(plain, mtime=0)
+    member_gz = build_warc_bytes(recs, member_gzip=True)
+    for blob in (plain, whole_gz, member_gz):
+        parsed, skipped = parse_warc_bytes(blob)
+        assert skipped == 0
+        assert [r["content"].decode() for r in parsed] == [
+            f"document number {i} body" for i in range(5)
+        ]
+        assert parsed[0]["warc_type"] == "conversion"
+        assert parsed[0]["record_id"] == "<urn:uuid:r0>"
+        assert parsed[0]["target_uri"] == "https://site.example.com/r0"
+        assert parsed[0]["warc_date"] == datetime(2024, 3, 5, 12, 30, 0)
+        assert parsed[0]["content_length"] == len(parsed[0]["content"])
+
+
+def test_parse_http_response_envelope_stripped():
+    recs = [_response("p1", "<html><body>hi there</body></html>")]
+    parsed, skipped = parse_warc_bytes(build_warc_bytes(recs))
+    assert skipped == 0
+    (r,) = parsed
+    assert r["http_status"] == 200
+    assert r["http_content_type"].startswith("text/html")
+    assert r["content"] == b"<html><body>hi there</body></html>"
+    # parse_http=False keeps the raw block
+    (raw,), _ = parse_warc_bytes(
+        build_warc_bytes(recs), parse_http=False
+    )
+    assert raw["content"].startswith(b"HTTP/1.1 200 OK")
+
+
+def test_malformed_records_skip_and_count():
+    """The F4 discipline: bad records never kill the archive — the
+    scanner resyncs at the next WARC/ magic and counts the casualty."""
+    good1 = build_warc_bytes([_wet("a", "first good record body")])
+    good2 = build_warc_bytes([_wet("b", "second good record body")])
+    bad_len = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: oops\r\n\r\n"
+    bad_hdr = b"WARC/1.0\r\nno colon here\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n"
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 99999\r\n\r\nshort"
+    )
+    blob = good1 + bad_len + good2 + bad_hdr + truncated
+    parsed, skipped = parse_warc_bytes(blob)
+    assert [r["record_id"] for r in parsed] == [
+        "<urn:uuid:a>", "<urn:uuid:b>",
+    ]
+    assert skipped == 3
+    # garbage-only input: zero records, nonzero skip, no exception
+    parsed2, skipped2 = parse_warc_bytes(b"WARC/1.0\r\ngarbage")
+    assert parsed2 == [] and skipped2 == 1
+
+
+def test_parse_tolerates_bare_lf_and_unparseable_date():
+    blob = (
+        b"WARC/1.0\nWARC-Type: conversion\nWARC-Record-ID: <urn:uuid:lf>\n"
+        b"WARC-Date: not-a-date\nContent-Length: 4\n\nbody\n\n"
+    )
+    parsed, skipped = parse_warc_bytes(blob)
+    assert skipped == 0
+    (r,) = parsed
+    assert r["content"] == b"body"
+    assert r["warc_date"] is None  # bad date degrades, never drops
+
+
+# --- Spark reader ----------------------------------------------------------
+
+
+@pytest.fixture()
+def archive_dir(tmp_path):
+    d = str(tmp_path)
+    wets = [_wet(f"w{i}", f"wet text body number {i}") for i in range(6)]
+    pages = [
+        _response(
+            f"h{i}",
+            "<html><head><script>var x=1;</script></head><body>"
+            f"<nav><a href='/'>home</a></nav><p>page body text {i} "
+            "with enough words to keep</p></body></html>",
+        )
+        for i in range(3)
+    ]
+    bad = b"WARC/1.0\r\nContent-Length: nope\r\n\r\n"
+    with open(os.path.join(d, "wet-part.warc.gz"), "wb") as fh:
+        fh.write(build_warc_bytes(wets, member_gzip=True))
+    with open(os.path.join(d, "pages.warc"), "wb") as fh:
+        fh.write(
+            build_warc_bytes(pages[:2]) + bad + build_warc_bytes(pages[2:])
+        )
+    return d
+
+
+def test_warc_records_and_report(spark, archive_dir):
+    recs = warc_records(spark, archive_dir)
+    rows = recs.collect()
+    assert len(rows) == 9
+    by_type = {
+        r["warc_type"]
+        for r in rows
+    }
+    assert by_type == {"conversion", "response"}
+    rep = {
+        os.path.basename(r["src"]): (r["n_records"], r["n_skipped"])
+        for r in warc_report(spark, archive_dir).collect()
+    }
+    assert rep["wet-part.warc.gz"] == (6, 0)
+    assert rep["pages.warc"] == (3, 1)
+
+    wet = wet_documents(recs)
+    assert sorted(r["text"] for r in wet.collect()) == sorted(
+        f"wet text body number {i}" for i in range(6)
+    )
+    html = warc_html_documents(recs)
+    got = html.collect()
+    assert len(got) == 3 and all(r["html"].startswith("<html>") for r in got)
+    # binary mode: payload stays bytes
+    braw = warc_records(spark, archive_dir, binary=True)
+    assert isinstance(braw.limit(1).collect()[0]["content"], (bytes, bytearray))
+
+
+def test_warc_to_documents_composition(spark, archive_dir):
+    """The full front door: WARC response records → HTML main-content
+    extraction → unicode_clean — the documents-table shape the rest of
+    the engine (corpus_clean, llm_pipeline_e2e's clean stage)
+    consumes."""
+    from flask_data_pipes_spark.functions import text as T
+
+    recs = warc_records(spark, archive_dir)
+    docs = warc_html_documents(recs).select(
+        "doc_id",
+        T.unicode_clean(
+            html_main_text(F.col("html"), min_line_chars=1)
+        ).alias("text"),
+    )
+    got = sorted(r["text"] for r in docs.collect())
+    assert got == sorted(
+        f"page body text {i} with enough words to keep" for i in range(3)
+    )
+
+
+# --- HTML extractor --------------------------------------------------------
+
+_PAGE = """
+<html><head><title>Chrome Title</title>
+<style>body {color: red}</style><script>var x = "<p>not text</p>";</script>
+</head><body>
+<nav><a href="/">home</a> <a href="/about">about</a></nav>
+<div><a href="/prev">previous</a> | <a href="/next">next</a></div>
+<article>
+<h1>A Real Heading Line For The Article</h1>
+<p>This is the first real paragraph with plenty of prose text.</p>
+<p>Second paragraph mentions <a href="/x">one inline link</a> amid
+plenty of ordinary running prose around it.</p>
+</article>
+<aside><a href="/r1">related one</a> <a href="/r2">related two</a></aside>
+<footer>copyright footer chrome</footer>
+</body></html>
+"""
+
+
+def test_extract_main_text_keeps_prose_drops_chrome():
+    out = extract_main_text(_PAGE)
+    lines = out.split("\n")
+    assert lines == [
+        "A Real Heading Line For The Article",
+        "This is the first real paragraph with plenty of prose text.",
+        "Second paragraph mentions one inline link amid plenty of "
+        "ordinary running prose around it.",
+    ]
+    # raw mode keeps everything outside dropped subtrees — the pager
+    # div reappears, but nav/footer are STRUCTURAL drops (not
+    # heuristic ones) and stay gone at any threshold
+    raw = extract_main_text(_PAGE, min_line_chars=0, max_link_density=1.0)
+    assert "previous | next" in raw
+    assert "home about" not in raw  # nav is structural
+    assert "copyright footer chrome" not in raw  # footer is structural
+
+
+def test_extract_main_text_edge_cases():
+    assert extract_main_text("") == ""
+    assert extract_main_text("plain text, no tags at all here") == (
+        "plain text, no tags at all here"
+    )
+    # entities decode; malformed nesting never raises
+    assert (
+        extract_main_text(
+            "<p>ampersand &amp; less &lt;than&gt; works fine here</p></div></p>"
+        )
+        == "ampersand & less <than> works fine here"
+    )
+    # link-density: a line that is half link text survives at 0.5
+    half = "<p><a href='/'>linkword linkword</a> plainword plainword</p>"
+    assert extract_main_text(half, min_line_chars=1) != ""
+    # a fully-linked line dies
+    assert extract_main_text(
+        "<p><a href='/'>only linked words here at all</a></p>",
+        min_line_chars=1,
+    ) == ""
+
+
+def test_html_main_text_column_null_safe(spark):
+    df = spark.createDataFrame(
+        [(0, "<p>twenty characters of body prose here</p>"), (1, None)],
+        "doc_id long, html string",
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", html_main_text("html").alias("t")
+        ).collect()
+    }
+    assert got[0] == "twenty characters of body prose here"
+    assert got[1] is None

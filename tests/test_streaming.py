@@ -1171,3 +1171,111 @@ def test_foreach_batch_kn_score_matches_batch_and_replays(spark, tmp_path):
     assert kept == sorted(
         d for d, v in want.items() if v[3] <= cut
     )
+
+
+def test_foreach_batch_lr_score_matches_batch_and_replays(spark, tmp_path):
+    """Streaming quality scoring under a SAVED LR classifier — the
+    ninth sink (VERDICT r13 "What's missing" #5): every micro-batch's
+    scores equal the batch-side lr_score under the same loaded model,
+    the optional min_p keep-filter applies inline, and a replayed
+    batch overwrites its own partition with identical rows (the
+    scorer is a pure expression => exactly-once by construction)."""
+    from flask_data_pipes_spark.operators.classifier import (
+        lr_model_load,
+        lr_model_save,
+        lr_score,
+        lr_train_hashed,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_lr_score,
+        read_jsonl_stream,
+    )
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [
+            (0, "clean careful prose with structure and citations", 1),
+            (1, "well written paragraph about careful methodology", 1),
+            (2, "buy now click here spam spam offer", 0),
+            (3, "click click spam offer free free now", 0),
+        ],
+        "doc_id long, text string, y int",
+    )
+    mpath = str(tmp_path / "lr_model")
+    lr_model_save(
+        spark, lr_train_hashed(train, "y", n_features=32, iters=4), mpath
+    )
+
+    texts = {
+        10: "careful prose with citations and structure",
+        11: "spam offer click now free",
+        20: "a written paragraph about methodology",
+        21: "buy buy click offer spam",
+    }
+    batches = [[10, 11], [20, 21]]
+    land = tmp_path / "lr_land"
+    land.mkdir()
+    for i, ids in enumerate(batches):
+        (land / f"b{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": texts[d]}) for d in ids
+            )
+        )
+    out = str(tmp_path / "lr_scored")
+    stream = read_jsonl_stream(
+        spark, str(land), "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    sink = foreach_batch_lr_score(mpath, out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["p"] for r in spark.read.parquet(out).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    model = lr_model_load(spark, mpath)
+    want = {
+        r["doc_id"]: r["p"]
+        for r in all_docs.select(
+            "doc_id", lr_score(F.col("text"), model).alias("p")
+        ).collect()
+    }
+    assert got == want
+    # the classifier actually separates: quality docs above spam docs
+    assert min(want[10], want[20]) > max(want[11], want[21])
+
+    # replay batch 0 verbatim (crash-retry): identical rows, no growth
+    replay = spark.createDataFrame(
+        [(d, texts[d]) for d in batches[0]], "doc_id long, text string"
+    )
+    sink(replay, 0)
+    got2 = {
+        r["doc_id"]: r["p"] for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
+
+    # inline keep-filter: only docs at or above the cut land
+    out2 = str(tmp_path / "lr_filtered")
+    cut = sorted(want.values(), reverse=True)[1]  # keep the 2 best
+    fsink = foreach_batch_lr_score(mpath, out2, min_p=cut)
+    for i, ids in enumerate(batches):
+        fsink(
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            i,
+        )
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    )
+    assert kept == sorted(
+        d for d, p in want.items() if p >= cut
+    ) and len(kept) == 2

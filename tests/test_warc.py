@@ -196,6 +196,28 @@ def test_warc_to_documents_composition(spark, archive_dir):
     assert got == sorted(
         f"page body text {i} with enough words to keep" for i in range(3)
     )
+    # and straight into llm_pipeline_e2e's clean-stage shape (langid +
+    # quality + canonical-fingerprint exact-dedup) — the operators the
+    # flagship pipeline runs first consume the WARC-derived frame
+    # directly
+    cleaned = (
+        docs.select(
+            "doc_id",
+            "text",
+            T.detect_language("text").alias("detected"),
+            T.quality_score("text").alias("quality"),
+            T.doc_fingerprint("text").alias("fingerprint"),
+        )
+        .filter(F.col("detected") == "en")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+        )
+    )
+    out = cleaned.collect()
+    assert len(out) == 3  # three distinct pages, all English, none lost
+    assert all(r["text"].startswith("page body text") for r in out)
 
 
 # --- HTML extractor --------------------------------------------------------

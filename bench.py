@@ -182,6 +182,13 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # growth as llm_kn_perplexity plus a distinct-trigram join for
     # the scored half and constant-ish model I/O
     "llm_kn_cross",
+    # round-14: HTML main-content extraction — the one new entry with
+    # data-proportional cost (every document's synthetic page passes
+    # the html.parser Arrow kernel, linear in chars; the rollup is
+    # lang-grain). llm_warc_read is deliberately NOT here: it builds
+    # its archive from a FIXED 48-doc fixture, so its wall is
+    # data-independent by construction and a ratio would be noise.
+    "llm_html_extract",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------
@@ -293,6 +300,15 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "moved from driver-memory risk to a size-gated exchange — "
         "the correct 100 TB trade; budget = measured + noise margin, "
         "a further real regression (2x the new band) still trips",
+    ),
+    "llm_html_extract": (
+        4.5,
+        "fully data-proportional by design (the decode_roundtrip "
+        "exemption class): every document's page passes the "
+        "html.parser kernel — linear in chars — so 10x data "
+        "approaches 10x kernel work as fixed overhead amortizes; "
+        "round-14 first sizing, re-band once a measured idle band "
+        "accumulates",
     ),
     "llm_kn_cross": (
         4.0,
@@ -772,6 +788,9 @@ SF10_QUERIES = [
     "llm_lr_train",
     "llm_lr_quality_filter",
     "llm_pack_bins",
+    # round-14: the crawl front door's data-proportional member at
+    # 100x (warc_read is fixture-sized, see the sf1 note)
+    "llm_html_extract",
 ]
 # Budgets are sf10/sf1 wall ratios at 10× MORE data (so "3.0" means
 # scaling no worse than 3× when data grows 10×); values sized from the
@@ -861,6 +880,14 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
     # data-proportional by design, same class as decode_roundtrip)
     "llm_lr_train": (4.5, None),
     "llm_lr_quality_filter": (5.0, None),
+    "llm_html_extract": (
+        6.5,
+        "fully data-proportional by design: every document's page "
+        "passes the html.parser kernel (same class as "
+        "decode_roundtrip's 5.5 / pack_bins' 7.0); round-14 first "
+        "sizing at 100x, re-band once a measured idle band "
+        "accumulates",
+    ),
     "llm_pack_bins": (
         7.0,
         "fully data-proportional by design: every packed token passes "

@@ -288,27 +288,28 @@ SF1_BUDGETS: dict[str, tuple[float, str | None]] = {
         "measured + stage-self-load margin",
     ),
     "llm_bigram_logprob": (
-        4.6,
+        4.4,
         "round-13 re-band for a DELIBERATE plan change (VERDICT r12 "
         "#1): the forced vocabulary-sized broadcast in the model "
         "assembly was removed (Heaps-unbounded => driver OOM at "
         "corpus scale), so at 10x the rotated-copy corpus AQE "
         "declines the broadcast and the bigram-type table pays one "
-        "extra model-grain exchange — measured 4.24 retry-CONFIRMED "
-        "on an idle box (loadavg 0.2) at round-13 open, up from the "
-        "2.78-3.05 hinted-broadcast band (rounds 11-12). The cost "
-        "moved from driver-memory risk to a size-gated exchange — "
-        "the correct 100 TB trade; budget = measured + noise margin, "
-        "a further real regression (2x the new band) still trips",
+        "extra model-grain exchange — idle band for the new plan: "
+        "3.86-4.24 retry-confirmed (round-13 open) + 3.97 (round-14 "
+        "idle-start confirm), up from the 2.78-3.05 hinted-broadcast "
+        "band (rounds 11-12). The cost moved from driver-memory risk "
+        "to a size-gated exchange — the correct 100 TB trade. "
+        "Round-14: budget tightened 4.6 -> 4.4 per the ADVICE r13 "
+        "plan (interim band top + margin now that a second idle run "
+        "confirms); a real regression (2x the band) still trips",
     ),
     "llm_html_extract": (
-        4.5,
-        "fully data-proportional by design (the decode_roundtrip "
-        "exemption class): every document's page passes the "
-        "html.parser kernel — linear in chars — so 10x data "
-        "approaches 10x kernel work as fixed overhead amortizes; "
-        "round-14 first sizing, re-band once a measured idle band "
-        "accumulates",
+        3.0,
+        "data-proportional html.parser kernel (linear in chars), but "
+        "measured 1.18 at the round-14 idle-start first sizing — "
+        "overhead-bound at 10x like most Arrow-kernel entries; "
+        "tightened from the 4.5 first-sizing guess to the default "
+        "budget in the same round, reason kept for the band history",
     ),
     "llm_kn_cross": (
         4.0,

@@ -894,8 +894,14 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
         "fully data-proportional by design: every packed token passes "
         "the Arrow kernel and every doc the BFD placement loop, so 10x "
         "data approaches 10x kernel work as fixed overhead amortizes "
-        "(measured 5.73; the distinct-word encode front half is what "
-        "keeps it below linear)",
+        "(band: 5.73 r12 sizing, 6.56/6.48 r12/r13 artifacts, 5.42 "
+        "r14 dedicated idle min-of-2 probe at loadavg 0.04; the "
+        "distinct-word encode front half is what keeps it below "
+        "linear). The r14 stage reading 7.02/retry 9.26 was "
+        "adjudicated small-denominator jitter under stage self-load — "
+        "the sf10 wall matched history at 14.6 s while the stage "
+        "caught a one-off fast 2.08 s sf1 run; full probe metadata "
+        "ships in BENCH_SF10.json adjudications",
     ),
 }
 

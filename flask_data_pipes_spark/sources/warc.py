@@ -11,17 +11,20 @@ records, usually one gzip member per record concatenated into a
 records whose block is extracted plain text.
 
 Design (Spark-first):
-- `spark.read.format("binaryFile")` lists and loads archive files —
-  Spark handles globs, partition listing, and locality; parallelism is
-  per-file (WARC is not splittable mid-stream without a record index),
-  which is the standard layout for crawl processing: many ~1 GB
-  archives, one task each. Size executor memory for one archive's
-  inflated bytes; `repartition` the file listing when archive counts
-  are small relative to cores.
+- `spark.read.format("binaryFile")` LISTS archive files — Spark
+  handles globs, partition listing, and locality; the scan is pruned
+  to the path (+ size) columns, so file CONTENTS never ride through a
+  JVM row. Parallelism is per-file (WARC is not splittable mid-stream
+  without a record index), the standard layout for crawl processing:
+  many ~1 GB archives, one task each; `repartition` the listing when
+  archive counts are small relative to cores.
 - A pure-stdlib record parser (gzip + bytes scanning — no third-party
-  warcio) runs inside ONE `mapInPandas` pass, exploding each archive
-  into record rows. Records stream out in bounded chunks so a huge
-  archive never materializes as one Arrow batch.
+  warcio) runs inside ONE `mapInPandas` pass: each task opens its
+  archive executor-side (local `open` / pyarrow.fs for remote
+  schemes) and parses it INCREMENTALLY — the scanner's buffer holds
+  the record being assembled, never the inflated archive, and record
+  rows stream out in bounded Arrow chunks. Executor memory is
+  O(largest record), independent of archive size.
 - Malformed records are SKIPPED AND COUNTED, never fatal (the
   reference's F4 invalid-IP-drop discipline): the parser resyncs at
   the next "WARC/" magic and `warc_report` exposes per-file skip
@@ -49,6 +52,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_warc_bytes",
+    "scan_warc_stream",
     "warc_records",
     "warc_report",
     "wet_documents",
@@ -61,14 +65,6 @@ _GZ_MAGIC = b"\x1f\x8b"
 
 class _Malformed(ValueError):
     pass
-
-
-def _inflate(data: bytes) -> bytes:
-    """Whole-file OR member-per-record gzip → plain bytes (Python's
-    gzip reader consumes concatenated members transparently)."""
-    if data[:2] == _GZ_MAGIC:
-        return gzip.decompress(data)
-    return data
 
 
 def _parse_headers(raw: bytes) -> dict:
@@ -146,7 +142,11 @@ def _parse_one(data: bytes, pos: int, parse_http: bool) -> Tuple[dict, int]:
     (record dict, next position). Raises _Malformed on anything that
     violates the record contract — the caller resyncs."""
     eol = data.find(b"\n", pos)
-    if eol == -1 or not data[pos:eol].startswith(b"WARC/"):
+    if eol == -1:
+        # distinct reason: the streaming scanner may just need more
+        # bytes (the whole-buffer path treats both the same — skip)
+        raise _Malformed("unterminated version line")
+    if not data[pos:eol].startswith(b"WARC/"):
         raise _Malformed("missing WARC/ version line")
     hdr_start = eol + 1
     # header block ends at the first blank line (CRLFCRLF per spec;
@@ -166,7 +166,7 @@ def _parse_one(data: bytes, pos: int, parse_http: bool) -> Tuple[dict, int]:
         raise _Malformed("missing/invalid Content-Length") from None
     if length < 0 or block_start + length > len(data):
         raise _Malformed("record block truncated")
-    block = data[block_start : block_start + length]
+    block = bytes(data[block_start : block_start + length])
     warc_type = headers.get("warc-type", "")
     content_type = headers.get("content-type", "")
     status: Optional[int] = None
@@ -188,32 +188,181 @@ def _parse_one(data: bytes, pos: int, parse_http: bool) -> Tuple[dict, int]:
     return rec, block_start + length
 
 
+class _StreamScanner:
+    """Incremental record scanner over a FILE-LIKE byte stream — the
+    memory shape that matters at crawl scale: the buffer holds only
+    the record currently being assembled (plus one read chunk), never
+    the archive, so a 1 GB `.warc.gz` costs O(largest record) executor
+    memory instead of O(inflated archive). Semantics are identical to
+    the whole-buffer parse (skip-and-count, resync one byte past a
+    failed record's start at the next 'WARC/' magic) —
+    `parse_warc_bytes` is implemented ON TOP of this scanner, so every
+    parser-law test pins both paths at once.
+
+    `need more bytes` vs `genuinely malformed` is decided by the
+    failure site: an unterminated header block or truncated content
+    block may complete with another read (header search capped at
+    `max_header` so headerless junk can't buffer the whole file);
+    a bad version line, bad header line, or bad Content-Length is
+    definitive the moment the header region is in hand. A malformed
+    record claiming a huge Content-Length degrades to buffering until
+    EOF before the resync — the same worst case the whole-buffer
+    parser always pays."""
+
+    def __init__(
+        self,
+        fobj,
+        parse_http: bool = True,
+        chunk: int = 1 << 22,
+        max_header: int = 1 << 23,
+    ) -> None:
+        self._f = fobj
+        self._http = parse_http
+        self._chunk = chunk
+        self._max_header = max_header
+        self.buf = bytearray()
+        self.pos = 0
+        self.eof = False
+        self.skipped = 0
+
+    def __iter__(self):
+        return self
+
+    def _fill(self) -> bool:
+        if self.eof:
+            return False
+        b = self._f.read(self._chunk)
+        if not b:
+            self.eof = True
+            return False
+        self.buf += b
+        return True
+
+    def _compact(self) -> None:
+        if self.pos > self._chunk:
+            del self.buf[: self.pos]
+            self.pos = 0
+
+    def _avail(self) -> int:
+        return len(self.buf) - self.pos
+
+    def _resync(self) -> None:
+        """One byte past the failed record's start, find the next
+        magic (refilling across chunk boundaries, keeping only a
+        4-byte tail that might hold a partial magic)."""
+        self.skipped += 1
+        if self._avail() > 0:
+            self.pos += 1
+        while True:
+            idx = self.buf.find(b"WARC/", self.pos)
+            if idx != -1:
+                self.pos = idx
+                self._compact()
+                return
+            if self.eof:
+                self.pos = len(self.buf)
+                return
+            if self._avail() > 4:
+                del self.buf[: len(self.buf) - 4]
+                self.pos = 0
+            self._fill()
+
+    def __next__(self) -> dict:
+        while True:
+            # inter-record CR/LF padding
+            while True:
+                while self._avail() and self.buf[self.pos] in (13, 10):
+                    self.pos += 1
+                if self._avail() or not self._fill():
+                    break
+            if not self._avail():
+                raise StopIteration
+            self._compact()
+            head = bytes(self.buf[self.pos : self.pos + 5])
+            if len(head) < 5 and not self.eof:
+                self._fill()
+                continue
+            if head != b"WARC/":
+                self._resync()
+                continue
+            try:
+                rec, end = _parse_one(self.buf, self.pos, self._http)
+                self.pos = end
+                self._compact()
+                return rec
+            except _Malformed as m:
+                reason = m.args[0] if m.args else ""
+                retriable = (
+                    reason == "record block truncated"
+                    or (
+                        reason
+                        in ("unterminated header block",
+                            "unterminated version line")
+                        and self._avail() < self._max_header
+                    )
+                )
+                if retriable and not self.eof:
+                    self._fill()
+                    continue
+                self._resync()
+
+
+class _PushbackStream:
+    """Tiny file-like serving already-peeked bytes before the tail."""
+
+    def __init__(self, head: bytes, tail) -> None:
+        self._head = head
+        self._tail = tail
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                out, self._head = self._head, b""
+                return out + self._tail.read(-1)
+            if n >= len(self._head):
+                out, self._head = self._head, b""
+                return out + self._tail.read(n - len(out))
+            out, self._head = self._head[:n], self._head[n:]
+            return out
+        return self._tail.read(n)
+
+    def close(self) -> None:
+        close = getattr(self._tail, "close", None)
+        if close:
+            close()
+
+
+def _wrap_stream(fobj):
+    """Peek the gzip magic and wrap accordingly — one code path for
+    plain, whole-file-gzip, and member-per-record-gzip archives
+    (Python's gzip reader consumes concatenated members)."""
+    head = fobj.read(2)
+    raw = _PushbackStream(head, fobj)
+    if head == _GZ_MAGIC:
+        return gzip.GzipFile(fileobj=raw)  # type: ignore[arg-type]
+    return raw
+
+
+def scan_warc_stream(fobj, parse_http: bool = True) -> _StreamScanner:
+    """Incremental scanner over an open archive stream (compression
+    sniffed from the first two bytes). Iterate for records; read
+    `.skipped` after exhaustion for the malformed count."""
+    return _StreamScanner(_wrap_stream(fobj), parse_http=parse_http)
+
+
 def parse_warc_bytes(
     data: bytes, parse_http: bool = True
 ) -> Tuple[List[dict], int]:
     """Parse one archive's bytes (plain, whole-file gzip, or
     member-per-record gzip) → (records, n_skipped). Malformed records
     are skipped with a count; the scanner resyncs at the next 'WARC/'
-    magic (skip-and-count, never fatal)."""
-    data = _inflate(bytes(data))
-    records: List[dict] = []
-    skipped = 0
-    pos, n = 0, len(data)
-    while pos < n:
-        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            break
-        try:
-            rec, pos = _parse_one(data, pos, parse_http)
-            records.append(rec)
-        except _Malformed:
-            skipped += 1
-            nxt = data.find(b"WARC/", pos + 1)
-            if nxt == -1:
-                break
-            pos = nxt
-    return records, skipped
+    magic (skip-and-count, never fatal). Thin wrapper over the
+    streaming scanner — one parser, two entry shapes."""
+    import io
+
+    sc = scan_warc_stream(io.BytesIO(bytes(data)), parse_http=parse_http)
+    records = list(sc)
+    return records, sc.skipped
 
 
 _RECORD_COLS = (
@@ -221,6 +370,22 @@ _RECORD_COLS = (
     "content_type", "content_length", "http_status", "http_content_type",
 )
 _CHUNK = 512  # record rows per yielded Arrow frame (bounds memory)
+
+
+def _open_stream(path: str):
+    """Open an archive path as the binaryFile listing spells it
+    (file:/..., s3a://..., hdfs://...) EXECUTOR-side — executors have
+    no py4j JVM gateway, so local `file:` paths open directly and
+    every other scheme goes through pyarrow.fs."""
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return open(local, "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    return filesystem.open_input_stream(p)
 
 
 def warc_records(
@@ -243,10 +408,16 @@ def warc_records(
     `binary=True` keeps raw bytes (the multimodal discipline — feed
     `operators.multimodal` decoders downstream).
 
-    Scale: one binaryFile scan + one mapInPandas pass; per-file
-    parallelism (WARC has no mid-stream split points), records stream
-    out in bounded chunks. Malformed records are dropped and counted —
-    `warc_report` over the same path exposes the counts."""
+    Scale (the shape that matters for ~1 GB Common Crawl archives):
+    the binaryFile scan is pruned to the PATH column only — file
+    contents never ride through the JVM row — and each task opens its
+    archive executor-side and parses it INCREMENTALLY
+    (`scan_warc_stream`: the buffer holds one record, not the
+    inflated archive), emitting record rows in bounded Arrow chunks.
+    Executor memory is O(largest record + one output chunk),
+    independent of archive size. Per-file parallelism (WARC has no
+    mid-stream split points); malformed records are dropped and
+    counted — `warc_report` over the same path exposes the counts."""
     out_last = "content binary" if binary else "text string"
     schema = (
         "src string, record_id string, warc_type string, "
@@ -255,45 +426,62 @@ def warc_records(
         f"http_content_type string, {out_last}"
     )
 
+    def to_frame(src: str, chunk: List[dict]) -> "pd.DataFrame":
+        out = {"src": [src] * len(chunk)}
+        for c in _RECORD_COLS:
+            out[c] = [r[c] for r in chunk]
+        if binary:
+            out["content"] = [r["content"] for r in chunk]
+        else:
+            out["text"] = [
+                r["content"].decode("utf-8", errors="replace")
+                for r in chunk
+            ]
+        return pd.DataFrame(out)
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                recs, _ = parse_warc_bytes(blob, parse_http=parse_http)
-                for i in range(0, len(recs), _CHUNK):
-                    chunk = recs[i : i + _CHUNK]
-                    out = {"src": [src] * len(chunk)}
-                    for c in _RECORD_COLS:
-                        out[c] = [r[c] for r in chunk]
-                    if binary:
-                        out["content"] = [r["content"] for r in chunk]
-                    else:
-                        out["text"] = [
-                            r["content"].decode("utf-8", errors="replace")
-                            for r in chunk
-                        ]
-                    yield pd.DataFrame(out)
+            for src in pdf["path"]:
+                fobj = _open_stream(src)
+                try:
+                    chunk: List[dict] = []
+                    for rec in scan_warc_stream(fobj, parse_http=parse_http):
+                        chunk.append(rec)
+                        if len(chunk) >= _CHUNK:
+                            yield to_frame(src, chunk)
+                            chunk = []
+                    if chunk:
+                        yield to_frame(src, chunk)
+                finally:
+                    fobj.close()
 
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(run, schema=schema)
+    return files.select("path").mapInPandas(run, schema=schema)
 
 
 def warc_report(spark: SparkSession, path: str) -> DataFrame:
     """Per-archive health report: (src, n_records, n_skipped,
-    n_bytes). The monitoring twin of `warc_records` — a nonzero
-    n_skipped is the crawl-ingest quality signal (same pass shape)."""
+    n_bytes = on-disk file size from the listing). The monitoring
+    twin of `warc_records` — a nonzero n_skipped is the crawl-ingest
+    quality signal. Same streaming parse, same O(record) memory."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                recs, skipped = parse_warc_bytes(blob)
-                rows.append((src, len(recs), skipped, len(bytes(blob))))
+            for src, n_bytes in zip(pdf["path"], pdf["length"]):
+                fobj = _open_stream(src)
+                try:
+                    sc = scan_warc_stream(fobj)
+                    n = sum(1 for _ in sc)
+                finally:
+                    fobj.close()
+                rows.append((src, n, sc.skipped, int(n_bytes)))
             yield pd.DataFrame(
                 rows, columns=["src", "n_records", "n_skipped", "n_bytes"]
             )
 
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(
+    return files.select("path", "length").mapInPandas(
         run, schema="src string, n_records long, n_skipped long, n_bytes long"
     )
 

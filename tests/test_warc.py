@@ -293,3 +293,60 @@ def test_html_main_text_column_null_safe(spark):
     }
     assert got[0] == "twenty characters of body prose here"
     assert got[1] is None
+
+
+def test_stream_scanner_equivalence_tiny_chunks():
+    """The incremental scanner (O(record) memory) must reproduce the
+    whole-buffer parse EXACTLY — records and skip counts — even when
+    its reads are pathologically small (1-7 bytes), so every refill
+    boundary lands mid-header, mid-magic, and mid-block somewhere."""
+    import io
+
+    from flask_data_pipes_spark.sources.warc import (
+        _StreamScanner,
+        _wrap_stream,
+    )
+
+    good = [
+        _wet(f"r{i}", f"record body {i} " + "x" * (17 * i)) for i in range(6)
+    ]
+    bad_len = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: oops\r\n\r\n"
+    bad_hdr = b"WARC/1.0\r\nno colon\r\nContent-Length: 2\r\n\r\nxx\r\n\r\n"
+    truncated = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 9999\r\n\r\nshort"
+    )
+    garbage = b"random junk with no magic at all, plenty of bytes here"
+    for blob in (
+        build_warc_bytes(good),
+        build_warc_bytes(good, member_gzip=True),
+        gzip.compress(build_warc_bytes(good), mtime=0),
+        build_warc_bytes(good[:3]) + bad_len + build_warc_bytes(good[3:]),
+        bad_hdr + build_warc_bytes(good[:2]) + garbage,
+        build_warc_bytes(good[:1]) + truncated,
+        garbage,
+        b"",
+    ):
+        want_recs, want_skips = parse_warc_bytes(blob)
+        for chunk in (1, 3, 7):
+            sc = _StreamScanner(
+                _wrap_stream(io.BytesIO(blob)), chunk=chunk
+            )
+            got = list(sc)
+            assert len(got) == len(want_recs)
+            for g, w in zip(got, want_recs):
+                assert g == w
+            assert sc.skipped == want_skips, (chunk, blob[:40])
+
+
+def test_warc_records_prunes_content_from_the_listing(spark, archive_dir):
+    """The crawl-scale memory claim, plan-pinned: the record explode's
+    scan must read the binaryFile PATH column only — archive contents
+    must never ride through a JVM row (each task opens its file
+    executor-side and parses incrementally)."""
+    recs = warc_records(spark, archive_dir)
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "content" not in read_schema, read_schema
+    assert "path" in read_schema
+    # and it still parses everything (6 wet + 3 pages)
+    assert recs.count() == 9

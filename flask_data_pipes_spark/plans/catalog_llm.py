@@ -7248,3 +7248,101 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("text_xor"),
     )
+
+
+_WET_ROUNDTRIP_ORACLE = rf"""
+WITH fixture AS (
+  SELECT doc_id, lang, text FROM documents ORDER BY doc_id LIMIT 200
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(len(text))::BIGINT AS n_chars,
+       bit_xor({_ddb_md5_long("doc_id::VARCHAR || '|' || text", 5)}) AS text_xor
+FROM fixture GROUP BY lang
+"""
+
+
+@register("llm_wet_roundtrip", oracle=_WET_ROUNDTRIP_ORACLE)
+def llm_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC reader under the ORACLE (round 14 — llm_warc_read's
+    golden pin certifies the fixed 48-doc fixture; this entry puts the
+    full parse chain under the cross-engine hash gate): render the
+    first 200 documents as WET `conversion` records in ONE
+    member-gzip archive with two malformed members injected
+    mid-stream, read it back through the STREAMING scanner
+    (`warc_records` → `wet_documents`), and roll up per language over
+    the PARSED text: (lang, n_docs, n_chars, text_xor). The DuckDB
+    oracle computes the identical rollup from the source table
+    directly — it never sees a WARC byte — so a hash match certifies
+    that gzip-member framing, record scanning, malformed-record
+    resync, UTF-8 payload decode, and the documents adaptation lose
+    or alter NOTHING across the round trip.
+
+    The 200-row driver collect builds the FIXTURE only (the archive;
+    production ingest reads at-rest archives and collects nothing);
+    the read path under test is the real path-pruned binaryFile →
+    executor-side open → incremental parse."""
+    import gzip as _gzip
+
+    from ..sources.warc import build_warc_bytes, warc_records, wet_documents
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    fixture = d.orderBy("doc_id").limit(200).select("doc_id", "text").collect()
+
+    def rec(r):
+        rid = r["doc_id"]
+        return (
+            {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": f"<urn:uuid:doc-{rid}>",
+                "WARC-Target-URI": f"https://crawl.example.com/doc/{rid}",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "Content-Type": "text/plain",
+            },
+            (r["text"] or "").encode("utf-8"),
+        )
+
+    recs = [rec(r) for r in fixture]
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"Content-Length: not-a-number\r\n\r\n"
+    )
+    third = len(recs) // 3
+    archive = (
+        build_warc_bytes(recs[:third], member_gzip=True)
+        + _gzip.compress(bad, mtime=0)
+        + build_warc_bytes(recs[third : 2 * third], member_gzip=True)
+        + _gzip.compress(bad, mtime=0)
+        + build_warc_bytes(recs[2 * third:], member_gzip=True)
+    )
+    tmp = _scratch_dir(spark, "llm_wet_roundtrip_")
+    try:
+        _write_bytes(spark, f"{tmp}/fixture.warc.gz", archive)
+        wet = wet_documents(warc_records(spark, tmp), id_col="rid")
+        parsed = wet.select(
+            F.regexp_extract("rid", r"doc-(\d+)", 1).cast("long").alias(
+                "doc_id"
+            ),
+            F.col("text").alias("rt"),
+        )
+        rows = (
+            parsed.join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("rt")).cast("long").alias("n_chars"),
+                F.bit_xor(
+                    T.md5_long(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), F.col("rt")
+                        ),
+                        5,
+                    )
+                ).alias("text_xor"),
+            )
+            .collect()  # materialize before the scratch dir is removed
+        )
+    finally:
+        _scratch_rm(spark, tmp)
+    return spark.createDataFrame(
+        rows, "lang string, n_docs long, n_chars long, text_xor long"
+    )

@@ -1651,16 +1651,34 @@ def _compact_intent(spark, path: str) -> Optional[dict]:
     """The compaction intent record (`path`/compact_meta, written
     FIRST — a write-ahead marker): {"compacted_through": highest
     folded generation, "generation": the consolidated id}. None before
-    any compaction."""
+    any compaction.
+
+    Markers are PER-COMPACTION files that are never deleted (ADVICE
+    r14: the old single-marker overwrite had a delete-then-write crash
+    window that could erase the prior watermark — with append-only
+    markers the prior watermark always survives a crashed write); the
+    effective intent is the marker with the highest consolidated
+    generation. Reads both the marker-file layout and the legacy
+    Spark-text layout (same dir, same one-JSON-line format), and an
+    empty or partially-written directory degrades to the best
+    committed marker (or None) instead of raising."""
     import json
 
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path + "/compact_meta")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
-    return json.loads(
-        spark.read.text(path + "/compact_meta").collect()[0][0]
-    )
+    best = None
+    for row in spark.read.text(path + "/compact_meta").collect():
+        try:
+            m = json.loads(row[0])
+            gen = int(m["generation"])
+            int(m["compacted_through"])
+        except (ValueError, KeyError, TypeError):
+            continue  # torn/partial marker line — a crash artifact
+        if best is None or gen > int(best["generation"]):
+            best = m
+    return best
 
 
 def compaction_watermark(spark, path: str) -> Optional[int]:
@@ -1744,6 +1762,32 @@ def compact_training_shards(
             f"exists on disk and is not this compaction's own retry — "
             f"use a fresh id above {max(existing)}"
         )
+    if (
+        intent is not None
+        and int(intent["generation"]) != int(generation)
+        and int(intent["generation"]) in existing
+        and any(g <= int(intent["compacted_through"]) for g in existing)
+    ):
+        # ADVICE r14: a crashed compaction is on disk (its consolidated
+        # generation exists AND generations it was folding are still
+        # present — a COMPLETED compaction deletes those, so their
+        # survival is the crash signature). Folding the half-done
+        # consolidation together with the old generations it already
+        # contains under a FRESH id would silently duplicate every
+        # training row (and the recomputed checksums would agree with
+        # the duplicated data, so verify_training_shards could never
+        # tell). Same-id retry is the one safe recovery — enforce it,
+        # don't just document it.
+        raise ValueError(
+            "compact_training_shards: a crashed compaction into "
+            f"generation {int(intent['generation'])} is in flight "
+            "(its intent marker, its consolidated data, and "
+            "generations at or below its compacted_through watermark "
+            "all exist) — retry with THAT generation id to converge "
+            "it; a fresh id would fold the half-done consolidation "
+            "together with the generations it already contains and "
+            "duplicate data"
+        )
     old = [g for g in existing if g != int(generation)]
     if not old:
         raise ValueError(
@@ -1756,12 +1800,46 @@ def compact_training_shards(
             f"exceed every existing generation (max is {max(old)}) — "
             "generation ids are the replay contract's clock"
         )
+    if in_flight and int(generation) in existing:
+        mpath = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{path}/manifest/gen={int(generation)}"
+        )
+        mfs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if mfs.exists(mpath):
+            # The consolidated generation is FULLY committed (data and
+            # manifest both on disk) — this retry is recovering a crash
+            # that happened MID-DELETE. Re-running the fold here would
+            # read only the old generations that survived the partial
+            # delete and overwrite the consolidated partition with that
+            # subset, silently LOSING every already-deleted
+            # generation's rows (round-15 fix — the one same-id-retry
+            # window where "re-read the old generations" is wrong).
+            # The consolidated data is complete by construction; the
+            # only unfinished work is the deletes.
+            for g in old:
+                _hadoop_rm(spark, f"{path}/data/gen={g}")
+                _hadoop_rm(spark, f"{path}/manifest/gen={g}")
+            return spark.read.parquet(path + "/manifest").where(
+                F.col("gen") == int(generation)
+            )
     meta = json.dumps(
         {"compacted_through": max(old), "generation": int(generation)}
     )
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).text(path + "/compact_meta")
+    # append-only marker file, one per compaction (ADVICE r14): the
+    # old Spark-text overwrite deleted the prior marker before writing
+    # the new one, so a crash in that window erased the watermark and
+    # reopened the duplicate-replay door. A same-id retry overwrites
+    # its OWN marker file only; prior compactions' markers are never
+    # touched, and `_compact_intent` reads the max.
+    mpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path}/compact_meta/marker-{int(generation):020d}.json"
+    )
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(meta.encode("utf-8")))
+    finally:
+        out.close()
     src = (
         spark.read.parquet(path + "/data")
         .where(F.col("gen") != int(generation))

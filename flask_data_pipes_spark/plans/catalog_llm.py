@@ -7170,11 +7170,22 @@ def llm_warc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the whitespace class below is Python str.split()'s EXACT set (the
+# engine-side extractor normalizes lines with str.split), not RE2's
+# ASCII-only \s — ADVICE r14: a document containing \x0b, \x1c-\x1f,
+# \x85, \xa0 or a Unicode space separator would otherwise fail the
+# cross-engine hash gate even though the extractor is correct.
+_PY_WS_CLASS = (
+    r"[\t\n\x{000b}\x{000c}\r\x{001c}-\x{001f} \x{0085}\x{00a0}"
+    r"\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}"
+    r"\x{3000}]+"
+)
+
 _HTML_EXTRACT_ORACLE = rf"""
 WITH ext AS (
   SELECT doc_id, lang,
          CASE WHEN text IS NULL OR trim(text) = '' THEN ''
-              ELSE trim(regexp_replace(text, '\s+', ' ', 'g')) END AS t
+              ELSE trim(regexp_replace(text, '{_PY_WS_CLASS}', ' ', 'g')) END AS t
   FROM documents
 )
 SELECT lang, COUNT(*)::BIGINT AS n_docs,

@@ -376,12 +376,20 @@ def _open_stream(path: str):
     """Open an archive path as the binaryFile listing spells it
     (file:/..., s3a://..., hdfs://...) EXECUTOR-side — executors have
     no py4j JVM gateway, so local `file:` paths open directly and
-    every other scheme goes through pyarrow.fs."""
+    every other scheme goes through pyarrow.fs.
+
+    The listing's `path` column is a percent-ENCODED URI (a space in
+    the archive name arrives as `%20`) — unquote the path portion
+    before touching the filesystem (ADVICE r14: the raw string opened
+    the wrong path and raised, a fatal task error in a module whose
+    ingest discipline is never-fatal skip-and-count)."""
+    from urllib.parse import unquote
+
     if path.startswith("file:"):
         local = path[5:]
         while local.startswith("//"):
             local = local[1:]
-        return open(local, "rb")
+        return open(unquote(local), "rb")
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)

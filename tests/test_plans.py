@@ -601,3 +601,43 @@ def test_bm25_broadcasts_query_restricted_df_only(spark, sf_dir):
     full dfreq is reduced, then shipped)."""
     plan = _plan(spark, sf_dir, "llm_bm25_topk")
     assert "LeftSemi" in plan, plan
+
+
+def test_html_extract_oracle_ws_class_matches_python_split():
+    """ADVICE r14: llm_html_extract's oracle collapses whitespace with
+    a regex class that must equal Python str.split()'s whitespace set
+    EXACTLY (the engine-side extractor normalizes via str.split) — RE2
+    '\\s' alone is ASCII-only and misses \\x0b, \\x1c-\\x1f, \\x85,
+    \\xa0 and the Unicode space separators. Pin the law: for every
+    character Python treats as whitespace (and boundary neighbors that
+    it does not), DuckDB's collapse equals Python's split-join."""
+    import sys
+
+    import duckdb
+
+    from flask_data_pipes_spark.plans.catalog_llm import _PY_WS_CLASS
+
+    con = duckdb.connect()
+
+    def ddb(s):
+        return con.execute(
+            "select trim(regexp_replace(?, ?, ' ', 'g'))",
+            [s, _PY_WS_CLASS],
+        ).fetchone()[0]
+
+    spaces = [i for i in range(sys.maxunicode + 1) if chr(i).isspace()]
+    # neighbors of every whitespace run boundary, plus lookalikes that
+    # must NOT collapse (zero-width space, word joiner, BOM)
+    non_spaces = sorted(
+        {i - 1 for i in spaces} | {i + 1 for i in spaces}
+        | {0x200B, 0x2060, 0xFEFF, ord("x")}
+    )
+    for i in spaces:
+        s = f"a{chr(i)}b{chr(i)}{chr(i)}c"
+        assert ddb(s) == " ".join(s.split()) == "a b c", hex(i)
+        assert ddb(chr(i)) == "", hex(i)  # whitespace-only → empty
+    for i in non_spaces:
+        if chr(i).isspace() or i < 0:
+            continue
+        s = f"a{chr(i)}b"
+        assert ddb(s) == " ".join(s.split()) == s, hex(i)

@@ -685,3 +685,114 @@ def test_pipeline_e2e_kn_model_filter_saved_equals_inline(spark, tmp_path):
         assert stages[s] == default[s]
     # and the packed tail reflects the KN-kept set, not the unigram one
     assert stages["packed"][2] == stages["perplexity_kept"][2]
+
+
+def test_compact_training_shards_crash_mid_delete_recovery(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 (both findings) + the round-15 mid-delete hole:
+    (a) after a compaction crashes mid-delete, a FRESH-id compaction is
+    refused loudly (it would fold the half-done consolidation together
+    with generations it already contains — silent duplication
+    verify_training_shards cannot see); (b) the SAME-id retry converges
+    by finishing the deletes, never by re-folding the post-delete
+    survivors (which would lose the already-deleted generations'
+    rows); (c) markers are append-only files, so the prior watermark
+    survives later compactions' writes, and a torn marker line is
+    skipped instead of raising."""
+    import os
+
+    import pytest as _pytest
+
+    from flask_data_pipes_spark.operators import corpus as C
+
+    path = os.path.join(str(tmp_path), "shards")
+    C.write_training_shards(
+        _toy_packed(spark, [(0, i, [i, i + 1], 2) for i in range(6)]),
+        path,
+        n_shards=3,
+    )
+    C.append_training_shards(
+        _toy_packed(spark, [(1, i, [50 + i], 1) for i in range(5)]),
+        path,
+        generation=1,
+    )
+    C.append_training_shards(
+        _toy_packed(spark, [(2, i, [80 + i], 1) for i in range(4)]),
+        path,
+        generation=2,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["grp"], r["seq_idx"], tuple(r["ids"]), r["n_tokens"], r["shard"])
+            for r in df.select(
+                "grp", "seq_idx", "ids", "n_tokens", "shard"
+            ).collect()
+        )
+
+    before = rows(C.read_training_shards(spark, path))
+
+    real_rm = C._hadoop_rm
+    calls = {"n": 0}
+
+    def crashing_rm(spark_, p):
+        real_rm(spark_, p)
+        calls["n"] += 1
+        # calls 1-2 are _shard_write_gen's own delete-first (the gen=3
+        # dirs, empty); calls 3-4 delete gen=0's data and manifest —
+        # die right after, leaving gens 1-2 undeleted
+        if calls["n"] >= 4:
+            raise RuntimeError("injected crash mid-delete")
+
+    monkeypatch.setattr(C, "_hadoop_rm", crashing_rm)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        C.compact_training_shards(spark, path, generation=3)
+    monkeypatch.setattr(C, "_hadoop_rm", real_rm)
+
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path + "/data")
+        if d.startswith("gen=")
+    )
+    assert gens == [1, 2, 3]  # gen=0 deleted; its rows live only in gen=3
+
+    # (a) fresh-id compaction over the crashed state is REFUSED
+    with _pytest.raises(ValueError, match="in flight"):
+        C.compact_training_shards(spark, path, generation=4)
+
+    # (b) same-id retry converges with ZERO data loss
+    C.compact_training_shards(spark, path, generation=3)
+    assert rows(C.read_training_shards(spark, path)) == before
+    assert all(
+        r["ok"] for r in C.verify_training_shards(spark, path).collect()
+    )
+    assert C.compaction_watermark(spark, path) == 2
+    assert sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path + "/data")
+        if d.startswith("gen=")
+    ) == [3]
+
+    # (c) append-only markers: a second compaction adds a marker file
+    # (never overwriting the first), the watermark advances, and a
+    # torn/empty marker is skipped with the committed watermark intact
+    C.append_training_shards(
+        _toy_packed(spark, [(4, 0, [7, 8], 2)]), path, generation=4
+    )
+    C.compact_training_shards(spark, path, generation=5)
+    assert C.compaction_watermark(spark, path) == 4
+    markers = [
+        f
+        for f in os.listdir(path + "/compact_meta")
+        if f.startswith("marker-")
+    ]
+    assert len(markers) == 2
+    with open(
+        os.path.join(path, "compact_meta", "marker-torn.json"), "w"
+    ) as fh:
+        fh.write("")
+    assert C.compaction_watermark(spark, path) == 4
+    assert all(
+        r["ok"] for r in C.verify_training_shards(spark, path).collect()
+    )

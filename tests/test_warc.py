@@ -350,3 +350,23 @@ def test_warc_records_prunes_content_from_the_listing(spark, archive_dir):
     assert "path" in read_schema
     # and it still parses everything (6 wet + 3 pages)
     assert recs.count() == 9
+
+
+def test_open_stream_unquotes_percent_encoded_paths(spark, tmp_path):
+    """ADVICE r14: the binaryFile listing's `path` column is a
+    percent-ENCODED URI — an archive named with a space arrives as
+    `%20`, and the raw string used to open the wrong path and raise a
+    fatal task error (contradicting the never-fatal skip-and-count
+    ingest discipline). The executor-side open must unquote."""
+    d = os.path.join(str(tmp_path), "crawl drop zone")
+    os.makedirs(d)
+    with open(os.path.join(d, "odd name #1.warc.gz"), "wb") as fh:
+        fh.write(
+            build_warc_bytes(
+                [_wet("sp", "space-named archive body")], member_gzip=True
+            )
+        )
+    rows = warc_records(spark, d).collect()
+    assert [r["text"] for r in rows] == ["space-named archive body"]
+    rep = warc_report(spark, d).collect()
+    assert (rep[0]["n_records"], rep[0]["n_skipped"]) == (1, 0)

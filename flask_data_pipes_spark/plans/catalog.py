@@ -456,7 +456,15 @@ CHECKED_PREFIX = [
     # llm_quality and the fused llm_corpus_clean; both stay oracled +
     # swept behind the prefix. Their slots go to the round-8 KMV
     # overlap sketch and PSI drift families.)
-    "llm_kmv_overlap",
+    # Round-15 curation: the charset/content-encoding WARC response
+    # path joins the gate — llm_warc_charset is the only oracled
+    # certificate of chunked de-framing, gzip/deflate inflation, and
+    # BOM/header/meta charset sniffing (the one place the crawl
+    # reader could silently produce WRONG text). It takes
+    # llm_kmv_overlap's slot: the bottom-k sketch-merge machinery
+    # stays gated via llm_bottomk_quantiles (same k-smallest-hash
+    # fold) and kmv_overlap stays oracled + swept + sf10-gated.
+    "llm_warc_charset",
     "llm_quality",
     "llm_psi_drift",
     # Dedup families
@@ -520,10 +528,16 @@ CHECKED_PREFIX = [
     # llm_line_dedup (and the fused llm_corpus_clean); boilerplate
     # prune stays oracled + swept behind the prefix.
     "llm_kn_cross",
-    # Continued round 8: keep-first line dedup (distinct keep-semantics
-    # family) takes llm_token_budget's slot (a cumsum quota over the
-    # same prefix-sum machinery as llm_pack_sequences; stays oracled)
-    "llm_line_dedup",
+    # Round-15 curation: the URL first-filter chain joins the gate —
+    # llm_url_dedup transitively certifies url_normalize,
+    # registrable_domain, URL-level exact dedup, AND the
+    # group_reservoir per-domain cap (its md5-rank order replayed in
+    # SQL) under one oracle. It takes llm_line_dedup's slot:
+    # keep-first line-grain machinery stays gated via the fused
+    # llm_corpus_clean (which runs line dedup inside the funnel), and
+    # line_dedup stays oracled + swept. llm_url_normalize also stays
+    # oracled + swept (url_dedup runs the same normalizer).
+    "llm_url_dedup",
     # Round-4 families: sparse retrieval, CDC dedup, corpus health,
     # encoding/script signals
     "llm_bm25_topk",

@@ -302,8 +302,17 @@ def test_checked_prefix_curated():
         # round-13: the train-on-A-score-B LM split — model build,
         # persistence, and backoff scoring under one oracle
         "lm-train-score-split": ["llm_kn_cross"],
-        # continued round 8: both repeated-line keep-semantics gated
-        "line-dedup-keep-first": ["llm_line_dedup"],
+        # round-15: llm_url_dedup took llm_line_dedup's slot —
+        # keep-first line machinery rides the fused corpus_clean;
+        # line_dedup stays oracled + swept
+        "line-dedup-keep-first": ["llm_line_dedup", "llm_corpus_clean"],
+        # round-15: the charset/content-encoding WARC response path
+        # (llm_warc_charset took llm_kmv_overlap's slot — bottom-k
+        # sketch folds ride llm_bottomk_quantiles; kmv stays oracled
+        # + swept + sf10-gated)
+        "warc-charset": ["llm_warc_charset"],
+        # round-15: URL normalize + dedup + per-domain cap chain
+        "url-ops": ["llm_url_dedup"],
         "gapfill-rollup": ["q_gapfill_events"],
         # round-12: llm_decode_roundtrip took llm_media_header's slot
         # (magic-byte sniffing rides multimodal_meta's binary-prefix
@@ -330,7 +339,7 @@ def test_checked_prefix_curated():
         # remains gated via bm25's window, quality, corpus_clean, and
         # semdedup_production respectively)
         "scd2-history": ["q_scd2_events"],
-        "kmv-overlap": ["llm_kmv_overlap"],
+        "kmv-overlap": ["llm_kmv_overlap", "llm_bottomk_quantiles"],
         "drift": ["llm_psi_drift"],
         "hybrid-retrieval": ["llm_rrf_fusion"],
         "text-signals": ["llm_quality"],

@@ -1299,25 +1299,43 @@ def foreach_batch_warc_score(
         recs = explode_archive_paths(
             batch_df.select("path"), max_record=max_record
         )
-        docs = wet_documents(recs)
-        if extract_html:
-            pages = warc_html_documents(recs)
-            docs = docs.unionByName(
-                pages.select(
-                    "doc_id",
-                    "url",
-                    "fetched_at",
-                    html_main_text(
-                        F.col("html"),
-                        min_line_chars=min_line_chars,
-                        max_link_density=max_link_density,
-                    ).alias("text"),
+        # the WET leg, the HTML leg, and the KN score-then-join all
+        # re-read the record frame — persist it batch-scoped so each
+        # archive inflates and parses ONCE per batch, not once per
+        # plan branch
+        recs = recs.persist()
+        try:
+            docs = wet_documents(recs)
+            if extract_html:
+                pages = warc_html_documents(recs)
+                docs = docs.unionByName(
+                    pages.select(
+                        "doc_id",
+                        "url",
+                        "fetched_at",
+                        html_main_text(
+                            F.col("html"),
+                            min_line_chars=min_line_chars,
+                            max_link_density=max_link_density,
+                        ).alias("text"),
+                    )
                 )
-            )
-        docs = docs.select(
-            "doc_id", "url", "fetched_at",
-            unicode_clean("text").alias("text"),
-        ).where(F.length(F.trim(F.col("text"))) > 0)
+            docs = docs.select(
+                "doc_id", "url", "fetched_at",
+                unicode_clean("text").alias("text"),
+            ).where(F.length(F.trim(F.col("text"))) > 0)
+            # the KN branch reads docs twice (score, then join back) —
+            # persist the small cleaned frame too so the extraction
+            # kernel runs once
+            docs = docs.persist()
+            try:
+                _write_scored(spark, docs, batch_id)
+            finally:
+                docs.unpersist()
+        finally:
+            recs.unpersist()
+
+    def _write_scored(spark, docs: DataFrame, batch_id: int) -> None:
         if kind == "kn":
             from ..operators.corpus import kn_model_load, kn_score
 

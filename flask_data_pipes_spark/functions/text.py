@@ -167,15 +167,24 @@ def rolling_fingerprint(c: ColumnOrName) -> Column:
     Bounds: acc < 2^31, BASE < 2^20, token hash reduced mod 2^31-1
     → every intermediate < 2^52, overflow-free under ANSI.
     NULL for empty/blank text (no tokens to fold).
+
+    Fold shape (optimization round 15): folding from a 0 seed over the
+    WHOLE hash array is value-identical to seeding with the first
+    element ((0·BASE + h₁) mod M = h₁ because 0 ≤ h₁ < M already), and
+    it references the md5-per-token `hs` array ONCE instead of three
+    times (slice arg + init element + size). Higher-order transforms
+    are CodegenFallback — each textual reference re-ran the whole
+    md5-per-token pass per row, so this is a 3×→1× kernel cut with a
+    byte-identical result (the list_reduce oracle is untouched).
     """
     toks = whitespace_tokens(F.lower(_col(c)))
     hs = F.transform(toks, lambda t: md5_long(t, 3) % F.lit(ROLLING_MOD))
-    rest = F.slice(hs, F.lit(2), F.greatest(F.size(hs) - 1, F.lit(0)))
-    return F.aggregate(
-        rest,
-        F.try_element_at(hs, F.lit(1)),
+    folded = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(ROLLING_BASE) + x) % F.lit(ROLLING_MOD),
     )
+    return F.when(F.size(toks) > 0, folded).otherwise(F.lit(None).cast("long"))
 
 
 def stopword_ratio(
@@ -347,20 +356,37 @@ def detect_language(
     language-ID pattern (fasttext-style detectors read the first 1-2 KB):
     per-document cost becomes O(w), independent of length, and accuracy
     barely moves because language is a document-global property.
+
+    Expression shape (optimization round 15): the argmax is the FLAT
+    `greatest` + first-match WHEN chain — the same form the llm_langid
+    oracle has always used — so each language's hit count appears O(1)
+    times in the final expression. The previous fold of nested
+    `when(better, ...)` pairs duplicated every earlier language's
+    hit-count subtree inside both running columns, growing the tree
+    ~2^L-fold; higher-order `filter(...)` is CodegenFallback (no
+    whole-stage codegen, and common-subexpression elimination does not
+    reliably extract lambda-bearing subtrees), so each textual copy was
+    re-evaluated per row — and worse wherever an outer filter pushdown
+    inlined the whole alias (llm_corpus_clean's gate). Semantics are
+    identical: first language in sorted code order whose hit count
+    equals the max wins; zero hits everywhere → 'und'.
     """
     if toks is None:
         toks = whitespace_tokens(F.lower(_col(c)))
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(STOPWORDS):
+    langs = sorted(STOPWORDS)
+    hit_cols = []
+    for lang in langs:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        better = hits > best_hits
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        )
+    best = F.greatest(*hit_cols) if len(hit_cols) > 1 else hit_cols[0]
+    det = F.when(best <= 0, F.lit("und"))
+    for lang, hits in zip(langs[:-1], hit_cols[:-1]):
+        det = det.when(hits == best, F.lit(lang))
+    return det.otherwise(F.lit(langs[-1]))
 
 
 # Characters that almost never occur in clean text but are the

@@ -655,7 +655,14 @@ def _bucket_vectorized(planes: list[list[float]]):
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         return pd.Series(((M @ P) >= 0) @ weights)
 
-    return pandas_udf(bucket, "long")
+    # asNondeterministic (optimization round 15, guide §4.4): the
+    # bucket feeds an equi-join key, and the join's inferred
+    # isnotnull constraint used to be pushed BELOW the projection,
+    # duplicating the ArrowEvalPython node (every corpus row paid the
+    # Python boundary twice — plans/r15/llm_lsh_topk_before.txt shows
+    # both nodes). The value is deterministic per row in reality; the
+    # flag only stops the optimizer from duplicating/reordering it.
+    return pandas_udf(bucket, "long").asNondeterministic()
 
 
 def _buckets_multi_vectorized(tables: list[list[list[float]]]):
@@ -728,6 +735,10 @@ def lsh_topk(
     table)."""
     tables = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     n_probe = min(n_probe, n_planes + 1)
+    # round-15 measured note: a spread_for_cpu here LOSES ~0.35 s at
+    # local bench scale — the vectorized bucket matmul is so cheap that
+    # 32 small-task Python round-trips cost more than one task's 10
+    # sequential Arrow batches; left unspread deliberately.
     if n_tables == 1:
         c = corpus.select(
             F.col(id_col),

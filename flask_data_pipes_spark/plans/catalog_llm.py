@@ -67,6 +67,32 @@ def _scratch_rm(spark: SparkSession, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _filter_after_projection(df: DataFrame, cond) -> DataFrame:
+    """Filter on already-projected expensive columns WITHOUT letting
+    Catalyst push the predicate below the projection (optimization
+    round 15, guide §4.4 applied to expensive Catalyst expressions).
+
+    PushDownPredicates inlines a deterministic filter's column aliases
+    and sinks the whole expression tree below any repartition — so a
+    `spread_for_cpu` + heavy projection + filter pipeline ends up
+    re-evaluating the heavy expressions INSIDE the pushed filter, on
+    the UN-spread (single-split locally) side of the exchange, and
+    then AGAIN in the surviving projection. Wrapping the condition in
+    a nondeterministic always-true guard (monotonically_increasing_id
+    is flagged nondeterministic; it is always ≥ 0) pins the filter
+    above the projection: the expensive columns are computed exactly
+    once, after the spread. Row semantics are untouched — the guard is
+    constant-true, and a NULL condition still drops the row. At real
+    scale (spread is a no-op) the filter runs in the same stage as the
+    projection either way; nothing here could have reached the parquet
+    scan (the inputs are computed columns), so no pushdown is lost."""
+    return df.filter(
+        F.when(F.monotonically_increasing_id() >= 0, cond).otherwise(
+            F.lit(False)
+        )
+    )
+
+
 # DuckDB twin of functions.text.md5_long(col, seed)
 def _ddb_md5_long(expr: str, seed: int = 0) -> str:
     return f"('0x' || substr(md5('{seed}|' || ({expr})), 1, 15))::BIGINT"
@@ -155,8 +181,16 @@ _DDB_LTOKS = (
 def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: alpha/punct/stopword ratios, mean word length,
     combined C4/Gopher-style score. All ratios are int/int divisions →
-    identical doubles cross-engine."""
-    d = load(spark, sf_dir, "documents")
+    identical doubles cross-engine.
+
+    Round-15 optimization: the per-row signals are lambda-bearing
+    (CodegenFallback) expressions costing far more than the scan, and
+    a small parquet input arrives as ONE split — spread_for_cpu buys
+    the projection the whole machine locally and is a no-op at real
+    scale (many splits)."""
+    from ..operators.dedup import spread_for_cpu
+
+    d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         T.alpha_ratio("text").alias("alpha_ratio"),
@@ -305,10 +339,6 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the heavy langid/quality/fingerprint projection or it runs on one
     # core (no-op when the scan already has enough splits).
     d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
-    # The three signals each reference the same lower+split tokenization;
-    # whole-stage codegen's runtime subexpression elimination evaluates
-    # it once per row (verified empirically: 1x vs 3x tokenize selects
-    # time identically), so no manual staging is needed here.
     scored = d.select(
         "doc_id",
         T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
@@ -317,8 +347,14 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score("text").alias("quality"),
         T.doc_fingerprint("text").alias("fingerprint"),
     )
-    kept = scored.filter(
-        (F.col("detected") == "en") & (F.col("quality") >= 0.6)
+    # Round-15 optimization: the filter must NOT push below `scored`'s
+    # projection — pushdown inlined detected+quality into a Filter
+    # under the spread exchange, re-evaluating the heavy lambda
+    # expressions single-core pre-spread AND again in the projection
+    # (plans/r15/llm_corpus_clean_before.txt). The barrier keeps one
+    # evaluation, after the spread.
+    kept = _filter_after_projection(
+        scored, (F.col("detected") == "en") & (F.col("quality") >= 0.6)
     )
     return kept.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id"),
@@ -349,8 +385,13 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold acc = (acc·B + h(token)) mod 2^31-1 over whitespace tokens
     (functions.text.rolling_fingerprint). Complements llm_dedup_exact's
     canonical-text hash — reordered tokens fingerprint differently.
-    Narrow map, zero shuffle."""
+    Narrow map; the only exchange is spread_for_cpu's local-parallelism
+    repartition (round-15: the md5-per-token fold dwarfs the scan and a
+    small parquet input is ONE split; no-op at real scale)."""
+    from ..operators.dedup import spread_for_cpu
+
     d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    d = spread_for_cpu(d, "doc_id")
     return d.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
 
 
@@ -6077,8 +6118,11 @@ def llm_pipeline_e2e(
             T.doc_fingerprint("text").alias("fingerprint"),
         )
         clean = (
-            scored.filter(
-                (F.col("detected") == "en") & (F.col("quality") >= 0.6)
+            # same pushdown barrier as llm_corpus_clean: evaluate the
+            # langid/quality projection once, after the spread
+            _filter_after_projection(
+                scored,
+                (F.col("detected") == "en") & (F.col("quality") >= 0.6),
             )
             .groupBy("fingerprint")
             .agg(

@@ -54,16 +54,26 @@ def test_no_cartesian_products(spark, sf_dir, name):
 
 def test_narrow_maps_have_no_exchange(spark, sf_dir):
     """Pure per-row operator queries (scalar vocab, token stats, quality,
-    language id) must plan zero shuffles."""
+    language id) must plan zero shuffles — except the optional
+    spread_for_cpu repartition (REPARTITION_BY_NUM), the round-15
+    local-parallelism spread that is a no-op at real scale. No
+    ENSURE_REQUIREMENTS exchange (a real shuffle an operator demanded)
+    may appear."""
     for name in [
         "etl_recast_vocab",
         "llm_token_stats",
         "llm_quality",
         "llm_langid",
+        "llm_fingerprint",
         "llm_pii_redact",
     ]:
         plan = _plan(spark, sf_dir, name)
-        assert "Exchange" not in plan, f"{name} shuffles a narrow map"
+        assert "ENSURE_REQUIREMENTS" not in plan, f"{name} shuffles a narrow map"
+        n_exchanges = plan.count("Exchange")
+        n_spreads = plan.count("REPARTITION_BY_NUM")
+        assert n_exchanges == n_spreads, (
+            f"{name} has a non-spread exchange"
+        )
 
 
 def test_pack_sequences_no_global_sort(spark, sf_dir):
@@ -482,6 +492,30 @@ def test_lsh_multitable_corpus_hashed_once(spark, sf_dir):
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_topk_single_arrow_pass(spark, sf_dir):
+    """Round-15 pin: the corpus bucket UDF is nondeterministic-marked so
+    the join's inferred isnotnull filter cannot duplicate the
+    ArrowEvalPython node (it used to run twice per corpus row)."""
+    plan = _plan(spark, sf_dir, "llm_lsh_topk")
+    import re
+
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, plan
+
+
+def test_corpus_clean_filter_not_pushed_below_projection(spark, sf_dir):
+    """Round-15 pin: the langid/quality filter stays ABOVE the scored
+    projection (pushdown barrier), so the heavy lambda expressions are
+    evaluated once, after the spread exchange — never inlined into a
+    pre-exchange Filter. The scan-side stage must contain no
+    higher-order-function evaluation (lambdafunction) at all."""
+    df = entry.queries()["llm_corpus_clean"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # everything below the spread exchange = the text after the LAST
+    # "Exchange hashpartitioning" line (tree prints top-down)
+    below = plan[plan.rfind("Exchange hashpartitioning") :]
+    assert "lambdafunction" not in below, below[:2000]
 
 
 def test_hll_registers_single_small_shuffle(spark, sf_dir):

@@ -137,6 +137,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation map-side means ~#cores rows cross the wire per executor
     regardless of input size. Filter pushed to the parquet scan.
     """
+    from ..operators.dedup import spread_for_cpu
+
     l = load(spark, sf_dir, "lineitem")
     lq, lep, ld, lt = (
         F.col("l_quantity"),
@@ -144,8 +146,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount"),
         F.col("l_tax"),
     )
+    # Round-15: the 9-function decimal partial aggregate costs far more
+    # than the scan, and a small parquet input arrives as ONE split —
+    # without the spread the whole partial agg runs on one core. The
+    # shipdate filter still pushes below the repartition to the scan
+    # (PushedFilters unchanged); no-op at real scale (many splits).
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread_for_cpu(l, "l_orderkey")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(lq, "sum_qty"),
@@ -786,7 +794,14 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant memory, mergeable map-side) and accept the documented
     error bound. Exact form kept here because the gate hash-compares
     engines."""
+    from ..operators.dedup import spread_for_cpu
+
     li = load(spark, sf_dir, "lineitem")
+    # Round-15: the partial ObjectHashAggregate (per-group value-count
+    # maps) is the cost center and ran on ONE core over a single-split
+    # scan; spread is a no-op at real scale. Partial percentile buffers
+    # merge exactly, so the result is partitioning-independent.
+    li = spread_for_cpu(li, "l_orderkey")
     # ONE percentile buffer for all three price quartiles (the array
     # form) — three scalar calls would each build their own value-count
     # map over the same column.

@@ -86,13 +86,22 @@ def bpe_ish_token_count(c: ColumnOrName) -> Column:
     return F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
 
 
-def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
+def char_ngrams(
+    c: ColumnOrName, n: int = 5, lowered: "Column | None" = None
+) -> Column:
     """Character n-gram (shingle) array over the lowercased text.
 
     Built-ins only: sequence over offsets + transform/substring. Used by
     MinHash and Jaccard dedup. Empty/short text → empty array.
+
+    `lowered` (an ALREADY-PROJECTED lowercased-text column) lets hot
+    paths stage the lowercase once: the lambda body embeds its input
+    expression textually and higher-order lambdas get no subexpression
+    elimination, so an inline `lower(text)` re-lowers the WHOLE document
+    once per shingle — O(len²) per row. With a projected column the
+    per-shingle body is substring over a bound reference.
     """
-    c = F.lower(_col(c))
+    c = lowered if lowered is not None else F.lower(_col(c))
     length = F.length(c)
     count = F.greatest(length - F.lit(n - 1), F.lit(0))
     return F.transform(
@@ -101,9 +110,18 @@ def char_ngrams(c: ColumnOrName, n: int = 5) -> Column:
     )
 
 
-def word_shingles(c: ColumnOrName, k: int = 3) -> Column:
-    """Word k-shingles (space-joined) for n-gram Jaccard dedup."""
-    toks = whitespace_tokens(F.lower(_col(c)))
+def word_shingles(
+    c: ColumnOrName, k: int = 3, toks: "Column | None" = None
+) -> Column:
+    """Word k-shingles (space-joined) for n-gram Jaccard dedup.
+
+    `toks` (pre-computed lowered whitespace tokens, ALREADY PROJECTED to
+    a column) is the same staging contract as `char_ngrams(lowered=)`:
+    without it the whole `split(trim(lower(text)))` tree sits inside the
+    per-index lambda and re-tokenizes the document once per shingle —
+    O(tokens × len) per row."""
+    if toks is None:
+        toks = whitespace_tokens(F.lower(_col(c)))
     count = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     return F.transform(
         F.sequence(F.lit(1), count),

@@ -93,16 +93,25 @@ def decontaminate(
     """
 
     def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        # Token array staged in its own projection (round 15): inline,
+        # the split(trim(lower(text))) tree sits inside word_shingles'
+        # per-index lambda and re-tokenizes the document once per
+        # shingle (O(tokens × len)/row). The staged column is
+        # referenced twice (size + lambda), so CollapseProject keeps
+        # the stage and the split runs once per row.
+        toks = T.whitespace_tokens(F.lower(F.col(text_col)))
         g = F.array_distinct(
             F.transform(
-                T.word_shingles(text_col, k), lambda s: T.md5_long56(s, 3)
+                T.word_shingles(text_col, k, toks=F.col("__toks")),
+                lambda s: T.md5_long56(s, 3),
             )
         )
         # explode_outer + post-filter: plain explode makes Catalyst
         # infer size(grams)>0 and push the whole shingle+hash expr
         # below the spread Exchange (see llm_decontaminate history)
         return (
-            df.select(F.col(id_col).alias(out_id), g.alias("__grams"))
+            df.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
+            .select(out_id, g.alias("__grams"))
             .select(out_id, F.explode_outer("__grams").alias("g"))
             .where(F.col("g").isNotNull())
         )

@@ -394,7 +394,16 @@ def minhash_bands(
     seed by measuring on the corpus you gate against.
     """
     assert n_hashes % band_size == 0
-    shingles = F.array_distinct(T.char_ngrams(text_col, shingle_n))
+    # Lowered text staged in its own projection (round 15): inline, the
+    # `lower(text)` subtree sits INSIDE char_ngrams' per-offset lambda
+    # and re-lowers the whole document once per shingle (O(len²)/row —
+    # lambdas get no subexpression elimination). The column is
+    # referenced twice downstream (length + lambda), so CollapseProject
+    # keeps the stage; per-shingle work drops to substring over a bound
+    # reference.
+    shingles = F.array_distinct(
+        T.char_ngrams(text_col, shingle_n, lowered=F.col("__lt"))
+    )
     digests = F.transform(
         F.col("__shingles"),
         lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)),
@@ -439,6 +448,7 @@ def minhash_bands(
     # shingle array in the (possibly single-task) scan.
     return (
         spread_for_cpu(df.filter(F.length(text_col) >= shingle_n), id_col)
+        .select(id_col, F.lower(F.col(text_col)).alias("__lt"))
         .select(id_col, shingles.alias("__shingles"))
         .select(id_col, digests.alias("__digests"))
         .select(id_col, hs.alias("__hs"))
@@ -649,6 +659,7 @@ def with_simhash(
     bits: int = 16,
     max_tokens: Optional[int] = None,
     lo_bit: int = 0,
+    toks: Optional[Column] = None,
 ) -> DataFrame:
     """Attach a simhash column while KEEPING the input columns — the
     building block for simhash-prefix blocking (`shiftrightunsigned(
@@ -663,15 +674,28 @@ def with_simhash(
     the exact Jaccard downstream removes any extra collisions).
 
     Two-step projection for the same reason as `simhash`: the token-
-    hash array is computed once per row, not once per bit term."""
-    toks = F.array_distinct(T.whitespace_tokens(F.lower(F.col(text_col))))
+    hash array is computed once per row, not once per bit term. The
+    token array itself is ALSO staged (round 15): `__hs` and `__n` both
+    reference it, and two textual copies in one projection are two
+    tokenize passes per row (no subexpression elimination around
+    higher-order arguments).
+
+    `toks` (an ALREADY-PROJECTED lowered raw-token column) lets a
+    caller that needs the token array for its own work too (e.g.
+    jaccard shingling downstream) tokenize once and share it — the
+    distinct/slice shaping still happens here."""
+    toks = F.array_distinct(
+        T.whitespace_tokens(F.lower(F.col(text_col))) if toks is None else toks
+    )
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    hs = F.transform(toks, lambda x: T.md5_long(x, 7))
-    staged = df.withColumns({"__hs": hs, "__n": F.size(toks)})
+    hs = F.transform(F.col("__toks"), lambda x: T.md5_long(x, 7))
+    staged = df.withColumn("__toks", toks).withColumns(
+        {"__hs": hs, "__n": F.size(F.col("__toks"))}
+    )
     return staged.withColumn(
         out_col, _simhash_total(F.col("__hs"), F.col("__n"), bits, lo_bit)
-    ).drop("__hs", "__n")
+    ).drop("__toks", "__hs", "__n")
 
 
 def simhash_pairs(
@@ -789,6 +813,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.02,
     spread: bool = True,
+    toks: Optional[Column] = None,
 ) -> DataFrame:
     """Word-k-shingle Jaccard similarity within blocking keys.
     `block_col` is any cheap blocking signal (simhash prefix, length
@@ -811,10 +836,30 @@ def jaccard_pairs(
     # repartition or it runs single-core in a 1-split scan stage) skip
     # a second redundant shuffle.
     filtered = df.filter(F.trim(F.col(text_col)) != "")
-    base = (spread_for_cpu(filtered, id_col) if spread else filtered).select(
+    # Token array staged in its own projection (round 15): inline, the
+    # whole split(trim(lower(text))) tree sits inside word_shingles'
+    # per-index lambda and re-tokenizes the document once per shingle
+    # (O(tokens × len)/row). Staged, the per-shingle body is
+    # slice+array_join over a bound reference; the column is referenced
+    # twice (size + lambda), so CollapseProject keeps the stage.
+    # `toks` (an ALREADY-PROJECTED lowered raw-token column) skips the
+    # tokenize entirely — the alias below is then attribute-cheap and
+    # collapses onto the caller's projection.
+    pre = (spread_for_cpu(filtered, id_col) if spread else filtered).select(
         id_col,
         block_col.alias("__block"),
-        F.array_distinct(T.word_shingles(text_col, k)).alias("__sh"),
+        (
+            T.whitespace_tokens(F.lower(F.col(text_col)))
+            if toks is None
+            else toks
+        ).alias("__toks"),
+    )
+    base = pre.select(
+        id_col,
+        "__block",
+        F.array_distinct(
+            T.word_shingles(text_col, k, toks=F.col("__toks"))
+        ).alias("__sh"),
     )
     # Per-doc set size rides ON the posting rows (struct(id, n)) instead
     # of a separate `sizes` relation: a second relation over `base`

@@ -687,18 +687,28 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import dedup
 
+    # ONE tokenize pass for the whole query (round 15): the simhash
+    # block key consumes distinct(tokens)[1:48] and the shingles consume
+    # the raw token array — both derive from one staged
+    # `split(trim(lower(text)))` column instead of two.
+    d0 = dedup.spread_for_cpu(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.trim(F.col("text")) != ""),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "text",
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks0"),
+    )
     d = dedup.with_simhash(
-        dedup.spread_for_cpu(
-            load(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .filter(F.trim(F.col("text")) != ""),
-            "doc_id",
-        ),
+        d0,
         "text",
         out_col="__simh",
         bits=_JACC_BLOCK_BITS,
         max_tokens=_JACC_BLOCK_TOKENS,
         lo_bit=_JACC_BLOCK_BITS - _JACC_BLOCK_PREFIX,
+        toks=F.col("__toks0"),
     )
     return dedup.jaccard_pairs(
         d,
@@ -710,6 +720,7 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         threshold=0.02,
         spread=False,
+        toks=F.col("__toks0"),
     ).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
@@ -3414,10 +3425,21 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     group count × vocabulary rows, not corpus rows.
     """
     d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    grams = d.select(
-        "source",
-        F.explode_outer(T.word_shingles("text", 2)).alias("gram"),
-    ).where(F.col("gram").isNotNull())
+    # staged tokens (round 15): see word_shingles — inline, the split
+    # tree would re-tokenize the document once per bigram.
+    grams = (
+        d.select(
+            "source",
+            T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks"),
+        )
+        .select(
+            "source",
+            F.explode_outer(
+                T.word_shingles("text", 2, toks=F.col("__toks"))
+            ).alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
     counts = grams.groupBy("source", "gram").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -391,6 +391,31 @@ def test_jaccard_pairs_single_scan_no_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name,pattern,max_count",
+    [
+        # one tokenize per row: the split/lower tree must sit in a
+        # staged projection, never inside a per-shingle lambda body
+        # (where it re-runs once per element — O(len²)/row). The counts
+        # pin "per side of the plan", not per element.
+        ("llm_ngram_jaccard_pairs", "split(trim(lower(", 1),
+        ("llm_decontaminate", "split(trim(lower(", 2),  # train + test side
+        ("llm_ngram_topk", "split(trim(lower(", 1),
+        ("llm_minhash_pairs", "lower(text", 1),
+    ],
+)
+def test_tokenize_staged_once(spark, sf_dir, name, pattern, max_count):
+    """Round-15 staged-tokenization pin: the expensive text-normalize
+    subtree appears at most once per plan side — regression guard
+    against CollapseProject (or a future edit) inlining it back into a
+    higher-order lambda, where it would re-evaluate per shingle."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count(pattern) <= max_count, (
+        f"{name}: {pattern!r} appears {plan.count(pattern)}x "
+        f"(expected <= {max_count}) — tokenize no longer staged once"
+    )
+
+
 def test_lsh_multiprobe_broadcasts_probes(spark, sf_dir):
     """Multi-probe fan-out stays on the broadcast query side; the corpus
     is hashed once and equi-joined — never re-scanned per probe."""

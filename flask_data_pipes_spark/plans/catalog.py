@@ -190,9 +190,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural orderkey. LIMIT after ORDER BY uses TakeOrderedAndProject —
     no global sort materialization.
     """
+    from ..operators.dedup import spread_for_cpu
+
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
+    # Round-15: the broadcast-join probes + the high-cardinality partial
+    # agg run on ONE core over the single-split local scan; spread is a
+    # no-op at real scale (many splits).
+    l = spread_for_cpu(load(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -233,6 +238,10 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
+    # Round-15 measured: a spread here LOSES (~0.51 -> 0.66 s
+    # interleaved A/B at sf0.1) — the five probes are cheap hash
+    # lookups and the 25-nation agg is trivial, so shuffling the
+    # 4-column lineitem costs more than the parallelism buys.
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")

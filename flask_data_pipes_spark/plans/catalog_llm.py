@@ -761,12 +761,18 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) so ordering is stable cross-engine.
     """
     from ..operators import similarity
+    from ..operators.dedup import spread_for_cpu
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return similarity.cosine_topk(e, q, k=5).select("qid", "vec_id", "sim", "rnk")
+    # Round-15: the Q×N interpreted dot-product stream side of the
+    # broadcast nested-loop ran in ONE task over the single-split local
+    # scan; spread is a no-op at real scale.
+    return similarity.cosine_topk(spread_for_cpu(e, "vec_id"), q, k=5).select(
+        "qid", "vec_id", "sim", "rnk"
+    )
 
 
 _COSINE_TOPK_ORACLE = """
@@ -1185,6 +1191,8 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, then a doc_id-partitioned agg; both keys are high-
     cardinality and unskewed, and the final join is doc_id-to-doc_id
     (co-partitioned by the same key)."""
+    from ..operators.dedup import spread_for_cpu
+
     d = load(spark, sf_dir, "documents")
     ls = F.filter(
         F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit("")
@@ -1195,24 +1203,44 @@ def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dist_chars = F.aggregate(
-        F.transform(F.array_distinct(F.col("ls")), F.length),
+        F.transform(F.col("__dls"), F.length),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    lstats = d.select("doc_id", ls.alias("ls")).select(
-        "doc_id",
-        F.when(F.size("ls") == 0, F.lit(0.0))
-        .otherwise(
-            F.lit(1.0)
-            - F.size(F.array_distinct("ls")).cast("double") / F.size("ls")
+    # Round-15 staging: the char folds were referenced 3x/2x in one
+    # projection (CASE guard + numerator + denominator), re-running the
+    # O(lines) fold per reference; the distinct array fed both a fold
+    # and a size. Each is now projected once (multi-referenced, so
+    # CollapseProject keeps every stage), and the heavy per-row work
+    # runs after a spread instead of inside the 1-split scan stage.
+    lstats = (
+        spread_for_cpu(d, "doc_id")
+        .select("doc_id", ls.alias("ls"))
+        .select("doc_id", "ls", F.array_distinct("ls").alias("__dls"))
+        .select(
+            "doc_id",
+            "ls",
+            "__dls",
+            line_chars.alias("__lc"),
+            dist_chars.alias("__dc"),
         )
-        .alias("dup_line_frac"),
-        F.when(line_chars == 0, F.lit(0.0))
-        .otherwise((line_chars - dist_chars).cast("double") / line_chars)
-        .alias("dup_line_char_frac"),
+        .select(
+            "doc_id",
+            F.when(F.size("ls") == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(1.0)
+                - F.size("__dls").cast("double") / F.size("ls")
+            )
+            .alias("dup_line_frac"),
+            F.when(F.col("__lc") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("__lc") - F.col("__dc")).cast("double") / F.col("__lc")
+            )
+            .alias("dup_line_char_frac"),
+        )
     )
     tc = (
-        d.where(F.trim("text") != "")
+        spread_for_cpu(d.where(F.trim("text") != ""), "doc_id")
         .select("doc_id", F.explode(T.whitespace_tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -174,7 +174,7 @@ ROLLING_BASE = 1000003
 ROLLING_MOD = (1 << 31) - 1
 
 
-def rolling_fingerprint(c: ColumnOrName) -> Column:
+def rolling_fingerprint(c: ColumnOrName, toks: "Column | None" = None) -> Column:
     """Polynomial rolling hash over whitespace tokens: fold
     acc = (acc * BASE + h(token)) mod 2^31-1 with the first token's
     hash as the seed — order-sensitive, unlike doc_fingerprint's
@@ -195,7 +195,7 @@ def rolling_fingerprint(c: ColumnOrName) -> Column:
     md5-per-token pass per row, so this is a 3×→1× kernel cut with a
     byte-identical result (the list_reduce oracle is untouched).
     """
-    toks = whitespace_tokens(F.lower(_col(c)))
+    toks = whitespace_tokens(F.lower(_col(c))) if toks is None else toks
     hs = F.transform(toks, lambda t: md5_long(t, 3) % F.lit(ROLLING_MOD))
     folded = F.aggregate(
         hs,
@@ -246,9 +246,13 @@ def punct_ratio(c: ColumnOrName) -> Column:
     return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
 
 
-def mean_word_len(c: ColumnOrName) -> Column:
-    """Mean whitespace-token length (0.0 for empty text)."""
-    toks = whitespace_tokens(_col(c))
+def mean_word_len(c: ColumnOrName, toks: "Column | None" = None) -> Column:
+    """Mean whitespace-token length (0.0 for empty text). `toks` as in
+    [`stopword_ratio`] but over RAW (un-lowered) text — lowercasing can
+    change codepoint counts for some scripts, so callers staging a
+    shared column must stage the raw token array here."""
+    if toks is None:
+        toks = whitespace_tokens(_col(c))
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
@@ -295,14 +299,45 @@ def quality_score(c: ColumnOrName, toks: "Column | None" = None) -> Column:
     [`stopword_ratio`] — share one tokenization across fused signals.
     """
     c = _col(c)
-    len_signal = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
-    sw_signal = F.least(stopword_ratio(c, toks=toks) * F.lit(4.0), F.lit(1.0))
+    return quality_score_from(
+        alpha_ratio(c), punct_ratio(c), stopword_ratio(c, toks=toks), F.length(c)
+    )
+
+
+def quality_score_from(
+    alpha: Column, punct: Column, sw_ratio: Column, length: Column
+) -> Column:
+    """[`quality_score`]'s combiner over ALREADY-PROJECTED signal
+    columns — same term order, so the doubles are bit-identical. Lets
+    fused pipelines stage the signals once and reference them from both
+    the output projection and a filter without re-evaluating the
+    tokenize/filter subtrees (see llm_quality / llm_weighted_sample)."""
+    len_signal = F.least(length.cast("double") / F.lit(500.0), F.lit(1.0))
+    sw_signal = F.least(sw_ratio * F.lit(4.0), F.lit(1.0))
     return (
-        F.lit(0.3) * alpha_ratio(c)
+        F.lit(0.3) * alpha
         + F.lit(0.3) * sw_signal
         + F.lit(0.2) * len_signal
-        + F.lit(0.2) * (F.lit(1.0) - punct_ratio(c))
+        + F.lit(0.2) * (F.lit(1.0) - punct)
     )
+
+
+def chunk_tokens(
+    c: ColumnOrName, chunk_size: int = 16, toks: "Column | None" = None
+) -> Column:
+    """Non-overlapping `chunk_size`-token chunks of the whitespace token
+    stream (array<array<string>>; blank text → one empty chunk). The
+    [`chunk_clean`] chunking, exposed so pipelines can STAGE the chunk
+    array through a projection: chunk_clean references it 6 times
+    (census counters + kept text), and an inline array re-runs the
+    tokenize+slice work per reference — staged, each reference is a
+    bound-attribute read (round 15)."""
+    if toks is None:
+        toks = whitespace_tokens(_col(c))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_size)
+    )
+    return F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
 
 
 def chunk_clean(
@@ -312,6 +347,7 @@ def chunk_clean(
     min_distinct_ratio: float = 0.6,
     max_stop_ratio: float = 0.3,
     stopwords: "tuple[str, ...]" = ("a", "the"),
+    chunks: "Column | None" = None,
 ) -> Column:
     """CCNet-style segment cleaning, adapted to fixed token chunks
     (CCNet filters per *line*; this corpus has no line boundaries):
@@ -328,10 +364,9 @@ def chunk_clean(
     (transform/filter/flatten) inside one projection — zero shuffle,
     zero explode; it scales with scan bandwidth exactly like a map.
     """
-    toks = whitespace_tokens(_col(c))
     sw = F.array(*[F.lit(w) for w in stopwords])
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_size))
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    if chunks is None:
+        chunks = chunk_tokens(c, chunk_size)
 
     def short(ch):
         return F.size(ch) < min_tokens
@@ -393,13 +428,30 @@ def detect_language(
         toks = whitespace_tokens(F.lower(_col(c)))
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    langs = sorted(STOPWORDS)
-    hit_cols = []
-    for lang in langs:
+    return language_argmax(language_hits(toks))
+
+
+def language_hits(toks: Column) -> "list[Column]":
+    """Per-language stopword hit counts over a (lowered, optionally
+    sliced) token array, in sorted language-code order. Exposed
+    separately from [`detect_language`] so fused pipelines can STAGE the
+    counts through a projection (each count is one interpreted filter
+    pass; the argmax references every count several times, so computing
+    the argmax over staged integer columns instead of inline count
+    subtrees cuts ~5 filter passes per language to 1 — see
+    llm_corpus_clean)."""
+    out = []
+    for lang in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        )
+        out.append(F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+    return out
+
+
+def language_argmax(hit_cols: "list[Column]") -> Column:
+    """Flat greatest + first-match WHEN chain over [`language_hits`]
+    columns (sorted language-code order — the exact llm_langid oracle
+    form): first language at the max wins, zero hits → 'und'."""
+    langs = sorted(STOPWORDS)
     best = F.greatest(*hit_cols) if len(hit_cols) > 1 else hit_cols[0]
     det = F.when(best <= 0, F.lit("und"))
     for lang, hits in zip(langs[:-1], hit_cols[:-1]):

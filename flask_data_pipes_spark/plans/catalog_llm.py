@@ -191,13 +191,37 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import spread_for_cpu
 
     d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
-    return d.select(
+    # Round-15 staging: tokenize twice per row (one lowered pass for the
+    # stopword signal, one raw pass for mean length — lowercasing can
+    # change codepoint counts, so the arrays differ) instead of ~6
+    # embedded tokenize subtrees; alpha/punct/stop_ratio evaluate once
+    # and feed both their output column and the combined score via
+    # quality_score_from (same term order — bit-identical doubles).
+    staged = d.select(
         "doc_id",
+        "text",
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__lt"),
+        T.whitespace_tokens("text").alias("__rt"),
+    ).select(
+        "doc_id",
+        "text",
         T.alpha_ratio("text").alias("alpha_ratio"),
         T.punct_ratio("text").alias("punct_ratio"),
-        T.stopword_ratio("text").alias("stop_ratio"),
-        T.mean_word_len("text").alias("mean_wlen"),
-        T.quality_score("text").alias("quality"),
+        T.stopword_ratio("text", toks=F.col("__lt")).alias("stop_ratio"),
+        T.mean_word_len("text", toks=F.col("__rt")).alias("mean_wlen"),
+    )
+    return staged.select(
+        "doc_id",
+        "alpha_ratio",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_wlen",
+        T.quality_score_from(
+            F.col("alpha_ratio"),
+            F.col("punct_ratio"),
+            F.col("stop_ratio"),
+            F.length("text"),
+        ).alias("quality"),
     )
 
 
@@ -250,10 +274,21 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: stopword-overlap heuristic; first language (sorted
     code order) with max hits wins, zero hits → 'und'."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    # Round-15 staging: hit counts projected once each; the argmax
+    # (greatest + WHEN chain) references each count ~5x, so inline
+    # counts re-ran their interpreted filter pass per reference.
+    hits = T.language_hits(F.slice(F.col("__toks"), 1, LANGID_MAX_TOKENS))
+    staged = d.select(
         "doc_id",
         "lang",
-        T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks"),
+    ).select(
+        "doc_id", "lang", *[h.alias(f"__h{i}") for i, h in enumerate(hits)]
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        T.language_argmax([F.col(f"__h{i}") for i in range(len(hits))]).alias(
             "detected"
         ),
     )
@@ -339,20 +374,40 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the heavy langid/quality/fingerprint projection or it runs on one
     # core (no-op when the scan already has enough splits).
     d = spread_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
-    scored = d.select(
+    # Round-15 staging: ONE tokenize pass per row. Without it the
+    # lowered-split subtree is embedded independently inside langid
+    # (where greatest + the WHEN chain reference each interpreted
+    # hit-count subtree ~5x), quality (3 passes via stopword_ratio)
+    # and the fingerprint join. The token array and the four hit
+    # counts are multi-referenced downstream, so CollapseProject
+    # keeps both stages.
+    toked = d.select(
         "doc_id",
-        T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
-            "detected"
-        ),
-        T.quality_score("text").alias("quality"),
-        T.doc_fingerprint("text").alias("fingerprint"),
+        "text",
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks"),
+    )
+    hits = T.language_hits(F.slice(F.col("__toks"), 1, LANGID_MAX_TOKENS))
+    staged = toked.select(
+        "doc_id",
+        "text",
+        "__toks",
+        *[h.alias(f"__h{i}") for i, h in enumerate(hits)],
+    )
+    scored = staged.select(
+        "doc_id",
+        T.language_argmax(
+            [F.col(f"__h{i}") for i in range(len(hits))]
+        ).alias("detected"),
+        T.quality_score("text", toks=F.col("__toks")).alias("quality"),
+        T.doc_fingerprint("text", toks=F.col("__toks")).alias("fingerprint"),
     )
     # Round-15 optimization: the filter must NOT push below `scored`'s
-    # projection — pushdown inlined detected+quality into a Filter
-    # under the spread exchange, re-evaluating the heavy lambda
-    # expressions single-core pre-spread AND again in the projection
-    # (plans/r15/llm_corpus_clean_before.txt). The barrier keeps one
-    # evaluation, after the spread.
+    # projection — pushdown inlines the alias subtrees into a Filter
+    # through EVERY projection it crosses (un-staging the token array
+    # all the way back under the spread exchange), re-evaluating the
+    # heavy lambda expressions single-core pre-spread AND again in the
+    # projection (plans/r15/llm_corpus_clean_before.txt). The barrier
+    # keeps one evaluation, after the spread.
     kept = _filter_after_projection(
         scored, (F.col("detected") == "en") & (F.col("quality") >= 0.6)
     )
@@ -392,7 +447,17 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     d = spread_for_cpu(d, "doc_id")
-    return d.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
+    # Round-15 staging: the token array feeds both the md5 fold and the
+    # emptiness guard — staged, it tokenizes once per row instead of
+    # twice (the guard's size() re-ran the whole split inline).
+    return d.select(
+        "doc_id", T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks")
+    ).select(
+        "doc_id",
+        T.rolling_fingerprint("text", toks=F.col("__toks")).alias(
+            "fingerprint"
+        ),
+    )
 
 
 _N_HASHES = 8
@@ -885,6 +950,11 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     u = T.md5_long(F.col("doc_id").cast("string"), 21) / F.lit(float(1 << 60))
     q = T.quality_score("text")
+    # Round-15 measured: a staged-tokens + pushdown-barrier variant of
+    # this builder LOST (1.07 -> 1.36 min-of-5): the pushed-down filter
+    # means the projection's quality only evaluates for the ~q² of rows
+    # the sample keeps, which beats evaluating it for every row behind
+    # a barrier. Filter-selective narrow maps keep pushdown.
     return (
         load(spark, sf_dir, "documents")
         .select("doc_id", q.alias("__q"), u.alias("__u"))
@@ -2070,8 +2140,24 @@ def llm_chunk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions in one projection; complement to llm_boilerplate_prune
     (corpus-wide frequency rule), which needs a shuffle."""
     d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    return d.select("doc_id", T.chunk_clean(F.col("text")).alias("__s")).select(
-        "doc_id", "__s.*"
+    # Round-15 staging: tokenize once, chunk once. Inline, the chunk
+    # array was re-built per reference (6 census/kept references) and
+    # the tokenize subtree re-ran inside the per-chunk slice lambda.
+    return (
+        d.select(
+            "doc_id", "text", T.whitespace_tokens("text").alias("__toks")
+        )
+        .select(
+            "doc_id",
+            T.chunk_tokens("text", toks=F.col("__toks")).alias("__chunks"),
+        )
+        .select(
+            "doc_id",
+            T.chunk_clean(F.col("text"), chunks=F.col("__chunks")).alias(
+                "__s"
+            ),
+        )
+        .select("doc_id", "__s.*")
     )
 
 
@@ -2130,8 +2216,13 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.select(
         "doc_id",
         "lang",
+        "text",
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__lt"),
+    ).select(
+        "doc_id",
+        "lang",
         T.token_count("text").alias("n_tok"),
-        T.quality_score("text").alias("q"),
+        T.quality_score("text", toks=F.col("__lt")).alias("q"),
     ).withColumn(
         "bucket",
         F.least(
@@ -2193,8 +2284,13 @@ def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = d.select(
         "source",
         "lang",
+        "text",
+        T.whitespace_tokens(F.lower(F.col("text"))).alias("__lt"),
+    ).select(
+        "source",
+        "lang",
         T.token_count("text").alias("n_tok"),
-        T.quality_score("text").alias("q"),
+        T.quality_score("text", toks=F.col("__lt")).alias("q"),
     )
     return f.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -6158,14 +6254,33 @@ def llm_pipeline_e2e(
         # 1. clean: langid 'en' + quality >= 0.6 + exact near-dup
         # collapse (min doc_id per canonical fingerprint, text carried
         # by min_by so no join-back)
-        scored = d.select(
-            "doc_id",
-            "text",
-            T.detect_language("text", max_tokens=LANGID_MAX_TOKENS).alias(
-                "detected"
-            ),
-            T.quality_score("text").alias("quality"),
-            T.doc_fingerprint("text").alias("fingerprint"),
+        # round-15 staging, same shape as llm_corpus_clean: one
+        # tokenize pass, language hit counts staged, argmax over the
+        # bound integer refs
+        _hits = T.language_hits(F.slice(F.col("__toks"), 1, LANGID_MAX_TOKENS))
+        scored = (
+            d.select(
+                "doc_id",
+                "text",
+                T.whitespace_tokens(F.lower(F.col("text"))).alias("__toks"),
+            )
+            .select(
+                "doc_id",
+                "text",
+                "__toks",
+                *[h.alias(f"__h{i}") for i, h in enumerate(_hits)],
+            )
+            .select(
+                "doc_id",
+                "text",
+                T.language_argmax(
+                    [F.col(f"__h{i}") for i in range(len(_hits))]
+                ).alias("detected"),
+                T.quality_score("text", toks=F.col("__toks")).alias("quality"),
+                T.doc_fingerprint("text", toks=F.col("__toks")).alias(
+                    "fingerprint"
+                ),
+            )
         )
         clean = (
             # same pushdown barrier as llm_corpus_clean: evaluate the

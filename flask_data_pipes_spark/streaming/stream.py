@@ -490,8 +490,6 @@ def foreach_batch_incremental_dedup(
     Scale: the bitmap is m_bits/64 rows regardless of history size; the
     only history-sized work is one streamed scan per batch.
     """
-    from ..operators.dedup import bloom_incremental_dedup
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -505,9 +503,7 @@ def foreach_batch_incremental_dedup(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
             hist = spark.read.parquet(history_path).select(id_col, fp_col)
-            dupes = bloom_incremental_dedup(
-                batch, hist, fp_col, id_col, m_bits=m_bits, k=k
-            ).select(fp_col)
+            dupes = _dupe_fps(batch, hist, fp_col, id_col, m_bits, k)
             fresh = batch.join(dupes, fp_col, "left_anti")
         else:
             fresh = batch
@@ -520,6 +516,31 @@ def foreach_batch_incremental_dedup(
         fresh.write.mode("append").parquet(history_path)
 
     return sink
+
+
+def _dupe_fps(
+    batch: DataFrame,
+    hist: DataFrame,
+    fp_col: str,
+    id_col: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Fingerprints of `batch` already present in `hist`, MATERIALIZED
+    (eager localCheckpoint: fp-only, batch-grain small). `fresh` is
+    written twice by the incremental-dedup sink (out_path + history);
+    without this lineage cut each write would re-run the history-sized
+    bloom-bitmap build and exact-verify scan — one history pass per
+    batch, not two (the lsh_index_dedup_append discipline)."""
+    from ..operators.dedup import bloom_incremental_dedup
+
+    return (
+        bloom_incremental_dedup(
+            batch, hist, fp_col, id_col, m_bits=m_bits, k=k
+        )
+        .select(fp_col)
+        .localCheckpoint()
+    )
 
 
 def foreach_batch_upsert(

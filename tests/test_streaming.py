@@ -469,6 +469,33 @@ def test_foreach_batch_incremental_dedup_cross_batch(spark, tmp_path):
     assert spark.read.parquet(hist).count() == 4
 
 
+def test_incremental_dedup_dupe_set_materialized_once(spark, tmp_path):
+    """Round-15 optimization pin: the incremental-dedup sink writes
+    `fresh` twice (out_path + history), so the dupe-fp set behind it
+    must be MATERIALIZED (lineage cut) — otherwise each write re-runs
+    the history-sized bloom-bitmap build and exact-verify scan. The
+    helper must return a lineage-cut frame (plan scans an in-memory
+    RDD, not the history parquet) with exactly the dupe fps."""
+    from flask_data_pipes_spark.streaming.stream import _dupe_fps
+
+    batch = spark.createDataFrame(
+        [(1, "fa"), (2, "fb"), (3, "fz")], "doc_id long, fingerprint string"
+    )
+    hist = spark.createDataFrame(
+        [(10, "fa"), (11, "fb"), (12, "fc")],
+        "doc_id long, fingerprint string",
+    )
+    dupes = _dupe_fps(batch, hist, "fingerprint", "doc_id", 256, 3)
+    # correctness: exactly the batch fps already present in history
+    assert sorted(r["fingerprint"] for r in dupes.collect()) == ["fa", "fb"]
+    # lineage cut: the returned plan must NOT contain the bloom/verify
+    # DAG (joins, aggregates) — consuming it twice re-scans only the
+    # checkpointed rows
+    plan = dupes._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+
+
 def test_foreach_batch_incremental_dedup_output_before_history(spark, tmp_path):
     """Crash-window ordering (round-4 advice): the OUTPUT sink is
     written before the history, so a failure between the two writes

@@ -1233,6 +1233,7 @@ def group_reservoir(
     id_col: str = "doc_id",
     seed: int = 53,
     n_salt: int = 16,
+    count_col: Optional[str] = None,
 ) -> DataFrame:
     """Capped per-group uniform sample: EXACTLY min(k, |group|) rows
     per group, chosen as the k smallest deterministic hashes — "at
@@ -1254,7 +1255,17 @@ def group_reservoir(
     skewed the input.
 
     Output: input columns + `smp_rank` (1..min(k, |group|), the
-    within-group hash order).
+    within-group hash order). With `count_col` set, also that column =
+    the EXACT pre-cap group size |group| (round-15 optimization: lets
+    a caller that needs both the capped rows and the candidate count
+    consume the input ONCE instead of running a second aggregate over
+    a recomputed subtree). The count is assembled skew-safely on the
+    operator's own two phases — a per-(group, salt) shard count on the
+    phase-1 partitioning, summed per group on the phase-2 partitioning
+    via each shard's rank-1 representative (which always survives the
+    phase-1 cap since k >= 1) — so it adds NO exchange and never
+    re-serializes a giant group onto one task the way a plain
+    group-window count would.
     """
     from pyspark.sql import Window
 
@@ -1265,11 +1276,24 @@ def group_reservoir(
                   F.lit(n_salt))
     w1 = Window.partitionBy(by, "__salt").orderBy("__h", id_col)
     w2 = Window.partitionBy(by).orderBy("__h", id_col)
+    staged = df.withColumns({"__h": h, "__salt": salt})
+    if count_col is not None:
+        staged = staged.withColumn(
+            "__shard_n",
+            F.count(F.lit(1)).over(Window.partitionBy(by, "__salt")),
+        )
+    out = staged.withColumn("__r1", F.row_number().over(w1)).where(
+        F.col("__r1") <= k
+    )
+    if count_col is not None:
+        out = out.withColumn(
+            count_col,
+            F.sum(
+                F.when(F.col("__r1") == 1, F.col("__shard_n"))
+            ).over(Window.partitionBy(by)),
+        ).drop("__shard_n")
     return (
-        df.withColumns({"__h": h, "__salt": salt})
-        .withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k)
-        .withColumn("smp_rank", F.row_number().over(w2).cast("int"))
+        out.withColumn("smp_rank", F.row_number().over(w2).cast("int"))
         .where(F.col("smp_rank") <= k)
         .drop("__h", "__salt", "__r1")
     )

@@ -7915,14 +7915,24 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .withColumn("domain", registrable_domain("norm"))
     )
-    capped = group_reservoir(deduped, by="domain", k=5)
-    n_cand = deduped.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    # Round-15: n_candidates used to be a SECOND aggregate over
+    # `deduped` joined back on domain — and because that branch prunes
+    # min(doc_id) out of the URL rollup, the two subtrees don't
+    # canonicalize to one exchange, so the scan + url_normalize (a
+    # large regex expression tree) + the URL-grain shuffle all ran
+    # TWICE (no ReusedExchange; guide §2.4). group_reservoir's
+    # count_col carries the exact pre-cap group size through its own
+    # two skew-safe phases instead — ONE pass over the rollup, no
+    # extra exchange; every domain retains >= 1 row under the k>=1
+    # cap, so the old inner join dropped nothing and the rows are
+    # identical.
+    capped = group_reservoir(
+        deduped, by="domain", k=5, count_col="__n_cand"
     )
-    kept = capped.groupBy("domain").agg(
+    return capped.groupBy("domain").agg(
+        F.max("__n_cand").cast("long").alias("n_candidates"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.bit_xor(
             T.md5_long(F.col("doc_id").cast("string"), 17)
         ).alias("kept_xor"),
     )
-    return n_cand.join(kept, "domain")

@@ -2563,6 +2563,44 @@ def test_group_reservoir_caps_and_matches_direct_window(spark):
     assert got == want
 
 
+def test_group_reservoir_count_col_exact_and_invisible(spark):
+    """Round-15 optimization: `count_col` lets a caller that needs the
+    capped rows AND the pre-cap group size consume the input once. The
+    count must equal a direct groupBy count EXACTLY (incl. the skewed
+    group whose shard counts are assembled across all 16 salts), it
+    must be constant across a group's kept rows, and the kept
+    (group, id, smp_rank) set must be IDENTICAL to the count-free
+    call — the extra column may not perturb the sample."""
+    from pyspark.sql import functions as F
+
+    from flask_data_pipes_spark.operators.corpus import group_reservoir
+
+    rows = [(i, "big" if i < 500 else f"tiny{i % 3}") for i in range(520)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_reservoir(
+        df, "source", k=7, id_col="doc_id", seed=53, count_col="n_all"
+    )
+    want_n = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_group: dict = {}
+    for r in out.collect():
+        per_group.setdefault(r["source"], set()).add(r["n_all"])
+    assert {s: ns.pop() for s, ns in per_group.items() if len(ns) == 1} == (
+        want_n
+    )
+    # the sample itself is unchanged by asking for the count
+    plain = group_reservoir(df, "source", k=7, id_col="doc_id", seed=53)
+    got = {
+        (r["source"], r["doc_id"], r["smp_rank"])
+        for r in out.drop("n_all").collect()
+    }
+    assert got == {
+        (r["source"], r["doc_id"], r["smp_rank"]) for r in plain.collect()
+    }
+
+
 def test_skew_report_hot_key(spark):
     from pyspark.sql import functions as F
 

@@ -77,20 +77,38 @@ def _filter_after_projection(df: DataFrame, cond) -> DataFrame:
     `spread_for_cpu` + heavy projection + filter pipeline ends up
     re-evaluating the heavy expressions INSIDE the pushed filter, on
     the UN-spread (single-split locally) side of the exchange, and
-    then AGAIN in the surviving projection. Wrapping the condition in
-    a nondeterministic always-true guard (monotonically_increasing_id
-    is flagged nondeterministic; it is always ≥ 0) pins the filter
-    above the projection: the expensive columns are computed exactly
-    once, after the spread. Row semantics are untouched — the guard is
-    constant-true, and a NULL condition still drops the row. At real
-    scale (spread is a no-op) the filter runs in the same stage as the
-    projection either way; nothing here could have reached the parquet
-    scan (the inputs are computed columns), so no pushdown is lost."""
-    return df.filter(
+    then AGAIN in the surviving projection.
+
+    Guarding the CONDITION with a nondeterministic always-true wrapper
+    is NOT enough: Catalyst's Project pushdown case only requires the
+    PROJECT's fields to be deterministic, so even a nondeterministic
+    filter is pushed through the staging projections with every alias
+    inlined — it merely stops at the repartition (a nondeterministic
+    predicate can't cross an exchange). The plan then still evaluated
+    the whole interpreted lambda battery once per row inside the
+    Filter, with each multi-referenced subtree re-run per reference,
+    and the staged projection only paid off for survivors
+    (plans/r15/llm_corpus_clean_before.txt shows exactly this shape).
+
+    The barrier that actually holds: project the guarded condition AS
+    A COLUMN. A projection carrying a nondeterministic field fails the
+    `fields.forall(_.deterministic)` pushdown precondition outright,
+    so the filter above it cannot move or inline anything, and it
+    tests one bound boolean. The staged columns are then computed
+    exactly once per row, after the spread. Row semantics are
+    untouched — the guard is constant-true
+    (monotonically_increasing_id is flagged nondeterministic but is
+    always ≥ 0), and a NULL condition still yields a non-true keep
+    flag, which drops the row exactly as a NULL filter condition
+    does. Nothing here could have reached the parquet scan (the
+    inputs are computed columns), so no pushdown is lost."""
+    guarded = df.withColumn(
+        "__keep",
         F.when(F.monotonically_increasing_id() >= 0, cond).otherwise(
             F.lit(False)
-        )
+        ),
     )
+    return guarded.filter(F.col("__keep")).drop("__keep")
 
 
 # DuckDB twin of functions.text.md5_long(col, seed)

@@ -541,6 +541,16 @@ def test_corpus_clean_filter_not_pushed_below_projection(spark, sf_dir):
     # "Exchange hashpartitioning" line (tree prints top-down)
     below = plan[plan.rfind("Exchange hashpartitioning") :]
     assert "lambdafunction" not in below, below[:2000]
+    # round-15 (stronger): the filter must test a BOUND boolean, not a
+    # re-inlined copy of the battery — a condition-level guard alone is
+    # pushed through deterministic projections with every alias
+    # inlined (Project pushdown only checks the project's fields), so
+    # every Filter line in the plan must be lambda-free
+    import re as _re
+
+    for line in plan.splitlines():
+        if _re.search(r"\bFilter\b", line):
+            assert "lambdafunction" not in line, line[:2000]
 
 
 def test_hll_registers_single_small_shuffle(spark, sf_dir):

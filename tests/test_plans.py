@@ -342,7 +342,13 @@ def test_checked_prefix_curated():
         # round-11: the only ORACLED member of the tokenizer-encode
         # family (bpe/unigram encode are golden-pinned) joins the gate
         "tokenizer-encode": ["llm_tokenizer_coverage"],
-        "dsir": ["llm_dsir_weights"],
+        # round-16: dsir_weights displaced (VERDICT r15 item 1 — its
+        # md5-threshold + tokenize-explode machinery rides
+        # llm_split_assign / llm_vocab_stats); stays oracled + swept
+        "dsir": ["llm_dsir_weights", "llm_split_assign"],
+        # round-16: line_dedup returns to the gate (direct verification
+        # of keep-first line-grain rebuild, not just via corpus_clean)
+        "line-dedup": ["llm_line_dedup", "llm_corpus_clean"],
         # round-8 additions: SCD2 history, KMV overlap sketch, PSI
         # drift, hybrid-retrieval RRF (displacing q_top3 / token_stats
         # / repetition / embedding_neardup — all of whose machinery
@@ -353,10 +359,10 @@ def test_checked_prefix_curated():
         "drift": ["llm_psi_drift"],
         "hybrid-retrieval": ["llm_rrf_fusion"],
         "text-signals": ["llm_quality"],
-        # round-10: single-pass moment profiling gated (q3 displaced —
-        # its join+agg+top-k machinery rides q5 + bottomk; q3 stays
-        # oracled + swept)
-        "profiling-moments": ["q_corr_matrix"],
+        # round-16: corr_matrix displaced (VERDICT r15 item 1 — its
+        # exact-decimal moment aggregation rides q1's DECIMAL(38,6)
+        # partial agg); stays oracled + swept
+        "profiling-moments": ["q_corr_matrix", "q1_pricing_summary"],
         # round-12: the trained hashed-LR quality classifier — the
         # only oracled member of the model-TRAINING family
         # (weighted_sample displaced; its md5-threshold predicate

@@ -500,14 +500,30 @@ def candidate_pairs(
     Default None (exact parity with the oracle); production: ~1000.
 
     `spread_anchors` (default True) hash-repartitions the anchors on
-    (anchor index, anchor id) WITHOUT an explicit partition count: AQE
-    coalesces the exchange to almost nothing when the input is small
-    (measured cheaper than skipping it via a stats heuristic — and a
-    heuristic on INPUT size is a trap anyway: a 15 MB corpus with a
-    7.7k-member degenerate bucket expands to ~100 M pairs, 3× slower
-    unspread), while a hot bucket's k anchors hash across the cluster
-    at scale because the key includes the anchor index. Only pass
-    False when the caller guarantees near-uniform tiny buckets.
+    the anchor id WITHOUT an explicit partition count: AQE coalesces
+    the exchange to almost nothing when the input is small (measured
+    cheaper than skipping it via a stats heuristic — and a heuristic
+    on INPUT size is a trap anyway: a 15 MB corpus with a 7.7k-member
+    degenerate bucket expands to ~100 M pairs, 3× slower unspread),
+    while a hot bucket's k anchors hash across the cluster at scale
+    because they are k DISTINCT ids. Only pass False when the caller
+    guarantees near-uniform tiny buckets.
+
+    The spread key is the anchor id ALONE (optimization round 16,
+    guide §2.4 "two operations keyed the same way share one
+    exchange"): every pair this anchor emits has `a` = the anchor id,
+    so HashPartitioning(__a) already satisfies the final distinct's
+    ClusteredDistribution(a, b) — equal (a, b) implies equal a implies
+    same partition — and Catalyst drops the distinct's own exchange
+    outright. The previous (index, id) key distributed no better (ids
+    inside a bucket are distinct, so the id already spreads a hot
+    bucket's k anchors) but broke the clustering property, forcing a
+    second full shuffle of every pre-distinct pair. Measured at sf0.1
+    on the minhash band table: 2 exchanges → 1 after the anchor
+    spread, 1.64 s → 1.34 s interleaved min, identical 1 142 163
+    pairs. Skew note: an id anchoring several buckets co-locates its
+    pair emission, but that is bounded by n_bands × max_bucket rows —
+    the same bound the pair arrays already carry.
 
     Shuffle-volume note: each anchor row carries the FULL sorted
     `__ids` array of its bucket through the spread repartition, so a
@@ -535,7 +551,7 @@ def candidate_pairs(
         .filter(F.col("__i") < F.size("__ids") - 1)  # last anchor: no pairs
     )
     if spread_anchors is None or spread_anchors:
-        anchors = anchors.repartition("__i", "__a")
+        anchors = anchors.repartition("__a")
     return (
         anchors.select(
             F.col("__a").alias(f"{id_col}_a"),

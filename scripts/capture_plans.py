@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for catalog queries into plans/r15/.
+"""Capture .explain("formatted") for catalog queries into plans/r16/.
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
   suffix: "before" or "after" (file name tag)
   names:  query names; default = bench.py HEADLINE list
 
-Writes plans/r15/<name>_<suffix>.txt. Plans are built lazily (no
+Writes plans/r16/<name>_<suffix>.txt. Plans are built lazily (no
 action is run), so this is cheap and safe to run alongside other work.
 """
 
@@ -38,7 +38,7 @@ def main() -> None:
     from flask_data_pipes_spark import plans
 
     qs = plans.queries()
-    out_dir = os.path.join(HERE, "plans", "r15")
+    out_dir = os.path.join(HERE, "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:

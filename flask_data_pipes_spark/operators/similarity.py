@@ -739,19 +739,30 @@ def lsh_topk(
     # local bench scale — the vectorized bucket matmul is so cheap that
     # 32 small-task Python round-trips cost more than one task's 10
     # sequential Arrow batches; left unspread deliberately.
+    # Corpus-side projection carries ONLY (id, raw vector, bucket):
+    # the double-cast and the 1/norm fold are deferred to the
+    # post-join candidate rows (optimization round 16, guide §1.2
+    # "don't compute things you throw away"). Only ~1/2^n_planes of
+    # corpus rows survive the bucket equi-join per query, so the
+    # interpreted 64-element norm fold used to run for every corpus
+    # row and be discarded for the vast majority. Values are
+    # unchanged: V.dot/V.norm cast to double internally, so the
+    # deferred expressions are term-for-term the ones that ran below
+    # the join (result equality asserted against the pre-change shape
+    # at sf0.1). Wall-neutral at local bench scale (2 000-vector
+    # corpus — the Python-boundary and exchange floors dominate); at
+    # corpus >> queries scale the saved fold is ~all corpus rows.
     if n_tables == 1:
         c = corpus.select(
             F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+            F.col(vec_col).alias("__v"),
             _bucket_vectorized(tables[0])(F.col(vec_col)).alias("__bucket"),
             F.lit(0).alias("__t"),
         )
     else:
         c = corpus.select(
             F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            F.try_divide(F.lit(1.0), V.norm(vec_col)).alias("__inv"),
+            F.col(vec_col).alias("__v"),
             F.posexplode(
                 _buckets_multi_vectorized(tables)(F.col(vec_col))
             ).alias("__t", "__bucket"),
@@ -785,13 +796,19 @@ def lsh_topk(
         F.col("__qtb.t").alias("__qt"),
         F.col("__qtb.b").alias("__qbucket"),
     )
-    # 1/norm precomputed per row under the join barrier: per-candidate
-    # cost is one dot product, not dot + two norms. Within one table a
-    # candidate matches at most ONE probe bucket; ACROSS tables the
+    # Query-side 1/norm is precomputed (tiny broadcast side, reused
+    # across all its candidates); corpus-side 1/norm is computed HERE,
+    # per candidate, because candidates are a small fraction of the
+    # corpus (see the corpus projection note above). Within one table
+    # a candidate matches at most ONE probe bucket; ACROSS tables the
     # same pair can collide repeatedly — hence the dropDuplicates on
     # (query, candidate) before ranking (sim is identical per pair, so
     # the kept row is deterministic).
-    sim = V.dot(F.col("__qv"), F.col("__v")) * F.col("__qinv") * F.col("__inv")
+    sim = (
+        V.dot(F.col("__qv"), F.col("__v"))
+        * F.col("__qinv")
+        * F.try_divide(F.lit(1.0), V.norm("__v"))
+    )
     if round_to is not None:
         sim = F.round(sim, round_to)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))

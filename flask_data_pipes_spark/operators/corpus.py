@@ -1985,10 +1985,14 @@ def pack_bins_ids(
             docs.append((len(ids), int(ord_), doc, ids))
         # BFD order: longest first; ties broken by the stable hash order
         docs.sort(key=lambda d: (-d[0], d[1], d[2]))
-        bins = []  # [residual-sorted keys], parallel payload dict
         residuals = []  # sorted ascending
         res_bin = []  # bin index aligned with residuals
         payload = []  # per bin: [(doc, ids), ...]
+        # running fill per bin: recomputing the fill by summing the
+        # bin's items on every placement is O(items²) per bin
+        # (optimization round 16 — placement decisions are unchanged,
+        # the accumulator equals the sum it replaces)
+        fill = []
         for length, _, doc, ids in docs:
             j = bisect.bisect_left(residuals, length)
             if j < len(residuals):
@@ -2001,8 +2005,10 @@ def pack_bins_ids(
             else:
                 b = len(payload)
                 payload.append([])
+                fill.append(0)
             payload[b].append((doc, ids))
-            r = sl - sum(len(x[1]) for x in payload[b])
+            fill[b] += length
+            r = sl - fill[b]
             if r > 0:
                 # insert AFTER equal residuals so earlier-opened bins
                 # with the same residual stay first (deterministic ties)

@@ -593,13 +593,23 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [
         [round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)
     ]
+def _lit_vec(h: list[float]):
+    """Literal double-array column built with ONE JVM parse instead of
+    len(h) `F.lit` py4j round-trips (optimization round 16: plan
+    CONSTRUCTION is driver-side latency paid per query — an 8×64-plane
+    table used to cost ~1500 py4j calls before any row moved).
+    `repr(float)` is the shortest decimal that round-trips to the same
+    binary64, and Spark's SQL parser does correctly-rounded
+    decimal→double, so each element is bit-identical to `F.lit(x)`."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in h) + ")")
+
+
 def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     """Sign-pattern bucket id: bit j = (v · h_j) >= 0. Pure fold over
     literal arrays — codegen, no UDF."""
     bucket = F.lit(0).cast("long")
     for j, h in enumerate(planes):
-        lit_h = F.array(*[F.lit(x) for x in h])
-        d = V.dot(vec_col, lit_h)
+        d = V.dot(vec_col, _lit_vec(h))
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
@@ -612,7 +622,7 @@ def lsh_probe_buckets_expr(vec_col, planes: list[list[float]], n_probe: int):
     the other side of j). Pure codegen: per-plane dot products →
     (margin, flipped-bucket) structs → sort_array on margin → slice.
     Returns an array of `n_probe` bucket ids (n_probe ≤ n_planes+1)."""
-    dots = [V.dot(vec_col, F.array(*[F.lit(x) for x in h])) for h in planes]
+    dots = [V.dot(vec_col, _lit_vec(h)) for h in planes]
     bucket = F.lit(0).cast("long")
     for j, d in enumerate(dots):
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -911,7 +921,7 @@ def random_projection(
     scale = 1.0 / float(np.sqrt(out_dim))
     comps = []
     for p in planes:
-        d = V.dot(vec_col, F.array(*[F.lit(x) for x in p])) * F.lit(scale)
+        d = V.dot(vec_col, _lit_vec(p)) * F.lit(scale)
         comps.append(F.round(d, round_to) if round_to is not None else d)
     return F.array(*comps)
 

@@ -626,6 +626,15 @@ def lsh_probe_buckets_expr(vec_col, planes: list[list[float]], n_probe: int):
     bucket = F.lit(0).cast("long")
     for j, d in enumerate(dots):
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    if n_probe <= 1:
+        # single-probe: the probe list is exactly [own bucket] — the
+        # flip/margin-sort machinery below would be built only to have
+        # `slice(ordered, 1, 0)` discard it (the optimizer does not
+        # prune it, and the dead subtree triples the expression tree
+        # the analyzer must chew per build — optimization round 16,
+        # driver-side plan-construction latency). Same value as
+        # concat(array(bucket), slice(ordered, 1, 0)).
+        return F.array(bucket)
     flips = F.sort_array(
         F.array(
             *[

@@ -48,6 +48,11 @@ def test_scan_prunes_columns(spark, sf_dir):
 @pytest.mark.parametrize("name", sorted(entry.queries()))
 def test_no_cartesian_products(spark, sf_dir, name):
     df = entry.queries()[name](spark, sf_dir)
+    # driver-contract build check rides the same build (round 16: the
+    # suite used to build all 170 entries a SECOND time — including
+    # re-executing the eager ones — inside
+    # test_driver_contract_integrity, ~200 s of pure duplication)
+    assert df.columns, f"{name} produced no columns"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
@@ -244,18 +249,19 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.set(k, v)
 
 
-def test_driver_contract_integrity(spark, sf_dir):
+def test_driver_contract_integrity():
     """__spark_entry__ invariants the grading driver relies on: every
     oracle key maps to a registered query, names are unique and
-    non-empty, and every query builds a DataFrame with at least one
-    column without executing anything."""
+    non-empty, and every entry is callable. The per-entry "builds a
+    DataFrame with ≥1 column" check rides test_no_cartesian_products
+    (same session, same build — building all 170 entries twice cost
+    the suite ~200 s, round 16)."""
     qs = entry.queries()
     os_ = entry.oracle_sql()
     assert set(os_) <= set(qs), set(os_) - set(qs)
     assert all(qs.values())
-    for name, fn in qs.items():
-        df = fn(spark, sf_dir)
-        assert df.columns, f"{name} produced no columns"
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(n, str) and n for n in qs)
 
 
 def test_checked_prefix_curated():

@@ -80,7 +80,34 @@ def test_hourly_rollup_stream_matches_batch(spark, landing, tmp_path):
 def test_sessionize_stream_closes_sessions(spark, landing, tmp_path):
     events = read_jsonl_stream(spark, landing, EVENTS_SCHEMA)
     sessions = sessionize_stream(events, gap_seconds=1800, watermark="100 days")
-    _drain(sessions, str(tmp_path), "sessions_out")
+    # NOT _drain: an availableNow query with PROCESSING-TIME timeouts
+    # never self-terminates — after the data batches the engine keeps
+    # scheduling empty "cleaning up state" batches until the 1800 s
+    # timers fire (measured: 99 empty batches, still active at 150 s),
+    # so a fixed awaitTermination always burns its whole budget. The
+    # assertions below only need the DATA batches folded: wait for the
+    # first zero-input batch after real input, then stop.
+    import time as _t
+
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt_sessions_out"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        progress = q.recentProgress
+        if (
+            any(p["numInputRows"] > 0 for p in progress)
+            and progress[-1]["numInputRows"] == 0
+        ):
+            break
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
     got = spark.sql("select * from sessions_out").collect()
 
     batch = sessionize_batch(

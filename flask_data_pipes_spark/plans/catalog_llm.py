@@ -102,13 +102,19 @@ def _filter_after_projection(df: DataFrame, cond) -> DataFrame:
     flag, which drops the row exactly as a NULL filter condition
     does. Nothing here could have reached the parquet scan (the
     inputs are computed columns), so no pushdown is lost."""
+    # collision-safe scratch name (ADVICE r15): withColumn REPLACES an
+    # existing column, so a caller frame already carrying "__keep"
+    # would be corrupted by the shared helper
+    keep = "__keep"
+    while keep in df.columns:
+        keep += "_"
     guarded = df.withColumn(
-        "__keep",
+        keep,
         F.when(F.monotonically_increasing_id() >= 0, cond).otherwise(
             F.lit(False)
         ),
     )
-    return guarded.filter(F.col("__keep")).drop("__keep")
+    return guarded.filter(F.col(keep)).drop(keep)
 
 
 # DuckDB twin of functions.text.md5_long(col, seed)

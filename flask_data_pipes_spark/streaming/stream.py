@@ -531,7 +531,16 @@ def _dupe_fps(
     written twice by the incremental-dedup sink (out_path + history);
     without this lineage cut each write would re-run the history-sized
     bloom-bitmap build and exact-verify scan — one history pass per
-    batch, not two (the lsh_index_dedup_append discipline)."""
+    batch, not two (the lsh_index_dedup_append discipline).
+
+    Durability constraint (ADVICE r15): localCheckpoint blocks live on
+    EXECUTOR local storage — under dynamic allocation or executor
+    loss the blocks are unrecoverable and the micro-batch FAILS
+    (foreachBatch then replays it, so no data is lost, but the batch
+    pays a retry). Acceptable for batch-grain-small data on static
+    executors; a deployment running under dynamic allocation should
+    swap this for persist(MEMORY_AND_DISK) + count (recomputable
+    lineage) at the cost of re-scanning on eviction."""
     from ..operators.dedup import bloom_incremental_dedup
 
     return (

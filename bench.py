@@ -898,18 +898,20 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
         "accumulates",
     ),
     "llm_pack_bins": (
-        7.0,
+        8.0,
         "fully data-proportional by design: every packed token passes "
         "the Arrow kernel and every doc the BFD placement loop, so 10x "
         "data approaches 10x kernel work as fixed overhead amortizes "
-        "(band: 5.73 r12 sizing, 6.56/6.48 r12/r13 artifacts, 5.42 "
-        "r14 dedicated idle min-of-2 probe at loadavg 0.04; the "
-        "distinct-word encode front half is what keeps it below "
-        "linear). The r14 stage reading 7.02/retry 9.26 was "
-        "adjudicated small-denominator jitter under stage self-load — "
-        "the sf10 wall matched history at 14.6 s while the stage "
-        "caught a one-off fast 2.08 s sf1 run; full probe metadata "
-        "ships in BENCH_SF10.json adjudications",
+        "(idle band: 5.73 r12 sizing, 6.56/6.48 r12/r13 artifacts, "
+        "5.42 r14 idle min-of-2 probe, 5.84 r16 idle min-of-3 probe "
+        "loadavg 1.7 — on the r16 kernel whose placement loop is "
+        "O(items) per bin, was O(items^2)). Round-16 re-baseline "
+        "(VERDICT r15 item 6): the old 7.0 budget sat INSIDE the "
+        "observed stage-self-load trip zone (7.02 r14) while every "
+        "idle reading passed — the row-level adjudication that "
+        "papered over that is DELETED and the budget moved to idle "
+        "band top 6.56 x ~1.2 self-load allowance, still well below "
+        "the ~10x of a linear kernel",
     ),
 }
 
@@ -924,24 +926,14 @@ SF10_BUDGETS: dict[str, tuple[float, str | None]] = {
 # self-load while its dedicated idle min-of-2 probe measured 5.42)
 # so an automated artifact reader no longer sees a failed stage that
 # a human adjudicated in prose.
-SF10_ROW_ADJUDICATIONS = {
-    "llm_pack_bins": {
-        "max_ratio": 7.7,  # ≤10% over budget — the observed self-load trip zone
-        "idle_probe": {
-            "method": "dedicated idle min-of-2, both sides one session "
-                      "(round 14)",
-            "ratio": 5.42,
-            "loadavg_start": 0.04,
-        },
-        "band": "5.42-6.56 idle across rounds 12-14; 7.02/9.26 only "
-                "under stage self-load",
-        "reason": (
-            "data-proportional BFD kernel, code untouched since round "
-            "12; trips within 10% of the 7.0 budget under stage "
-            "self-load are load placement, not a plan property"
-        ),
-    },
-}
+# Round 16 (VERDICT r15 item 6): EMPTY by design, and it should stay
+# that way — the one row it ever held (llm_pack_bins) was a budget
+# sized inside the observed self-load trip zone; the budget is now
+# re-baselined from fresh idle evidence (see SF10_BUDGETS) and the
+# kernel's placement loop is O(items) per bin. Any new entry added
+# here is the builder grading its own budget trip: treat as a red
+# flag and re-baseline the budget instead.
+SF10_ROW_ADJUDICATIONS = {}
 
 
 def _run_sf10_ratio_stage(spark, qs, sf1_dir: str, sf10_dir: str) -> dict:
